@@ -1,0 +1,103 @@
+"""%SDOC synthetic PDF-like documents: parsing, stub detection, text layer.
+
+The sandbox has no PDF renderer and no PaddleX models, so PDF-like rows carry
+a deterministic JSON container (FIXTURES.md §1.1) standing in for a real PDF:
+
+``{"pages": [{"width": pts, "height": pts,
+             "glyph_runs": [{"text", "x0", "y0", "x1", "y1"}],
+             "truth_regions": [{"label", "score", "coordinate": [x0,y0,x1,y1],
+                                "latex"?, "cell_boxes"?}]}]}``
+
+Coordinates of ``truth_regions``, ``glyph_runs`` and ``cell_boxes`` are
+device pixels at BASE_ZOOM=2.0, y-down — i.e. what the reference's layout
+model sees for a page rendered at the default zoom
+(/root/reference/src/main.py:272-275).  ``cell_boxes`` are table-local
+(relative to the table's min corner), mirroring the cell-detection model
+running on the table crop (/root/reference/src/ai.py:114-138).
+
+``stub_detect`` is the deterministic stand-in for the PaddleX layout model:
+it applies the same class pruning (17cls drops ids 17-22,
+/root/reference/src/ai.py:46-49) and per-class score thresholds the real
+model is configured with (/root/reference/src/ai.py:72-79), and rescales
+coordinates for the requested zoom.  The actor-pool class boundary in
+``stages/detect.py`` is where real model weights would load.
+"""
+
+from __future__ import annotations
+
+import json
+
+from .labels import LABEL_TO_CLASS_ID
+
+SDOC_MAGIC = b"%SDOC"
+BASE_ZOOM = 2.0
+
+
+def is_sdoc(payload: bytes) -> bool:
+    return payload[:5] == SDOC_MAGIC
+
+
+def parse_sdoc(payload: bytes) -> dict:
+    """Parse a %SDOC payload → document dict. Raises ValueError on bad input."""
+    if not is_sdoc(payload):
+        raise ValueError("not an %SDOC payload")
+    return json.loads(payload[5:].decode("utf-8"))
+
+
+def make_sdoc(doc: dict) -> bytes:
+    """Serialize a document dict into an %SDOC payload (compact, sorted keys)."""
+    return SDOC_MAGIC + json.dumps(doc, sort_keys=True, separators=(",", ":")).encode("utf-8")
+
+
+def stub_detect(
+    page: dict, model: str, thresholds: dict[int, float], zoom: float
+) -> list[dict]:
+    """Deterministic layout 'model': truth regions → detection boxes.
+
+    - labels absent from the model's class set are pruned (17cls: ids 17-22);
+    - boxes below the per-class threshold are dropped (a box with score
+      exactly at the threshold is kept);
+    - coordinates are rescaled from BASE_ZOOM to ``zoom``.
+    """
+    scale = zoom / BASE_ZOOM
+    boxes: list[dict] = []
+    for region in page.get("truth_regions", []):
+        label = region["label"]
+        class_id = LABEL_TO_CLASS_ID.get(label)
+        if class_id is None:
+            continue
+        if class_id not in thresholds:
+            continue  # class pruned from this model
+        score = float(region["score"])
+        if score < thresholds[class_id]:
+            continue
+        box = {
+            "label": label,
+            "score": score,
+            "coordinate": [float(c) * scale for c in region["coordinate"]],
+        }
+        if "latex" in region:
+            box["latex"] = region["latex"]
+        if "cell_boxes" in region:
+            box["cell_boxes"] = [[float(v) * scale for v in cb] for cb in region["cell_boxes"]]
+        boxes.append(box)
+    return boxes
+
+
+def extract_region_text(glyph_runs: list[dict], coordinate: list, scale: float) -> str:
+    """Per-region text: glyph runs whose center falls inside the region box.
+
+    Runs are taken in (y0, x0) ascending order and joined with a single
+    space.  This is our deterministic replacement for the text extraction
+    the reference delegates to the proprietary PDFix ``AddTags``
+    (/root/reference/src/autotag.py:224-260).
+    """
+    x0, y0, x1, y1 = coordinate
+    hits = []
+    for run in glyph_runs:
+        cx = (run["x0"] + run["x1"]) / 2.0 * scale
+        cy = (run["y0"] + run["y1"]) / 2.0 * scale
+        if x0 <= cx <= x1 and y0 <= cy <= y1:
+            hits.append((run["y0"], run["x0"], run["text"]))
+    hits.sort(key=lambda t: (t[0], t[1]))
+    return " ".join(t[2] for t in hits)

@@ -1,0 +1,77 @@
+"""Doc → page fan-out (stateless task stage).
+
+The skew handler: after this stage the unit of work is a *page*, so a
+400-page %SDOC doc becomes 400 independent rows while a short HTML doc
+stays one row (kind="html") — the heavy-model stage downstream never sees
+a whole heavy document (reference loops pages sequentially in one process,
+/root/reference/src/autotag.py:123-138).  Rows also get a ``size_bucket``
+(log2 of payload bytes) used for partitioned output layout and skew
+diagnostics per ``north_star``.
+
+Implemented as ``map_batches`` returning more rows than input (cheaper
+than per-row ``flat_map``).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from ..functions.sdoc import is_sdoc, parse_sdoc
+
+
+def size_bucket(n_bytes: int) -> int:
+    return max(0, n_bytes.bit_length() - 10)  # 0 for <2KiB, then log2 steps
+
+
+def fanout_pages(batch: pa.Table) -> pa.Table:
+    urls, createds, kinds, page_nos, n_pages_col, payloads, buckets = [], [], [], [], [], [], []
+    url_col = batch.column("url").to_pylist()
+    ts_col = batch.column("warc_ts").to_pylist()
+    html_col = batch.column("html").to_pylist()
+
+    for url, ts, html in zip(url_col, ts_col, html_col):
+        created = str(ts)[:10]
+        bucket = size_bucket(len(html))
+
+        def emit(kind: str, page_no: int, n_pages: int, payload: str) -> None:
+            urls.append(url)
+            createds.append(created)
+            kinds.append(kind)
+            page_nos.append(page_no)
+            n_pages_col.append(n_pages)
+            payloads.append(payload)
+            buckets.append(bucket)
+
+        if is_sdoc(html):
+            try:
+                doc = parse_sdoc(html)
+                pages = doc.get("pages", [])
+            except Exception as exc:  # noqa: BLE001 - error row, not a task crash
+                emit("error", 0, 1, f"parse_error:{type(exc).__name__}")
+                continue
+            if not pages:
+                emit("sdoc_empty", 0, 0, "")
+                continue
+            for page_no, page in enumerate(pages):
+                emit("sdoc", page_no, len(pages),
+                     json.dumps(page, sort_keys=True, separators=(",", ":")))
+        else:
+            try:
+                text = html.decode("utf-8")
+            except UnicodeDecodeError:
+                text = html.decode("utf-8", errors="replace")
+            emit("html", 0, 1, text)
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "created": pa.array(createds, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "page_no": pa.array(page_nos, pa.int32()),
+            "n_pages": pa.array(n_pages_col, pa.int32()),
+            "payload": pa.array(payloads, pa.string()),
+            "size_bucket": pa.array(buckets, pa.int32()),
+        }
+    )
