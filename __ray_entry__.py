@@ -1,44 +1,184 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction at sf0.001; ``queries()`` exposes
+one callable per implemented operator/pipeline (SURVEY.md §2 + the
+training-data operator family); ``oracle_sql()`` gives the DuckDB oracle
+for every SQL-expressible query (same column names as the Ray result).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the library code) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import pathlib
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from action_pdf_accessibility_paddle_docker_ray.pipelines import (  # noqa: E402
+    dedup_ops,
+    relational,
+    similarity,
+    text_ops,
+)
+from action_pdf_accessibility_paddle_docker_ray.pipelines.extract import (  # noqa: E402
+    extract_pipeline,
+    spans_dataset,
+)
+from action_pdf_accessibility_paddle_docker_ray.pipelines.flagship import (  # noqa: E402
+    pages_path_for,
+)
+from action_pdf_accessibility_paddle_docker_ray.stages.multimodal import (  # noqa: E402
+    image_features,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _extract_docs(sf_dir: str):
+    """Flagship: derived pages corpus → full extraction → doc rows."""
+    path = pages_path_for(sf_dir)
+    ds = extract_pipeline(path)
+    return ds.select_columns(["url", "text", "n_pages", "n_regions", "status"])
+
+
+def _extract_spans(sf_dir: str):
+    path = pages_path_for(sf_dir)
+    docs = extract_pipeline(path)
+    return spans_dataset(docs).select_columns(
+        ["url", "page_no", "label", "reading_order", "region_id"]
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    return _extract_docs(SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction (rows-only checks; byte-identity is enforced
+        # against the single-process oracle by tests/test_pipeline.py)
+        "extract_docs": _extract_docs,
+        "extract_spans": _extract_spans,
+        # HTML-arm round-trip with a SQL oracle (byte-exact text recovery)
+        "html_extract": text_ops.html_extract,
+        # relational operator demos (SQL-checked)
+        "lineitem_agg": relational.lineitem_agg,
+        "segment_revenue": relational.segment_revenue,
+        "part_brand_stats": relational.part_brand_stats,
+        "top_longest": relational.top_longest,
+        "lang_stats": relational.lang_stats,
+        "events_window": relational.events_window,
+        "events_sessionize": relational.events_sessionize,
+        # text analysis (SQL-checked)
+        "exact_dedup": text_ops.exact_dedup,
+        "token_count": text_ops.token_count,
+        "text_quality": text_ops.text_quality,
+        "token_histogram": text_ops.token_histogram,
+        # text analysis (rows-only)
+        "langid": text_ops.langid,
+        "fingerprint": text_ops.fingerprint,
+        # dedup family (rows-only: LSH/minhash not SQL-expressible)
+        "minhash_dedup": dedup_ops.minhash_dedup,
+        "simhash_pairs": dedup_ops.simhash_pairs,
+        "jaccard_pairs": dedup_ops.jaccard_pairs,
+        "embedding_dedup": dedup_ops.embedding_dedup,
+        # similarity search
+        "knn_search": similarity.knn_search,
+        "knn_search_lsh": similarity.knn_search_lsh,
+        # multimodal stub stage (actor pool over binary payloads)
+        "image_features": image_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "html_extract": (
+            "SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url, "
+            "text FROM documents"
+        ),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+            "COUNT(*) AS count_order, MIN(l_extendedprice) AS min_price, "
+            "MAX(l_extendedprice) AS max_price "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "segment_revenue": (
+            "SELECT c.c_mktsegment, COUNT(*) AS n_orders, "
+            "ROUND(SUM(o.o_totalprice), 2) AS revenue "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_mktsegment"
+        ),
+        "part_brand_stats": (
+            "SELECT p_brand, COUNT(*) AS n_parts, MAX(p_retailprice) AS max_price, "
+            "MIN(p_size) AS min_size FROM part GROUP BY p_brand"
+        ),
+        "top_longest": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "lang_stats": (
+            "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+            "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "events_window": (
+            "SELECT event_type, (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch, "
+            "COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value "
+            "FROM events GROUP BY event_type, hour_epoch"
+        ),
+        "events_sessionize": (
+            "WITH d AS ("
+            "  SELECT user_id, ts, epoch_us(ts) AS ts_us,"
+            "    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000"
+            "         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s"
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+            "), s AS ("
+            "  SELECT user_id, ts_us,"
+            "    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us"
+            "                     ROWS UNBOUNDED PRECEDING) AS session_id"
+            "  FROM d)"
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "COUNT(*) AS n_events, "
+            "MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us "
+            "FROM s GROUP BY user_id, session_id"
+        ),
+        "exact_dedup": (
+            "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        ),
+        "token_count": (
+            r"SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents"
+        ),
+        "text_quality": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, "
+            r"CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens, "
+            r"CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words, "
+            r"CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct, "
+            r"CAST(length(regexp_extract_all(text, '\b(?:the|a|and|of|to|in|is)\b')) AS BIGINT) AS n_stop "
+            "FROM documents"
+        ),
+        "token_histogram": (
+            r"SELECT tok AS token, COUNT(*) AS n FROM documents, "
+            r"UNNEST(regexp_extract_all(text, '\S+')) AS u(tok) "
+            "GROUP BY tok ORDER BY n DESC, token LIMIT 20"
+        ),
+        "knn_search": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            "           ORDER BY vec_id LIMIT 10), "
+            "sims AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "  list_cosine_similarity("
+            "    list_transform(q.embedding, x -> CAST(x AS DOUBLE)), "
+            "    list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim "
+            "  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id), "
+            "ranked AS (SELECT query_id, neighbor_id, "
+            "  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+            "  FROM sims) "
+            "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5"
+        ),
+    }

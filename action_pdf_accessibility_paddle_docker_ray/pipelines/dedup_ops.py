@@ -1,0 +1,309 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine — the training-data dedup family.
+
+Scale shapes (per the Ray Data dedup pattern): shingle→minhash per batch
+(vectorized numpy), explode to (band_id, band_hash, doc_id) rows,
+``groupby(band)`` for candidate generation, signature-based verification,
+then connected components.  Components use driver union-find here because
+the candidate set is provably small at these SFs; the 100 TB path is
+iterative min-label propagation (groupby until fixpoint) — documented, not
+needed for correctness.
+
+All hashes are explicit (blake2b / FNV / seeded affine) — deterministic
+across processes (builtin ``hash`` is salted and never used).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from .. import ensure_picklable
+from ..sources.pages import read_table
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Stable 64-bit hashes of the char k-gram shingle set."""
+    t = text.lower()
+    if len(t) < k:
+        grams = {t}
+    else:
+        grams = {t[i : i + k] for i in range(len(t) - k + 1)}
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(sorted(grams)):
+        out[i] = np.frombuffer(
+            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), dtype=np.uint64
+        )[0]
+    return out
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE_P, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE_P, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """sig_i = min over shingles of (a_i * x + b_i) with uint64 wraparound.
+
+    Multiplicative hashing mod 2^64 — a valid (and fully vectorized)
+    minhash family; deterministic everywhere numpy is."""
+    with np.errstate(over="ignore"):
+        vals = shingles[:, None] * a[None, :] + b[None, :]  # uint64 wraps
+    return np.min(vals, axis=0)
+
+
+def minhash_signatures(
+    ds: ray.data.Dataset, num_perm: int = 64, shingle_k: int = 5,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> ray.data.Dataset:
+    a, b = _minhash_params(num_perm)
+
+    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+        sigs = [
+            _minhash_signature(_shingle_hashes(t, shingle_k), a, b).astype("int64")
+            for t in df[text_col]
+        ]
+        return pd.DataFrame({id_col: df[id_col], "sig": sigs})
+
+    return ds.map_batches(sig_batch, batch_format="pandas")
+
+
+def _cluster_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find → {doc_id: representative (min id in component)}."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in pairs:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            if rj < ri:
+                ri, rj = rj, ri
+            parent[rj] = ri
+    return {x: find(x) for x in parent}
+
+
+def minhash_dedup(
+    sf_dir: str, *, num_perm: int = 64, bands: int = 16, threshold: float = 0.7,
+    shingle_k: int = 5,
+) -> pd.DataFrame:
+    """MinHash-LSH near-dup clusters over ``documents``.
+
+    Returns (doc_id, rep_id) for every doc that belongs to a near-dup
+    cluster of size ≥ 2 (rep = min doc_id of the cluster); empty when the
+    corpus has no near-dups.
+    """
+    ensure_picklable()
+    rows_per_band = num_perm // bands
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    sigs = minhash_signatures(ds, num_perm, shingle_k)
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out_band, out_hash, out_doc, out_sig = [], [], [], []
+        for doc_id, sig in zip(df["doc_id"], df["sig"]):
+            sig = np.asarray(sig, dtype=np.int64)
+            for band in range(bands):
+                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                out_band.append(band)
+                out_hash.append(h)
+                out_doc.append(int(doc_id))
+                out_sig.append(sig)
+        return pd.DataFrame(
+            {"band": out_band, "band_hash": out_hash, "doc_id": out_doc, "sig": out_sig}
+        )
+
+    banded = sigs.map_batches(band_rows, batch_format="pandas")
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "est": pd.Series([], dtype="float64")})
+        df = df.sort_values("doc_id", kind="mergesort")
+        ids = df["doc_id"].to_numpy()
+        sigs_arr = np.stack([np.asarray(s, dtype=np.int64) for s in df["sig"]])
+        a_out, b_out, est_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                est = float(np.mean(sigs_arr[i] == sigs_arr[j]))
+                if est >= threshold:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+                    est_out.append(est)
+        return pd.DataFrame({"a": a_out, "b": b_out, "est": est_out})
+
+    pair_df = (
+        banded.groupby(["band", "band_hash"])
+        .map_groups(candidates, batch_format="pandas")
+        .to_pandas()
+    )
+    pairs = sorted({(int(r.a), int(r.b)) for r in pair_df.itertuples(index=False)})
+    clusters = _cluster_pairs(pairs)
+    if not clusters:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "rep_id": pd.Series([], dtype="int64")})
+    rows = sorted(clusters.items())
+    return pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "rep_id": [r[1] for r in rows]}
+    ).astype("int64")
+
+
+def simhash_pairs(sf_dir: str, *, max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash near-dup candidate pairs: 64-bit token-weighted simhash,
+    4×16-bit band LSH, exact hamming verify ≤ ``max_hamming``."""
+    ensure_picklable()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sim_batch(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for text in df["text"]:
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in set(text.lower().split()):
+                h = np.frombuffer(
+                    hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
+                    dtype=np.uint64,
+                )[0]
+                bits = (np.right_shift(h, np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+                acc += np.where(bits == 1, 1, -1)
+            sh = 0
+            for bit in range(64):
+                if acc[bit] > 0:
+                    sh |= 1 << bit
+            out.append(sh)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "simhash": [f"{s:016x}" for s in out],
+        })
+
+    sims = ds.map_batches(sim_batch, batch_format="pandas")
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"band": [], "chunk": [], "doc_id": [], "simhash": []}
+        for doc_id, hx in zip(df["doc_id"], df["simhash"]):
+            s = int(hx, 16)
+            for band in range(4):
+                rows["band"].append(band)
+                rows["chunk"].append((s >> (16 * band)) & 0xFFFF)
+                rows["doc_id"].append(int(doc_id))
+                rows["simhash"].append(hx)
+        return pd.DataFrame(rows)
+
+    banded = sims.map_batches(band_rows, batch_format="pandas")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        df = df.sort_values("doc_id", kind="mergesort")
+        ids = df["doc_id"].to_numpy()
+        hs = [int(h, 16) for h in df["simhash"]]
+        a_o, b_o, d_o = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                d = bin(hs[i] ^ hs[j]).count("1")
+                if d <= max_hamming:
+                    a_o.append(int(ids[i]))
+                    b_o.append(int(ids[j]))
+                    d_o.append(d)
+        return pd.DataFrame({"a": a_o, "b": b_o, "hamming": d_o})
+
+    pair_df = (
+        banded.groupby(["band", "chunk"]).map_groups(verify, batch_format="pandas").to_pandas()
+    )
+    uniq = sorted({(int(r.a), int(r.b), int(r.hamming)) for r in pair_df.itertuples(index=False)})
+    return pd.DataFrame(
+        {"a": [u[0] for u in uniq], "b": [u[1] for u in uniq], "hamming": [u[2] for u in uniq]}
+    ).astype("int64") if uniq else pd.DataFrame(
+        {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+         "hamming": pd.Series([], dtype="int64")}
+    )
+
+
+def jaccard_pairs(sf_dir: str, *, threshold: float = 0.8, k: int = 3) -> pd.DataFrame:
+    """Exact n-gram Jaccard pairs, bucketed by ``lang`` to bound the pairwise
+    work per group (the 100 TB path replaces the lang bucket with LSH
+    buckets; exact verify stays the same)."""
+    ensure_picklable()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        ids = df["doc_id"].to_numpy()
+        sets = [
+            frozenset(t.lower()[i : i + k] for i in range(max(1, len(t) - k + 1)))
+            for t in df["text"]
+        ]
+        a_o, b_o, j_o = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    a_o.append(int(ids[i]))
+                    b_o.append(int(ids[j]))
+                    j_o.append(round(jac, 6))
+        return pd.DataFrame({"a": a_o, "b": b_o, "jaccard": j_o})
+
+    out = ds.groupby("lang").map_groups(pairs_in_group, batch_format="pandas").to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def embedding_dedup(sf_dir: str, *, threshold: float = 0.3, planes: int = 6) -> pd.DataFrame:
+    """Embedding cosine near-dup: random-hyperplane LSH buckets, exact
+    cosine verify within buckets."""
+    ensure_picklable()
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        # same seeded planes in every task → consistent buckets
+        hp = np.random.RandomState(11).normal(size=(mat.shape[1], planes))
+        bits = (mat @ hp > 0).astype(np.int64)
+        codes = (bits * (1 << np.arange(planes))).sum(axis=1)
+        return pd.DataFrame({"vec_id": df["vec_id"], "bucket": codes, "embedding": list(mat)})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "cos_milli": pd.Series([], dtype="int64")})
+        df = df.sort_values("vec_id", kind="mergesort")
+        ids = df["vec_id"].to_numpy()
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        a_o, b_o, c_o = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    a_o.append(int(ids[i]))
+                    b_o.append(int(ids[j]))
+                    c_o.append(int(round(sims[i, j] * 1000)))
+        return pd.DataFrame({"a": a_o, "b": b_o, "cos_milli": c_o})
+
+    out = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

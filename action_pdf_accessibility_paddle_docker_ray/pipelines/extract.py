@@ -89,10 +89,30 @@ def extract_to_parquet(source: str, out_dir: str, **kwargs: Any) -> None:
 
 
 def spans_dataset(docs: ray.data.Dataset) -> ray.data.Dataset:
-    """Explode doc rows into the flat spans table."""
+    """Explode doc rows into the flat spans table (fixed schema across arms)."""
     import json
 
     import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("page_no", pa.int32()),
+            ("region_id", pa.int64()),
+            ("label", pa.string()),
+            ("score", pa.float32()),
+            ("x0", pa.float64()),
+            ("y0", pa.float64()),
+            ("x1", pa.float64()),
+            ("y1", pa.float64()),
+            ("reading_order", pa.int32()),
+            ("text", pa.string()),
+            ("link_density", pa.float64()),
+            ("boiler", pa.bool_()),
+            ("table_json", pa.string()),
+            ("mathml", pa.string()),
+        ]
+    )
 
     def explode(batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
@@ -101,10 +121,10 @@ def spans_dataset(docs: ray.data.Dataset) -> ray.data.Dataset:
         ):
             for span in json.loads(spans_json):
                 span.setdefault("url", url)
+                span.setdefault("page_no", 0)
                 rows.append(span)
-        if not rows:
-            return pa.table({"url": pa.array([], pa.string())})
-        keys = sorted({k for r in rows for k in r})
-        return pa.table({k: [r.get(k) for r in rows] for k in keys})
+        return pa.table(
+            {f.name: [r.get(f.name) for r in rows] for f in schema}, schema=schema
+        )
 
     return docs.map_batches(explode, batch_format="pyarrow")

@@ -1,0 +1,168 @@
+"""Relational operator demos over the driver's TPC-H-ish tables.
+
+Every op here has a matching ANSI-SQL oracle in ``__ray_entry__.oracle_sql``
+(column names match exactly).  Design rules applied throughout:
+
+- column pruning at the read;
+- pre-aggregation (combiner) inside ``map_batches`` before any ``groupby``
+  so the shuffle carries partials, not rows;
+- broadcast of small join sides via ``ray.put`` (no shuffle join);
+- aggregates chosen to be bit-reproducible under parallelism (counts,
+  integer sums, min/max); float sums are rounded in BOTH engines.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .. import ensure_picklable
+from ..sources.pages import read_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-shaped pruned-scan aggregate (exact-reproducible aggregates)."""
+    ensure_picklable()
+    import pyarrow.compute as pc
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def flt(t):
+        return t.filter(pc.less_equal(t["l_shipdate"], cutoff.to_datetime64()))
+
+    ds = ds.map_batches(flt, batch_format="pyarrow")
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="count_order"),
+        Min("l_extendedprice", alias_name="min_price"),
+        Max("l_extendedprice", alias_name="max_price"),
+    )
+
+
+def segment_revenue(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ customer via BROADCAST (customer is the small side): revenue
+    per market segment.  ``ray.put`` once, dict lookup per batch — no shuffle
+    join; per-batch combiner then a tiny groupby of partials."""
+    ensure_picklable()
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_map = dict(zip(customer["c_custkey"].to_pylist(), customer["c_mktsegment"].to_pylist()))
+    seg_ref = ray.put(seg_map)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_ref)
+        df = df.assign(c_mktsegment=df["o_custkey"].map(seg))
+        g = df.groupby("c_mktsegment", sort=True).agg(
+            part_n=("o_orderkey", "count"), part_rev=("o_totalprice", "sum")
+        )
+        return g.reset_index()
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby("c_mktsegment").aggregate(
+        Sum("part_n", alias_name="n_orders"), Sum("part_rev", alias_name="rev_raw")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": df["c_mktsegment"],
+                "n_orders": df["n_orders"].astype("int64"),
+                "revenue": df["rev_raw"].round(2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def part_brand_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+    return ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Max("p_retailprice", alias_name="max_price"),
+        Min("p_size", alias_name="min_size"),
+    )
+
+
+def top_longest(sf_dir: str) -> ray.data.Dataset:
+    """Top-10 docs by length — distributed sort + limit (deterministic
+    tie-break on doc_id)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+def lang_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    agg = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+    return agg
+
+
+def events_window(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour window per event_type: exact-reproducible aggregates.
+
+    Windowing = pure column transform (epoch-hour bucket) + groupby — the
+    Ray-Data-native shape for fixed windows (no watermark semantics in the
+    batch reference; SURVEY.md §2.9)."""
+    ensure_picklable()
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("datetime64[us]").astype("int64")  # epoch us
+        df = df.assign(hour_epoch=(ts // 3_600_000_000) * 3600)
+        return df[["event_type", "hour_epoch", "value"]]
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    ds = ds.map_batches(bucket, batch_format="pandas")
+    return ds.groupby(["event_type", "hour_epoch"]).aggregate(
+        Count(alias_name="n_events"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
+def events_sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Session windows (30-min inactivity gap) per user.
+
+    ``groupby(user_id).map_groups`` with a within-group ts sort — the
+    documented Ray Data pattern for stream-shaped session logic; ordering
+    assumption: rows of one user fit one group (true by construction of the
+    hash shuffle)."""
+    ensure_picklable()
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts", kind="mergesort")
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        new_session = (ts_us.diff().fillna(SESSION_GAP_US + 1) > SESSION_GAP_US).astype("int64")
+        session_id = new_session.cumsum()
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"].to_numpy(),
+                    "session_id": session_id.to_numpy(),
+                    "ts_us": ts_us.to_numpy(),
+                }
+            )
+            .groupby(["user_id", "session_id"], sort=True)
+            .agg(n_events=("ts_us", "size"), session_start_us=("ts_us", "min"),
+                 session_end_us=("ts_us", "max"))
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")

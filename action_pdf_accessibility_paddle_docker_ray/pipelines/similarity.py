@@ -1,0 +1,141 @@
+"""Similarity search over the embeddings table.
+
+- ``knn_search``: brute-force cosine top-k — the exactness baseline.  The
+  query matrix is broadcast once (``ray.put``), each batch does one numpy
+  matmul against it and emits per-batch top-k partials; a final
+  ``groupby(query_id)`` reduces partials to the global top-k.  Nothing but
+  (query_id, neighbor_id, sim) rows ever shuffle.
+- ``knn_search_lsh``: the scale path — random-hyperplane bucket index with
+  multi-probe (hamming ≤ 1), exact cosine only within probed buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from .. import ensure_picklable
+from ..sources.pages import read_table
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(n_queries)
+    ids = df["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    return ids, mat
+
+
+def knn_search(sf_dir: str, *, k: int = 5, n_queries: int = 10) -> ray.data.Dataset:
+    """Global exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Output: (query_id, neighbor_id, rank) with rank 1..k ordered by
+    (sim desc, neighbor_id) — integer-only output so the DuckDB oracle
+    matches exactly.
+    """
+    ensure_picklable()
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, q_norm))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids, qn = ray.get(q_ref)
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = qn @ mat.T  # [n_queries, batch]
+        vec_ids = df["vec_id"].to_numpy()
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi, qid in enumerate(ids):
+            mask = vec_ids != qid
+            s = sims[qi][mask]
+            v = vec_ids[mask]
+            if len(s) == 0:
+                continue
+            take = min(k, len(s))
+            # per-batch partial top-k (sim desc, neighbor_id asc)
+            order = np.lexsort((v, -s))[:take]
+            rows["query_id"].extend([int(qid)] * take)
+            rows["neighbor_id"].extend(v[order].astype("int64"))
+            rows["sim"].extend(s[order])
+        return pd.DataFrame(rows)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
+        df = df.head(k)
+        return pd.DataFrame(
+            {
+                "query_id": df["query_id"].astype("int64").to_numpy(),
+                "neighbor_id": df["neighbor_id"].astype("int64").to_numpy(),
+                "rank": np.arange(1, len(df) + 1, dtype="int64"),
+            }
+        )
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(partial_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def knn_search_lsh(
+    sf_dir: str, *, k: int = 5, n_queries: int = 10, planes: int = 8
+) -> pd.DataFrame:
+    """Approximate top-k: hyperplane LSH buckets with multi-probe (hamming ≤ 1).
+
+    At 100 TB the bucket id becomes the shuffle key (groupby(bucket) builds
+    per-bucket sub-indexes once); here buckets stay columnar in one pass.
+    """
+    ensure_picklable()
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def code_of(mat: np.ndarray, hp: np.ndarray) -> np.ndarray:
+        bits = (mat @ hp > 0).astype(np.int64)
+        return (bits * (1 << np.arange(hp.shape[1]))).sum(axis=1)
+
+    def probe_codes(code: int) -> list[int]:
+        return [code] + [code ^ (1 << b) for b in range(planes)]
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        hp = np.random.RandomState(13).normal(size=(mat.shape[1], planes))
+        codes = code_of(matn, hp)
+        q_codes = code_of(q_norm, hp)
+        vec_ids = df["vec_id"].to_numpy()
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi, qid in enumerate(q_ids):
+            cand = np.isin(codes, probe_codes(int(q_codes[qi]))) & (vec_ids != qid)
+            if not cand.any():
+                continue
+            s = q_norm[qi] @ matn[cand].T
+            v = vec_ids[cand]
+            take = min(k, len(s))
+            order = np.lexsort((v, -s))[:take]
+            rows["query_id"].extend([int(qid)] * take)
+            rows["neighbor_id"].extend(v[order].astype("int64"))
+            rows["sim"].extend(s[order])
+        return pd.DataFrame(rows)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
+        df = df.head(k)
+        return pd.DataFrame(
+            {
+                "query_id": df["query_id"].astype("int64").to_numpy(),
+                "neighbor_id": df["neighbor_id"].astype("int64").to_numpy(),
+                "rank": np.arange(1, len(df) + 1, dtype="int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

@@ -1,0 +1,203 @@
+"""Text-analysis + dedup operators over the ``documents`` table, and the
+documents-derived HTML extraction round-trip.
+
+SQL-checked ops keep to integer outputs (or exact string outputs) so the
+DuckDB oracle matches bit-for-bit under any parallelism.  All hashing uses
+explicit stable hash functions (hashlib / FNV) — never Python's builtin
+``hash`` (randomized per process).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import ray.data
+
+from .. import ensure_picklable
+from ..functions.fnv import fnv1a_32
+from ..sources.pages import read_table
+
+_TOKEN_RE = r"\S+"
+_WORD_RE = r"[A-Za-z]+"
+
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "du", "pour"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "de", "por"),
+    "sk": ("a", "je", "na", "sa", "to", "v", "z", "do", "pre", "que"),
+}
+
+
+def exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact text dedup: hash-partition on a content hash, keep min doc_id.
+
+    The shuffle key is the sha1 of the text (uniform, no skew); the winner
+    rule (min doc_id) is deterministic at any parallelism."""
+    ensure_picklable()
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            text_sha=[hashlib.sha1(t.encode("utf-8")).hexdigest() for t in df["text"]]
+        )
+        return df
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        # batch-local pre-dedup: drops same-batch duplicates before the shuffle
+        df = df.sort_values(["text_sha", "doc_id"], kind="mergesort")
+        return df.groupby("text_sha", sort=False).head(1)
+
+    def winner(df: pd.DataFrame) -> pd.DataFrame:
+        row = df.loc[df["doc_id"].idxmin()]
+        return pd.DataFrame({"doc_id": [int(row["doc_id"])], "text": [row["text"]]})
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(add_hash, batch_format="pandas")
+    ds = ds.map_batches(combiner, batch_format="pandas")
+    return ds.groupby("text_sha").map_groups(winner, batch_format="pandas")
+
+
+def token_count(sf_dir: str) -> ray.data.Dataset:
+    ensure_picklable()
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_tokens": df["text"].str.count(_TOKEN_RE).astype("int64")}
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        count, batch_format="pandas"
+    )
+
+
+def text_quality(sf_dir: str) -> ray.data.Dataset:
+    """Quality-signal counters (all integers → bit-exact vs the SQL oracle)."""
+    ensure_picklable()
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars_m": text.str.len().astype("int64"),
+                "n_tokens": text.str.count(_TOKEN_RE).astype("int64"),
+                "n_words": text.str.count(_WORD_RE).astype("int64"),
+                "n_punct": text.str.count(r"[.!?,;:]").astype("int64"),
+                "n_stop": text.str.count(r"\b(?:the|a|and|of|to|in|is)\b").astype("int64"),
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+
+
+def token_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Word-count with a per-batch combiner: tokens never shuffle raw — only
+    (token, partial count) rows do.  Top-20 by (count desc, token)."""
+    ensure_picklable()
+    from ray.data.aggregate import Sum
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(_TOKEN_RE).explode().dropna()
+        counts = toks.value_counts()
+        return pd.DataFrame({"token": counts.index, "part_n": counts.to_numpy().astype("int64")})
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    ds = ds.map_batches(partial_counts, batch_format="pandas")
+    agg = ds.groupby("token").aggregate(Sum("part_n", alias_name="n"))
+    return agg.sort(["n", "token"], descending=[True, False]).limit(20)
+
+
+def langid(sf_dir: str) -> ray.data.Dataset:
+    """Heuristic language ID: stopword-hit scoring per language; ties → 'und'.
+
+    Vectorized: one regex count per language per batch."""
+    ensure_picklable()
+    import numpy as np
+
+    patterns = {
+        lang: r"\b(?:" + "|".join(words) + r")\b" for lang, words in sorted(STOPWORDS.items())
+    }
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        lower = df["text"].str.lower()
+        scores = np.stack(
+            [lower.str.count(pat).to_numpy() for pat in patterns.values()], axis=1
+        )
+        langs = np.array(list(patterns.keys()))
+        best = scores.argmax(axis=1)
+        best_score = scores.max(axis=1)
+        second = np.sort(scores, axis=1)[:, -2] if scores.shape[1] > 1 else np.zeros(len(df))
+        pred = np.where(best_score > second, langs[best], "und")
+        pred = np.where(best_score == 0, "und", pred)
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": pred, "lang": df["lang"]})
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"]).map_batches(
+        classify, batch_format="pandas"
+    )
+
+
+def fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Winnowing-style document fingerprint: rolling 8-gram FNV window,
+    keep the 4 smallest window hashes → hex-joined fingerprint string."""
+    ensure_picklable()
+
+    def fp_one(text: str) -> str:
+        k = 8
+        if len(text) < k:
+            hashes = [fnv1a_32(text)]
+        else:
+            hashes = [fnv1a_32(text[i : i + k]) for i in range(len(text) - k + 1)]
+        smallest = sorted(set(hashes))[:4]
+        return "-".join(f"{h:08x}" for h in smallest)
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "fingerprint": [fp_one(t) for t in df["text"]]}
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        fp, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents-derived HTML round-trip: wrap text in deterministic boilerplate,
+# extract with the HTML arm, recover the text byte-exactly (SQL oracle =
+# plain SELECT of the original text).
+# ---------------------------------------------------------------------------
+
+def _escape(text: str) -> str:
+    return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def wrap_document_html(doc_id: int, text: str) -> str:
+    paras = "".join(f"<p>{_escape(line)}</p>" for line in text.split("\n"))
+    return (
+        "<!DOCTYPE html><html><head><title>doc</title>"
+        '<script>track();</script></head><body>'
+        '<nav><a href="/">home</a> <a href="/about">about</a></nav>'
+        f"<article>{paras}</article>"
+        '<aside><p><a href="/x">related</a> <a href="/y">links</a></p></aside>'
+        f"<footer><p>footer {doc_id}</p></footer></body></html>"
+    )
+
+
+def html_extract(sf_dir: str) -> ray.data.Dataset:
+    """Wrap → boilerplate-strip → byte-exact text recovery per url."""
+    ensure_picklable()
+    from ..functions.html_strip import strip_html
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        urls, texts = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            html = wrap_document_html(int(doc_id), text)
+            urls.append(f"https://docs.example/{int(doc_id)}")
+            texts.append(strip_html(html)["text"])
+        return pd.DataFrame({"url": urls, "text": texts})
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        run, batch_format="pandas"
+    )

@@ -1,0 +1,100 @@
+"""Multimodal columns: opaque binary payloads through actor-pool stages.
+
+Images/audio/video are treated as opaque ``binary`` columns with typed
+metadata.  The decode step needs codec libraries (cv2 / PIL / ffmpeg) that
+are NOT in this container, so decode is STUBBED: ``ImageFeatureStage``
+raises ``NotImplementedError`` when asked for real decoding and otherwise
+computes real, deterministic byte-level features (length, blake2 digest,
+byte-entropy) so the Ray-side plumbing — schema, actor signature, batch
+sizing, output layout — is real and tested.
+
+Batch-size guidance for binary payloads: keep ``batch_size`` small
+(e.g. 16-64) so batch × concurrency of decoded frames fits the worker heap;
+the payload column stays zero-copy Arrow until the feature kernel touches it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pyarrow as pa
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: binary payload column → feature columns.
+
+    ``__init__`` is where real model/codec state would load (once per
+    actor); ``decode=True`` demonstrates the stubbed decode path.
+    """
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id",
+                 decode: bool = False) -> None:
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.decode = decode
+        if decode:
+            try:
+                import cv2  # noqa: F401
+            except ImportError as exc:  # pragma: no cover - no cv2 in sandbox
+                raise NotImplementedError(
+                    "real image decoding requires cv2, which is not available "
+                    "in this container — run with decode=False for byte-level "
+                    "features"
+                ) from exc
+
+    @staticmethod
+    def _entropy_milli(data: bytes) -> int:
+        if not data:
+            return 0
+        counts: dict[int, int] = {}
+        for byte in data:
+            counts[byte] = counts.get(byte, 0) + 1
+        n = len(data)
+        ent = -sum((c / n) * math.log2(c / n) for c in counts.values())
+        return int(round(ent * 1000))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        payloads = batch.column(self.payload_col).to_pylist()
+        n_bytes, digests, entropies = [], [], []
+        for p in payloads:
+            data = p if isinstance(p, (bytes, bytearray)) else bytes(str(p), "utf-8")
+            n_bytes.append(len(data))
+            digests.append(hashlib.blake2b(data, digest_size=8).hexdigest())
+            entropies.append(self._entropy_milli(data))
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "digest": pa.array(digests, pa.string()),
+                "entropy_milli": pa.array(entropies, pa.int64()),
+            }
+        )
+
+
+def image_features(sf_dir: str):
+    """Demo query: documents' utf-8 bytes as the opaque payload through the
+    actor-pool feature stage."""
+    import pandas as pd
+    import ray.data
+
+    from .. import ensure_picklable
+    from ..sources.pages import read_table
+
+    ensure_picklable()
+
+    def to_payload(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "payload": [t.encode("utf-8") for t in df["text"]]}
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(to_payload, batch_format="pandas")
+    return ds.map_batches(
+        ImageFeatureStage,
+        fn_constructor_kwargs=dict(payload_col="payload", id_col="doc_id"),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 2),
+    )
