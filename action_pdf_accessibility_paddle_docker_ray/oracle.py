@@ -23,8 +23,14 @@ from .functions.template import process_page
 
 
 def dedup_latest(rows: list[dict]) -> list[dict]:
-    """Per-url keep the most recent warc_ts (ties → larger html bytes);
+    """Per-url keep the most recent warc_ts (ties → larger content hash, the
+    same key the pipeline's late dedup uses — stages/fanout.content_key);
     output in first-seen url order."""
+    import hashlib
+
+    def key(row: dict):
+        return (row["warc_ts"], hashlib.blake2b(row["html"], digest_size=8).hexdigest())
+
     best: dict[str, dict] = {}
     order: list[str] = []
     for row in rows:
@@ -32,10 +38,8 @@ def dedup_latest(rows: list[dict]) -> list[dict]:
         if url not in best:
             best[url] = row
             order.append(url)
-        else:
-            cur = best[url]
-            if (row["warc_ts"], row["html"]) > (cur["warc_ts"], cur["html"]):
-                best[url] = row
+        elif key(row) > key(best[url]):
+            best[url] = row
     return [best[u] for u in order]
 
 
@@ -46,12 +50,20 @@ def extract_row(
     zoom: float = 2.0,
     process_table: bool = True,
     process_formula: bool = True,
+    thresholds: dict[int, float] | None = None,
 ) -> dict:
-    """One input row → one output-doc record (dict with spans/formulas lists)."""
+    """One input row → one output-doc record (dict with spans/formulas lists).
+
+    Also the per-doc kernel of the pipeline's colocate path
+    (stages/process.DocProcessor) — pipeline output is byte-identical to
+    the oracle by construction there; the tests prove the page-parallel
+    sort path equal too.
+    """
     url = row["url"]
     created = str(row["warc_ts"])[:10]
     html: bytes = row["html"]
-    thresholds = default_thresholds(model)
+    if thresholds is None:
+        thresholds = default_thresholds(model)
 
     if is_sdoc(html):
         try:

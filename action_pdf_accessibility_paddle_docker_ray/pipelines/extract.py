@@ -1,9 +1,10 @@
 """The flagship extraction pipeline (SURVEY.md §3.4).
 
-``read_parquet(pages)`` → dedup-by-recency (optional) → page fan-out
-(task) → per-page detect+process (ACTOR POOL) → per-url assembly (the one
-groupby shuffle) → output docs ``(url, text, n_pages, n_regions, status,
-template_json, spans_json, formulas_json)``.
+``read_parquet(pages)`` → stale-crawl filter (broadcast semi-join against a
+tiny (url, max warc_ts) aggregate) → doc-aligned page fan-out (task) →
+per-page detect+process (ACTOR POOL) → block-local per-url assembly →
+output docs ``(url, text, n_pages, n_regions, status, template_json,
+spans_json, formulas_json)``.
 
 Scale design notes (100 TB / multi-node):
 - columns pruned at the read: only (url, warc_ts, html) leave storage;
@@ -12,8 +13,14 @@ Scale design notes (100 TB / multi-node):
   /root/reference/src/autotag.py:123-138);
 - the detector is an actor pool (state loaded once per actor, batched
   calls) sized to leave CPUs for the read/fanout/assemble stages;
-- the only all-to-alls are the optional input dedup and the per-url
-  regroup, both carrying pruned/output-sized rows;
+- **no all-to-all on the main path** (regroup="colocate", the default):
+  the fan-out yields doc-aligned blocks, so every url's pages are already
+  co-located and assembly is block-local.  Input dedup is a semi-join: a
+  (url, warc_ts)-only aggregate (reads just 2 columns, tiny shuffle)
+  finds urls with multiple crawls; losers are filtered out by a broadcast
+  lookup BEFORE fan-out, so stale payloads are never processed.
+  regroup="sort" keeps the classic sort-based per-url exchange for inputs
+  that may contain same-timestamp conflicting duplicates;
 - everything streams: no take_all/to_pandas/materialize on the main path;
   consume with write_parquet / iter_batches or the helpers below.
 """
@@ -27,10 +34,10 @@ import ray.data
 
 from .. import ensure_picklable
 from ..sources.pages import read_pages
-from ..stages.assemble_stage import make_assemble_group
+from ..stages.assemble_stage import make_assemble_block
 from ..stages.dedup import dedup_latest
 from ..stages.fanout import fanout_pages
-from ..stages.process import PageProcessor
+from ..stages.process import DocProcessor, PageProcessor
 
 DOC_COLUMNS = [
     "url", "text", "n_pages", "n_regions", "status",
@@ -43,8 +50,82 @@ def _default_concurrency() -> tuple[int, int]:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # pragma: no cover - cluster not yet up
         cpus = 8
-    # leave headroom for read / fanout / assemble stages
-    return (1, max(2, cpus - 2))
+    # fixed pool at cpus - max(1, cpus/8): measured best — the default
+    # autoscaler (upscale only at 2x queue pressure) wastes the whole ramp
+    # on short jobs, and a pool reserving EVERY cpu starves the read/write
+    # stages (33s vs 7s at 32 cpus for the same job).  The reserve covers
+    # read, write and the driver.
+    size = max(2, cpus - max(1, cpus // 8))
+    return (size, size)
+
+
+_SMALL_INPUT_BYTES = 50 << 30  # below this, the winner scan is one task
+
+
+def _stale_filter(source: str) -> Any:
+    """Semi-join dedup prep: find urls crawled more than once and their
+    winning warc_ts via a (url, warc_ts)-ONLY scan — a second read of just
+    two pruned columns (cheap even at 100 TB: ~1% of the bytes).
+
+    Small inputs: one Ray task does a columnar scan + pandas groupby (no
+    sub-pipeline startup).  Large inputs: a distributed Ray Data aggregate.
+    Returns a ``ray.ObjectRef`` of ``{url: max_ts_us}`` for duplicated urls
+    (broadcast once), or None when the input has no duplicate urls.
+    """
+    import pyarrow.dataset as pads
+
+    fragments = list(pads.dataset(source).files)
+    total_bytes = sum(__import__("os").path.getsize(f) for f in fragments)
+
+    if total_bytes <= _SMALL_INPUT_BYTES:
+        @ray.remote(num_cpus=1)
+        def scan_winners(path: str) -> dict:
+            import pandas as pd
+            import pyarrow.dataset as pads2
+
+            t = pads2.dataset(path).to_table(columns=["url", "warc_ts"])
+            df = t.to_pandas()
+            df["ts_us"] = df["warc_ts"].astype("datetime64[us]").astype("int64")
+            g = df.groupby("url", sort=False)["ts_us"].agg(["max", "count"])
+            return g[g["count"] > 1]["max"].to_dict()
+
+        winners = ray.get(scan_winners.remote(source))
+        return ray.put(winners) if winners else None
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max
+
+    def to_us(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t.column("warc_ts"), pa.int64())
+        return pa.table({"url": t.column("url"), "ts_us": ts_us})
+
+    agg = (
+        read_pages(source, columns=["url", "warc_ts"])
+        .map_batches(to_us, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Max("ts_us", alias_name="max_ts"), Count(alias_name="n"))
+    )
+    dups = agg.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+    ).to_pandas()
+    if len(dups) == 0:
+        return None
+    return ray.put(dict(zip(dups["url"], dups["max_ts"].astype("int64"))))
+
+
+def _make_drop_stale(winners_ref: Any):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def drop_stale(t: pa.Table) -> pa.Table:
+        winners = ray.get(winners_ref)
+        urls = t.column("url").to_pylist()
+        ts_us = pc.cast(t.column("warc_ts"), pa.int64()).to_pylist()
+        keep = [u not in winners or ts == winners[u] for u, ts in zip(urls, ts_us)]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return drop_stale
 
 
 def extract_pipeline(
@@ -55,29 +136,82 @@ def extract_pipeline(
     thresholds: dict[int, float] | None = None,
     process_table: bool = True,
     process_formula: bool = True,
-    dedup: bool = True,
-    batch_size: int = 64,
+    dedup: Any = "late",
+    regroup: str = "colocate",
+    batch_size: int = 8,
     concurrency: Any = None,
 ) -> ray.data.Dataset:
-    """Build the lazy extraction Dataset from a parquet path or a Dataset."""
+    """Build the lazy extraction Dataset from a parquet path or a Dataset.
+
+    ``regroup``:
+    - "colocate" (default): NO output shuffle.  The fan-out yields
+      doc-aligned blocks (all pages of a url in one block), so assembly is
+      block-local.  Requires ``dedup="late"`` semantics handled by the
+      semi-join stale filter; inputs where one url has two crawls with the
+      SAME max warc_ts but different content fall outside this mode's
+      guarantee (both survive the filter in different blocks) — use
+      "sort" for such inputs.
+    - "sort": classic sort("url") exchange before assembly (the same
+      guarantee Ray's map_groups uses; a keyed hash repartition was
+      measured 1.7x slower end-to-end on this Ray version).
+
+    ``dedup``: "late" (default) resolves stale crawls without shuffling
+    payloads — via the broadcast semi-join in "colocate" mode and inside
+    the assembly groups in "sort" mode.  "early"/True adds the explicit
+    ``groupby(url)`` payload dedup stage before processing (an extra
+    all-to-all of the raw payload; only worth it at high duplicate rates).
+    """
     ensure_picklable()
-    ds = read_pages(source) if isinstance(source, str) else source
-    if dedup:
+    is_path = isinstance(source, str)
+    if regroup == "colocate" and not is_path and dedup == "late":
+        # a Dataset source can't be re-scanned for the semi-join winner
+        # map; the sort path dedups correctly in one pass instead of
+        # silently keeping stale duplicate crawls
+        regroup = "sort"
+    ds = read_pages(source) if is_path else source
+    stage_kwargs = dict(
+        model=model, zoom=zoom, thresholds=thresholds,
+        process_table=process_table, process_formula=process_formula,
+    )
+    if dedup == "early" or dedup is True:
         ds = dedup_latest(ds)
-    ds = ds.map_batches(fanout_pages, batch_format="pyarrow")
+
+    if regroup == "colocate":
+        if dedup == "late" and is_path and not (dedup == "early" or dedup is True):
+            winners_ref = _stale_filter(source)
+            if winners_ref is not None:
+                ds = ds.map_batches(
+                    _make_drop_stale(winners_ref), batch_format="pyarrow"
+                )
+        # one actor stage: doc parse → page loop → detect → resolve →
+        # assemble, emitting finished doc rows — unit of work = document,
+        # no intermediate serialization, no output exchange.
+        return ds.map_batches(
+            DocProcessor,
+            fn_constructor_kwargs=stage_kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency if concurrency is not None else _default_concurrency(),
+            num_cpus=1,
+        )
+
+    # page-parallel path: fan-out makes the unit of work a page so one
+    # enormous document spreads across the pool; the per-url sort exchange
+    # reassembles.  num_cpus=0.5 on the fan-out keeps it a SEPARATE
+    # operator from the actor-pool stage (no fusion), so page rows
+    # re-batch at ``batch_size`` granularity.
+    ds = ds.map_batches(fanout_pages, batch_format="pyarrow", num_cpus=0.5)
     ds = ds.map_batches(
         PageProcessor,
-        fn_constructor_kwargs=dict(
-            model=model, zoom=zoom, thresholds=thresholds,
-            process_table=process_table, process_formula=process_formula,
-        ),
+        fn_constructor_kwargs=stage_kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency if concurrency is not None else _default_concurrency(),
         num_cpus=1,
     )
-    ds = ds.groupby("url").map_groups(
-        make_assemble_group(model, zoom), batch_format="pandas"
+    ds = ds.sort("url")
+    ds = ds.map_batches(
+        make_assemble_block(model, zoom), batch_format="pandas", batch_size=None
     )
     return ds
 

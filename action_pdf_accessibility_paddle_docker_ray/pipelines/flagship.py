@@ -45,15 +45,32 @@ def corpus_from_documents(sf_dir: str) -> pa.Table:
     )
 
 
-def pages_path_for(sf_dir: str, n_sdoc: int = 120, seed: int = 42) -> str:
-    """Build (once) and return the flagship pages parquet for an sf dir."""
-    tag = hashlib.sha1(f"{os.path.abspath(sf_dir)}|{n_sdoc}|{seed}".encode()).hexdigest()[:12]
-    path = f"/tmp/graft_pages_{tag}.parquet"
-    if not os.path.exists(path):
+def pages_path_for(sf_dir: str, n_sdoc: int = 120, seed: int = 42, n_files: int = 32) -> str:
+    """Build (once) and return the flagship pages corpus for an sf dir.
+
+    Written as a DIRECTORY of ``n_files`` parquet files so the Ray read
+    parallelizes (a single file = a single read task); rows are strided
+    across files so heavy %SDOC docs spread evenly.
+    """
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{n_sdoc}|{seed}|{n_files}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/graft_pages_{tag}"
+    if not os.path.isdir(path):
         html_part = corpus_from_documents(sf_dir)
         sdoc_part = generate_pages(n_sdoc, seed=seed)
         table = pa.concat_tables([html_part, sdoc_part], promote_options="default")
+        # 64-bit offsets so strided take over a >2GB payload column works
+        idx_html = table.schema.get_field_index("html")
+        table = table.set_column(
+            idx_html, pa.field("html", pa.large_binary()),
+            table.column("html").cast(pa.large_binary()),
+        )
         tmp = path + ".tmp"
-        pq.write_table(table, tmp)
+        os.makedirs(tmp, exist_ok=True)
+        n = table.num_rows
+        for i in range(n_files):
+            idx = list(range(i, n, n_files))  # stride → heavy docs spread
+            pq.write_table(table.take(idx), os.path.join(tmp, f"part-{i:05d}.parquet"))
         os.replace(tmp, path)  # atomic publish
     return path

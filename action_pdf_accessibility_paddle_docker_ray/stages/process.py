@@ -1,4 +1,17 @@
-"""Per-page processing stage — the actor-pool boundary.
+"""Per-page / per-doc processing stages — the actor-pool boundary.
+
+Two stage classes:
+
+- ``DocProcessor`` (colocate path, default): consumes raw (url, warc_ts,
+  html) rows — each row is a whole document — and emits finished doc rows
+  by calling the golden oracle's own per-doc kernel
+  (``oracle.extract_row``).  No intermediate serialization, no output
+  shuffle; the unit of parallelism is the document (bounded by the largest
+  doc's page count — a 400-page %SDOC costs ~0.7 s with the stub
+  detector, and a real model pool batches pages internally).
+- ``PageProcessor`` (page-parallel sort path): consumes fan-out page rows
+  so a single huge document's pages spread across the whole pool; requires
+  the per-url sort exchange afterwards to reassemble.
 
 The reference recreates every model at each use site (layout per page,
 formula per formula, table models per table — /root/reference/src/ai.py:72-79,
@@ -8,9 +21,6 @@ and, with real PaddleX models, the weights) is built ONCE per actor in
 ``north_star`` mandates for GPU-pinned batched inference.  The deterministic
 stub detector (``functions/sdoc.stub_detect``) stands in for the model; the
 class boundary is where real weights would load.
-
-Rows are processed per batch; each row is one page (or one whole HTML doc),
-so batch size bounds peak memory regardless of source-document size.
 """
 
 from __future__ import annotations
@@ -22,6 +32,69 @@ import pyarrow as pa
 from ..functions.html_strip import strip_html
 from ..functions.labels import default_thresholds
 from ..functions.template import process_page
+
+
+class DocProcessor:
+    """Whole-doc actor stage: (url, warc_ts, html) rows → finished doc rows."""
+
+    def __init__(
+        self,
+        model: str = "PP-DocLayout-L",
+        zoom: float = 2.0,
+        thresholds: dict[int, float] | None = None,
+        process_table: bool = True,
+        process_formula: bool = True,
+    ) -> None:
+        from ..functions.labels import default_thresholds
+
+        self.model = model
+        self.zoom = zoom
+        self.thresholds = dict(thresholds) if thresholds else default_thresholds(model)
+        self.process_table = process_table
+        self.process_formula = process_formula
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..oracle import extract_row
+        from .fanout import size_bucket
+
+        out: dict[str, list] = {
+            "url": [], "text": [], "n_pages": [], "n_regions": [], "status": [],
+            "template_json": [], "spans_json": [], "formulas_json": [],
+            "size_bucket": [],
+        }
+        for url, ts, html in zip(
+            batch.column("url").to_pylist(),
+            batch.column("warc_ts").to_pylist(),
+            batch.column("html").to_pylist(),
+        ):
+            doc = extract_row(
+                {"url": url, "warc_ts": ts, "html": html},
+                model=self.model, zoom=self.zoom, thresholds=self.thresholds,
+                process_table=self.process_table,
+                process_formula=self.process_formula,
+            )
+            out["url"].append(doc["url"])
+            out["text"].append(doc["text"])
+            out["n_pages"].append(doc["n_pages"])
+            out["n_regions"].append(doc["n_regions"])
+            out["status"].append(doc["status"])
+            out["template_json"].append(doc["template_json"])
+            out["spans_json"].append(json.dumps(doc["spans"], sort_keys=True))
+            out["formulas_json"].append(json.dumps(doc["formulas"], sort_keys=True))
+            out["size_bucket"].append(size_bucket(len(html)))
+        return pa.table(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "text": pa.array(out["text"], pa.string()),
+                "n_pages": pa.array(out["n_pages"], pa.int32()),
+                "n_regions": pa.array(out["n_regions"], pa.int32()),
+                "status": pa.array(out["status"], pa.string()),
+                "template_json": pa.array(out["template_json"], pa.string()),
+                "spans_json": pa.array(out["spans_json"], pa.string()),
+                "formulas_json": pa.array(out["formulas_json"], pa.string()),
+                "size_bucket": pa.array(out["size_bucket"], pa.int32()),
+            }
+        )
 
 
 class PageProcessor:
@@ -47,6 +120,7 @@ class PageProcessor:
             "url": [], "created": [], "kind": [], "page_no": [], "n_pages": [],
             "status": [], "text": [], "elements_json": [], "formulas_json": [],
             "spans_json": [], "n_regions": [], "size_bucket": [],
+            "warc_ts_us": [], "content_key": [],
         }
         for row in batch.to_pylist():
             kind = row["kind"]
@@ -89,6 +163,8 @@ class PageProcessor:
             out["spans_json"].append(json.dumps(spans, sort_keys=True))
             out["n_regions"].append(n_regions)
             out["size_bucket"].append(row["size_bucket"])
+            out["warc_ts_us"].append(row["warc_ts_us"])
+            out["content_key"].append(row["content_key"])
 
         return pa.table(
             {
@@ -104,5 +180,7 @@ class PageProcessor:
                 "spans_json": pa.array(out["spans_json"], pa.string()),
                 "n_regions": pa.array(out["n_regions"], pa.int32()),
                 "size_bucket": pa.array(out["size_bucket"], pa.int32()),
+                "warc_ts_us": pa.array(out["warc_ts_us"], pa.int64()),
+                "content_key": pa.array(out["content_key"], pa.string()),
             }
         )
