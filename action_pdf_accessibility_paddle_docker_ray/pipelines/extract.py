@@ -140,6 +140,7 @@ def extract_pipeline(
     regroup: str = "colocate",
     batch_size: int = 8,
     concurrency: Any = None,
+    _winners_ref: Any = None,
 ) -> ray.data.Dataset:
     """Build the lazy extraction Dataset from a parquet path or a Dataset.
 
@@ -162,8 +163,8 @@ def extract_pipeline(
     all-to-all of the raw payload; only worth it at high duplicate rates).
     """
     ensure_picklable()
-    is_path = isinstance(source, str)
-    if regroup == "colocate" and not is_path and dedup == "late":
+    is_path = isinstance(source, (str, list))
+    if regroup == "colocate" and not is_path and dedup == "late" and _winners_ref is None:
         # a Dataset source can't be re-scanned for the semi-join winner
         # map; the sort path dedups correctly in one pass instead of
         # silently keeping stale duplicate crawls
@@ -177,8 +178,10 @@ def extract_pipeline(
         ds = dedup_latest(ds)
 
     if regroup == "colocate":
-        if dedup == "late" and is_path and not (dedup == "early" or dedup is True):
-            winners_ref = _stale_filter(source)
+        if dedup == "late":
+            winners_ref = _winners_ref
+            if winners_ref is None and is_path:
+                winners_ref = _stale_filter(source)
             if winners_ref is not None:
                 ds = ds.map_batches(
                     _make_drop_stale(winners_ref), batch_format="pyarrow"
