@@ -23,23 +23,35 @@ import ray.data
 
 from .. import ensure_picklable
 from ..sources.pages import read_table
+from .util import grouped_block_map
 
 _MERSENNE_P = (1 << 61) - 1
 
 
+_FNV64_PRIME = np.uint64(1099511628211)
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Stable 64-bit hashes of the char k-gram shingle set."""
-    t = text.lower()
-    if len(t) < k:
-        grams = {t}
-    else:
-        grams = {t[i : i + k] for i in range(len(t) - k + 1)}
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(sorted(grams)):
-        out[i] = np.frombuffer(
-            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), dtype=np.uint64
-        )[0]
-    return out
+    """Stable 64-bit hashes of the byte k-gram shingle set — fully
+    vectorized (sliding windows × FNV-prime powers, murmur-style finalizer)
+    instead of one digest call per shingle."""
+    data = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+    if len(data) < k:
+        data = np.pad(data, (0, k - len(data)))
+    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        powers = _FNV64_PRIME ** np.arange(k, dtype=np.uint64)
+        h = np.zeros(len(win), dtype=np.uint64)
+        for j in range(k):  # k is small (5); windows dimension is vectorized
+            h += win[:, j] * powers[j]
+        h ^= h >> np.uint64(33)
+        h *= _MIX1
+        h ^= h >> np.uint64(33)
+        h *= _MIX2
+        h ^= h >> np.uint64(33)
+    return np.unique(h)
 
 
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -147,11 +159,7 @@ def minhash_dedup(
                     est_out.append(est)
         return pd.DataFrame({"a": a_out, "b": b_out, "est": est_out})
 
-    pair_df = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(candidates, batch_format="pandas")
-        .to_pandas()
-    )
+    pair_df = grouped_block_map(banded, ["band", "band_hash"], candidates).to_pandas()
     pairs = sorted({(int(r.a), int(r.b)) for r in pair_df.itertuples(index=False)})
     clusters = _cluster_pairs(pairs)
     if not clusters:
@@ -169,21 +177,32 @@ def simhash_pairs(sf_dir: str, *, max_hamming: int = 3) -> pd.DataFrame:
     ensure_picklable()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
+    # per-task memo of token → ±1 bit rows: natural-language corpora reuse a
+    # small vocabulary, so each distinct token hashes once per batch worker
+    token_rows: dict[str, np.ndarray] = {}
+
+    def _row(tok: str) -> np.ndarray:
+        row = token_rows.get(tok)
+        if row is None:
+            h = np.frombuffer(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
+                dtype=np.uint64,
+            )[0]
+            bits = (np.right_shift(h, np.arange(64, dtype=np.uint64)) & np.uint64(1))
+            row = np.where(bits == 1, 1, -1).astype(np.int8)
+            token_rows[tok] = row
+        return row
+
     def sim_batch(df: pd.DataFrame) -> pd.DataFrame:
         out = []
+        weights = np.arange(64, dtype=np.uint64)
         for text in df["text"]:
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in set(text.lower().split()):
-                h = np.frombuffer(
-                    hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
-                    dtype=np.uint64,
-                )[0]
-                bits = (np.right_shift(h, np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-                acc += np.where(bits == 1, 1, -1)
-            sh = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    sh |= 1 << bit
+            toks = set(text.lower().split())
+            if toks:
+                acc = np.sum([_row(t) for t in toks], axis=0, dtype=np.int64)
+            else:
+                acc = np.zeros(64, dtype=np.int64)
+            sh = int(np.sum(np.left_shift(np.uint64(1), weights[acc > 0])))
             out.append(sh)
         return pd.DataFrame({
             "doc_id": df["doc_id"],
@@ -225,9 +244,7 @@ def simhash_pairs(sf_dir: str, *, max_hamming: int = 3) -> pd.DataFrame:
                     d_o.append(d)
         return pd.DataFrame({"a": a_o, "b": b_o, "hamming": d_o})
 
-    pair_df = (
-        banded.groupby(["band", "chunk"]).map_groups(verify, batch_format="pandas").to_pandas()
-    )
+    pair_df = grouped_block_map(banded, ["band", "chunk"], verify).to_pandas()
     uniq = sorted({(int(r.a), int(r.b), int(r.hamming)) for r in pair_df.itertuples(index=False)})
     return pd.DataFrame(
         {"a": [u[0] for u in uniq], "b": [u[1] for u in uniq], "hamming": [u[2] for u in uniq]}
@@ -263,7 +280,7 @@ def jaccard_pairs(sf_dir: str, *, threshold: float = 0.8, k: int = 3) -> pd.Data
                     j_o.append(round(jac, 6))
         return pd.DataFrame({"a": a_o, "b": b_o, "jaccard": j_o})
 
-    out = ds.groupby("lang").map_groups(pairs_in_group, batch_format="pandas").to_pandas()
+    out = grouped_block_map(ds, ["lang"], pairs_in_group).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -300,10 +317,7 @@ def embedding_dedup(sf_dir: str, *, threshold: float = 0.3, planes: int = 6) -> 
                     c_o.append(int(round(sims[i, j] * 1000)))
         return pd.DataFrame({"a": a_o, "b": b_o, "cos_milli": c_o})
 
-    out = (
-        ds.map_batches(bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
-        .to_pandas()
-    )
+    out = grouped_block_map(
+        ds.map_batches(bucket, batch_format="pandas"), ["bucket"], verify
+    ).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)

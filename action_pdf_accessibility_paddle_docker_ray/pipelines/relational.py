@@ -21,6 +21,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from .. import ensure_picklable
 from ..sources.pages import read_table
+from .util import grouped_block_map
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
@@ -165,4 +166,4 @@ def events_sessionize(sf_dir: str) -> ray.data.Dataset:
         return out
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return grouped_block_map(ds, ["user_id"], sessions)

@@ -18,6 +18,7 @@ import ray.data
 
 from .. import ensure_picklable
 from ..sources.pages import read_table
+from .util import grouped_block_map
 
 
 def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -76,7 +77,7 @@ def knn_search(sf_dir: str, *, k: int = 5, n_queries: int = 10) -> ray.data.Data
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partials = ds.map_batches(partial_topk, batch_format="pandas")
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return grouped_block_map(partials, ["query_id"], final_topk)
 
 
 def knn_search_lsh(
@@ -132,10 +133,7 @@ def knn_search_lsh(
             }
         )
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("query_id")
-        .map_groups(final, batch_format="pandas")
-        .to_pandas()
-    )
+    out = grouped_block_map(
+        ds.map_batches(partial, batch_format="pandas"), ["query_id"], final
+    ).to_pandas()
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

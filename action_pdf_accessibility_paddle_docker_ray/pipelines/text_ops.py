@@ -17,6 +17,7 @@ import ray.data
 from .. import ensure_picklable
 from ..functions.fnv import fnv1a_32
 from ..sources.pages import read_table
+from .util import grouped_block_map
 
 _TOKEN_RE = r"\S+"
 _WORD_RE = r"[A-Za-z]+"
@@ -55,7 +56,7 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(add_hash, batch_format="pandas")
     ds = ds.map_batches(combiner, batch_format="pandas")
-    return ds.groupby("text_sha").map_groups(winner, batch_format="pandas")
+    return grouped_block_map(ds, ["text_sha"], winner)
 
 
 def token_count(sf_dir: str) -> ray.data.Dataset:
