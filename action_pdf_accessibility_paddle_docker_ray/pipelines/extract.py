@@ -225,6 +225,37 @@ def extract_to_parquet(source: str, out_dir: str, **kwargs: Any) -> None:
     ds.write_parquet(out_dir, partition_cols=["size_bucket"])
 
 
+def formulas_dataset(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Explode doc rows into the per-url formula table (url, formula_id,
+    mathml) — the materialized result of the formula-id ⋈ element join
+    (/root/reference/src/autotag.py:262-295)."""
+    import json
+
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [("url", pa.string()), ("formula_id", pa.int64()), ("mathml", pa.string())]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = []
+        for url, fj in zip(
+            batch.column("url").to_pylist(), batch.column("formulas_json").to_pylist()
+        ):
+            for f in json.loads(fj):
+                rows.append((url, int(f["formula_id"]), f["mathml"]))
+        return pa.table(
+            {
+                "url": [r[0] for r in rows],
+                "formula_id": [r[1] for r in rows],
+                "mathml": [r[2] for r in rows],
+            },
+            schema=schema,
+        )
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
 def spans_dataset(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Explode doc rows into the flat spans table (fixed schema across arms)."""
     import json

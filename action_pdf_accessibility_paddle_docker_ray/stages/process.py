@@ -153,7 +153,7 @@ class PageProcessor:
 
             out["url"].append(row["url"])
             out["created"].append(row["created"])
-            out["kind"].append("sdoc" if kind == "sdoc_empty" else kind)
+            out["kind"].append(kind)
             out["page_no"].append(row["page_no"])
             out["n_pages"].append(row["n_pages"])
             out["status"].append(status)
