@@ -84,6 +84,39 @@ def stub_detect(
     return boxes
 
 
+class GlyphIndex:
+    """Vectorized per-page text layer: run centers precomputed once, each
+    region query is a numpy mask + argsort (the page-local 'text index'
+    replacing per-region Python loops over all runs)."""
+
+    def __init__(self, glyph_runs: list[dict], scale: float) -> None:
+        import numpy as np
+
+        texts = [r["text"] for r in glyph_runs]
+        n = len(glyph_runs)
+        self.cx = np.empty(n)
+        self.cy = np.empty(n)
+        ys = np.empty(n)
+        xs = np.empty(n)
+        for i, r in enumerate(glyph_runs):
+            self.cx[i] = (r["x0"] + r["x1"]) / 2.0 * scale
+            self.cy[i] = (r["y0"] + r["y1"]) / 2.0 * scale
+            ys[i] = r["y0"]
+            xs[i] = r["x0"]
+        # reading order of the whole layer: (y0, x0) ascending, stable
+        order = np.lexsort((xs, ys))
+        self.cx = self.cx[order]
+        self.cy = self.cy[order]
+        self.texts = [texts[i] for i in order]
+
+    def region_text(self, coordinate) -> str:
+        x0, y0, x1, y1 = coordinate
+        mask = (self.cx >= x0) & (self.cx <= x1) & (self.cy >= y0) & (self.cy <= y1)
+        if not mask.any():
+            return ""
+        return " ".join(t for t, m in zip(self.texts, mask) if m)
+
+
 def extract_region_text(glyph_runs: list[dict], coordinate: list, scale: float) -> str:
     """Per-region text: glyph runs whose center falls inside the region box.
 
@@ -92,12 +125,4 @@ def extract_region_text(glyph_runs: list[dict], coordinate: list, scale: float) 
     the reference delegates to the proprietary PDFix ``AddTags``
     (/root/reference/src/autotag.py:224-260).
     """
-    x0, y0, x1, y1 = coordinate
-    hits = []
-    for run in glyph_runs:
-        cx = (run["x0"] + run["x1"]) / 2.0 * scale
-        cy = (run["y0"] + run["y1"]) / 2.0 * scale
-        if x0 <= cx <= x1 and y0 <= cy <= y1:
-            hits.append((run["y0"], run["x0"], run["text"]))
-    hits.sort(key=lambda t: (t[0], t[1]))
-    return " ".join(t[2] for t in hits)
+    return GlyphIndex(glyph_runs, scale).region_text(coordinate)

@@ -36,7 +36,7 @@ from .boxes import find_overlapping_indices, resolve_overlaps
 from .fnv import K_PDE_IMAGE, region_unique_id
 from .labels import default_thresholds, element_attrs
 from .mathml import latex_to_mathml
-from .sdoc import BASE_ZOOM, extract_region_text, stub_detect
+from .sdoc import BASE_ZOOM, GlyphIndex, stub_detect
 from .table_grid import infer_table_grid
 
 ENGINE_VERSION = "0.1.0"
@@ -127,7 +127,7 @@ def process_page(
         thresholds = default_thresholds(model)
     device_height = round(page["height"] * zoom)
     scale = zoom / BASE_ZOOM
-    glyph_runs = page.get("glyph_runs", [])
+    glyphs = GlyphIndex(page.get("glyph_runs", []), scale)  # built once per page
 
     boxes = stub_detect(page, model, thresholds, zoom)
 
@@ -186,7 +186,7 @@ def process_page(
         artifact = "artifact" in element.get("flag", "")
         text = ""
         if etype in ("pde_text", "pde_table"):
-            text = extract_region_text(glyph_runs, box["coordinate"], scale)
+            text = glyphs.region_text(box["coordinate"])
             if not artifact:
                 page_texts.append(text)
         spans.append(_span_row(box, element, page_number, order, zoom, device_height, text))

@@ -37,16 +37,29 @@ def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
     )
     cutoff = pd.Timestamp("1998-09-02")
 
-    def flt(t):
-        return t.filter(pc.less_equal(t["l_shipdate"], cutoff.to_datetime64()))
+    def partial(t) -> pd.DataFrame:
+        # filter + per-batch combiner: the shuffle carries a handful of
+        # partial rows per batch instead of every lineitem row
+        df = t.filter(pc.less_equal(t["l_shipdate"], cutoff.to_datetime64())).to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=True).agg(
+            p_qty=("l_quantity", "sum"), p_n=("l_quantity", "size"),
+            p_min=("l_extendedprice", "min"), p_max=("l_extendedprice", "max"),
+        )
+        return g.reset_index()
 
-    ds = ds.map_batches(flt, batch_format="pyarrow")
-    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Count(alias_name="count_order"),
-        Min("l_extendedprice", alias_name="min_price"),
-        Max("l_extendedprice", alias_name="max_price"),
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_qty", alias_name="sum_qty"),
+        Sum("p_n", alias_name="count_order"),
+        Min("p_min", alias_name="min_price"),
+        Max("p_max", alias_name="max_price"),
     )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["count_order"] = df["count_order"].astype("int64")
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
 
 
 def segment_revenue(sf_dir: str) -> ray.data.Dataset:
@@ -121,18 +134,28 @@ def events_window(sf_dir: str) -> ray.data.Dataset:
     batch reference; SURVEY.md §2.9)."""
     ensure_picklable()
 
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # bucket + per-batch combiner (shuffle carries window partials)
         ts = df["ts"].astype("datetime64[us]").astype("int64")  # epoch us
         df = df.assign(hour_epoch=(ts // 3_600_000_000) * 3600)
-        return df[["event_type", "hour_epoch", "value"]]
+        g = df.groupby(["event_type", "hour_epoch"], sort=True).agg(
+            p_n=("value", "size"), p_min=("value", "min"), p_max=("value", "max")
+        )
+        return g.reset_index()
 
     ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
-    ds = ds.map_batches(bucket, batch_format="pandas")
-    return ds.groupby(["event_type", "hour_epoch"]).aggregate(
-        Count(alias_name="n_events"),
-        Min("value", alias_name="min_value"),
-        Max("value", alias_name="max_value"),
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby(["event_type", "hour_epoch"]).aggregate(
+        Sum("p_n", alias_name="n_events"),
+        Min("p_min", alias_name="min_value"),
+        Max("p_max", alias_name="max_value"),
     )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_events"] = df["n_events"].astype("int64")
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
 
 
 def events_sessionize(sf_dir: str) -> ray.data.Dataset:
