@@ -20,6 +20,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from action_pdf_accessibility_paddle_docker_ray.pipelines import (  # noqa: E402
     dedup_ops,
+    joins,
     relational,
     similarity,
     text_ops,
@@ -74,6 +75,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": relational.lang_stats,
         "events_window": relational.events_window,
         "events_sessionize": relational.events_sessionize,
+        "events_sliding": relational.events_sliding,
+        "distinct_stats": relational.distinct_stats,
+        "quality_filter": relational.quality_filter,
+        # joins (both-sides-large partitioned hash join; as-of join)
+        "orders_lineitem_join": joins.orders_lineitem_join,
+        "events_asof_order": joins.events_asof_order,
         # text analysis (SQL-checked)
         "exact_dedup": text_ops.exact_dedup,
         "token_count": text_ops.token_count,
@@ -90,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_search": similarity.knn_search,
         "knn_search_lsh": similarity.knn_search_lsh,
+        "knn_search_ivf": similarity.knn_search_ivf,
         # multimodal stub stage (actor pool over binary payloads)
         "image_features": image_features,
     }
@@ -167,6 +175,36 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT tok AS token, COUNT(*) AS n FROM documents, "
             r"UNNEST(regexp_extract_all(text, '\S+')) AS u(tok) "
             "GROUP BY tok ORDER BY n DESC, token LIMIT 20"
+        ),
+        "events_sliding": (
+            "WITH w AS ("
+            "  SELECT event_type, (epoch_us(ts) // 1800000000) * 1800 AS window_start"
+            "  FROM events"
+            "  UNION ALL"
+            "  SELECT event_type, (epoch_us(ts) // 1800000000) * 1800 - 1800"
+            "  FROM events"
+            ") SELECT event_type, window_start, COUNT(*) AS n_events "
+            "FROM w GROUP BY event_type, window_start"
+        ),
+        "distinct_stats": (
+            "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types FROM events"
+        ),
+        "quality_filter": (
+            r"SELECT doc_id FROM documents "
+            r"WHERE length(regexp_extract_all(text, '\b(?:the|a|and|of|to|in|is)\b')) >= 2 "
+            r"AND length(text) >= 150"
+        ),
+        "orders_lineitem_join": (
+            "SELECT o.o_orderpriority, COUNT(*) AS n_items, "
+            "CAST(ROUND(SUM(l.l_quantity), 0) AS BIGINT) AS sum_qty "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderpriority"
+        ),
+        "events_asof_order": (
+            "SELECT e.event_id, epoch_us(o.o_orderdate) AS order_ts_us "
+            "FROM events e ASOF LEFT JOIN orders o "
+            "ON o.o_custkey = e.user_id + 1 AND e.ts >= o.o_orderdate"
         ),
         "knn_search": (
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "

@@ -190,3 +190,76 @@ def events_sessionize(sf_dir: str) -> ray.data.Dataset:
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
     return grouped_block_map(ds, ["user_id"], sessions)
+
+
+def events_sliding(sf_dir: str) -> ray.data.Dataset:
+    """Sliding 1-hour windows with a 30-min hop per event_type.
+
+    Each event belongs to exactly two windows (hop = size/2); the explode
+    is a pure column transform + the same partial-aggregate shape as the
+    tumbling window — the Ray-Data-native sliding-window pattern."""
+    ensure_picklable()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("datetime64[us]").astype("int64")
+        base = (ts // 1_800_000_000) * 1800  # 30-min slot, epoch seconds
+        rows = pd.concat([
+            pd.DataFrame({"event_type": df["event_type"], "window_start": base}),
+            pd.DataFrame({"event_type": df["event_type"], "window_start": base - 1800}),
+        ])
+        g = rows.groupby(["event_type", "window_start"], sort=True).size()
+        return g.rename("p_n").reset_index()
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+    agg = ds.map_batches(partial, batch_format="pandas").groupby(
+        ["event_type", "window_start"]
+    ).aggregate(Sum("p_n", alias_name="n_events"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_events"] = df["n_events"].astype("int64")
+        df["window_start"] = df["window_start"].astype("int64")
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def distinct_stats(sf_dir: str) -> "pd.DataFrame":
+    """Exact distinct counts via mergeable per-batch set partials (the
+    exact shape a sketch (HLL) would slot into; with 10^12 keys the set
+    partial becomes the sketch and the merge stays identical)."""
+    ensure_picklable()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "users": [df["user_id"].unique().astype("int64").tolist()],
+                "types": [sorted(df["event_type"].unique().tolist())],
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    users: set = set()
+    types: set = set()
+    for row in parts.itertuples(index=False):
+        users.update(row.users)
+        types.update(row.types)
+    return pd.DataFrame({"n_users": pd.Series([len(users)], dtype="int64"),
+                         "n_event_types": pd.Series([len(types)], dtype="int64")})
+
+
+def quality_filter(sf_dir: str) -> ray.data.Dataset:
+    """Composed quality-gate: keep docs passing stopword/punct/length
+    thresholds (the training-data corpus filter shape); SQL-checked."""
+    ensure_picklable()
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"]
+        n_stop = text.str.count(r"\b(?:the|a|and|of|to|in|is)\b")
+        n_chars = text.str.len()
+        keep = (n_stop >= 2) & (n_chars >= 150)
+        return pd.DataFrame({"doc_id": df["doc_id"][keep].astype("int64")})
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        flt, batch_format="pandas"
+    )

@@ -137,3 +137,97 @@ def knn_search_lsh(
         ds.map_batches(partial, batch_format="pandas"), ["query_id"], final
     ).to_pandas()
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _kmeans_centroids(
+    sf_dir: str, n_clusters: int, n_iters: int = 5, seed: int = 17
+) -> np.ndarray:
+    """Deterministic distributed k-means: seeded init from the first rows,
+    then ``n_iters`` rounds of (per-batch partial sums → driver reduce).
+    The per-round shuffle volume is n_clusters × dim floats per batch."""
+    import ray.data as rd
+
+    ids, init = _load_queries(sf_dir, n_clusters)  # first n vectors as seeds
+    centroids = init / np.linalg.norm(init, axis=1, keepdims=True)
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    for _ in range(n_iters):
+        c_ref = ray.put(centroids)
+
+        def partial_sums(df: pd.DataFrame) -> pd.DataFrame:
+            cents = ray.get(c_ref)
+            mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+            matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            assign = (matn @ cents.T).argmax(axis=1)
+            rows = []
+            for c in np.unique(assign):
+                members = matn[assign == c]
+                rows.append({"cluster": int(c), "n": len(members),
+                             "vec_sum": members.sum(axis=0).tolist()})
+            return pd.DataFrame(rows)
+
+        parts = ds.map_batches(partial_sums, batch_format="pandas").to_pandas()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids))
+        for row in parts.itertuples(index=False):
+            sums[row.cluster] += np.asarray(row.vec_sum)
+            counts[row.cluster] += row.n
+        nonzero = counts > 0
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+        centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    return centroids
+
+
+def knn_search_ivf(
+    sf_dir: str, *, k: int = 5, n_queries: int = 10, n_clusters: int = 16,
+    n_probe: int = 4,
+) -> pd.DataFrame:
+    """IVF approximate top-k: coarse k-means quantizer, queries probe the
+    ``n_probe`` nearest cells, exact cosine only within probed cells.
+
+    The scale path: cells become the shuffle key (groupby(cluster) builds
+    per-cell sub-indexes once, queries fan out only to probed cells)."""
+    ensure_picklable()
+    centroids = _kmeans_centroids(sf_dir, n_clusters)
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_cells = np.argsort(-(q_norm @ centroids.T), axis=1)[:, :n_probe]
+    c_ref = ray.put((centroids, q_ids, q_norm, q_cells))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents, ids, qn, cells = ray.get(c_ref)
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        assign = (matn @ cents.T).argmax(axis=1)
+        vec_ids = df["vec_id"].to_numpy()
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi, qid in enumerate(ids):
+            cand = np.isin(assign, cells[qi]) & (vec_ids != qid)
+            if not cand.any():
+                continue
+            s = qn[qi] @ matn[cand].T
+            v = vec_ids[cand]
+            take = min(k, len(s))
+            order = np.lexsort((v, -s))[:take]
+            rows["query_id"].extend([int(qid)] * take)
+            rows["neighbor_id"].extend(v[order].astype("int64"))
+            rows["sim"].extend(s[order])
+        return pd.DataFrame(rows)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
+        df = df.head(k)
+        return pd.DataFrame(
+            {
+                "query_id": df["query_id"].astype("int64").to_numpy(),
+                "neighbor_id": df["neighbor_id"].astype("int64").to_numpy(),
+                "rank": np.arange(1, len(df) + 1, dtype="int64"),
+            }
+        )
+
+    out = grouped_block_map(
+        ds.map_batches(partial, batch_format="pandas"), ["query_id"], final
+    ).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
