@@ -20,8 +20,11 @@ from .text_ops import wrap_document_html
 _BASE_TS = dt.datetime(2026, 1, 1)
 
 
-def corpus_from_documents(sf_dir: str) -> pa.Table:
-    """documents rows → HTML pages rows (deterministic wrapper)."""
+def corpus_from_documents(sf_dir: str, replicate: int = 1) -> pa.Table:
+    """documents rows → HTML pages rows (deterministic wrapper).
+
+    ``replicate > 1`` emits each document ``replicate`` times under
+    distinct urls (``/r{n}`` suffix) — the scale-smoke knob."""
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
     )
@@ -29,11 +32,14 @@ def corpus_from_documents(sf_dir: str) -> pa.Table:
     for doc_id, text, lang in zip(
         docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["lang"].to_pylist()
     ):
-        urls.append(f"https://docs.example/{doc_id}")
-        tss.append(_BASE_TS + dt.timedelta(seconds=int(doc_id)))
-        htmls.append(wrap_document_html(int(doc_id), text).encode("utf-8"))
-        texts.append(text)
-        langs.append(lang)
+        html = wrap_document_html(int(doc_id), text).encode("utf-8")
+        for rep in range(replicate):
+            suffix = f"/r{rep}" if replicate > 1 else ""
+            urls.append(f"https://docs.example/{doc_id}{suffix}")
+            tss.append(_BASE_TS + dt.timedelta(seconds=int(doc_id) + rep))
+            htmls.append(html)
+            texts.append(text)
+            langs.append(lang)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -45,7 +51,10 @@ def corpus_from_documents(sf_dir: str) -> pa.Table:
     )
 
 
-def pages_path_for(sf_dir: str, n_sdoc: int = 120, seed: int = 42, n_files: int = 32) -> str:
+def pages_path_for(
+    sf_dir: str, n_sdoc: int = 120, seed: int = 42, n_files: int = 32,
+    replicate: int = 1,
+) -> str:
     """Build (once) and return the flagship pages corpus for an sf dir.
 
     Written as a DIRECTORY of ``n_files`` parquet files so the Ray read
@@ -53,11 +62,11 @@ def pages_path_for(sf_dir: str, n_sdoc: int = 120, seed: int = 42, n_files: int 
     across files so heavy %SDOC docs spread evenly.
     """
     tag = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}|{n_sdoc}|{seed}|{n_files}".encode()
+        f"{os.path.abspath(sf_dir)}|{n_sdoc}|{seed}|{n_files}|{replicate}".encode()
     ).hexdigest()[:12]
     path = f"/tmp/graft_pages_{tag}"
     if not os.path.isdir(path):
-        html_part = corpus_from_documents(sf_dir)
+        html_part = corpus_from_documents(sf_dir, replicate=replicate)
         sdoc_part = generate_pages(n_sdoc, seed=seed)
         table = pa.concat_tables([html_part, sdoc_part], promote_options="default")
         # 64-bit offsets so strided take over a >2GB payload column works
