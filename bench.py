@@ -78,10 +78,17 @@ def run_bench() -> dict:
     if os.environ.get("GRAFT_WARMUP"):
         extract_pipeline(pages).count()  # untimed: warms worker pool + cache
 
-    t0 = time.time()
-    ds = extract_pipeline(pages)
-    ds.write_parquet(out_dir, partition_cols=["size_bucket"])
-    headline_sec = time.time() - t0
+    # min-of-N: the sandbox host shows ±50% wall noise; the minimum is the
+    # standard noise-resistant wall estimator (GRAFT_REPEAT=1 by default)
+    repeats = int(os.environ.get("GRAFT_REPEAT", "1"))
+    headline_sec = None
+    for _ in range(repeats):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        ds = extract_pipeline(pages)
+        ds.write_parquet(out_dir, partition_cols=["size_bucket"])
+        sec = time.time() - t0
+        headline_sec = sec if headline_sec is None else min(headline_sec, sec)
 
     import pyarrow.dataset as pads
 
@@ -134,7 +141,8 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_N_SDOC=n_sdoc,
-                   GRAFT_SKIP_QUERIES="1", GRAFT_WARMUP="1")
+                   GRAFT_SKIP_QUERIES="1", GRAFT_WARMUP="1",
+                   GRAFT_REPEAT=os.environ.get("GRAFT_REPEAT", "3"))
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,
