@@ -140,6 +140,7 @@ def extract_pipeline(
     regroup: str = "colocate",
     batch_size: int = 8,
     concurrency: Any = None,
+    repartition_blocks: int | None = None,
     _winners_ref: Any = None,
 ) -> ray.data.Dataset:
     """Build the lazy extraction Dataset from a parquet path or a Dataset.
@@ -204,6 +205,12 @@ def extract_pipeline(
     # operator from the actor-pool stage (no fusion), so page rows
     # re-batch at ``batch_size`` granularity.
     ds = ds.map_batches(fanout_pages, batch_format="pyarrow", num_cpus=0.5)
+    if repartition_blocks:
+        # explicit skew balance: spread the fan-out's page rows evenly
+        # across ``repartition_blocks`` blocks before the heavy stage —
+        # for inputs where the doc-aligned block layout is pathologically
+        # skewed (the actor pool's batch-level dispatch usually suffices)
+        ds = ds.repartition(repartition_blocks)
     ds = ds.map_batches(
         PageProcessor,
         fn_constructor_kwargs=stage_kwargs,

@@ -102,6 +102,11 @@ def run_bench() -> dict:
 
     # --- operator suite ---------------------------------------------------
     queries: dict[str, float] = {"extract": round(headline_sec, 3)}
+    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        # page-parallel alternative path, same corpus, for comparison
+        t0 = time.time()
+        extract_pipeline(pages, regroup="sort").count()
+        queries["extract_sort_path"] = round(time.time() - t0, 3)
     q = entry_mod.queries()
     for name in [] if os.environ.get("GRAFT_SKIP_QUERIES") else BENCH_QUERIES:
         t0 = time.time()

@@ -86,3 +86,21 @@ def test_metrics_report(ray_session, tmp_path):
     assert report["docs"] > 0
     assert report["docs_per_sec"] is not None
     assert report["input_bytes"] > 0
+
+
+def test_output_report(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from action_pdf_accessibility_paddle_docker_ray.corpus import generate_pages
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.extract import extract_pipeline
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.report import output_report
+
+    path = str(tmp_path / "p.parquet")
+    pq.write_table(generate_pages(50, seed=42), path)
+    docs = extract_pipeline(path, concurrency=(1, 2))
+    rep = output_report(docs)
+    assert rep["docs"].sum() == 50
+    assert rep["errors"].sum() == 0
+    assert (rep["pages"] >= rep["docs"]).all()
+    # heavy size buckets really contain multi-page docs
+    assert rep.loc[rep["size_bucket"].idxmax(), "max_pages"] > 50
