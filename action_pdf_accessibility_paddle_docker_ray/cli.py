@@ -178,8 +178,12 @@ def run_mathml(args) -> int:
                 latex = f.read().strip()
         except OSError:
             return EC_ENGINE_FAILED_TO_OPEN
+        # raw MathML, no <semantics> wrapping: the reference defines
+        # add_mathml_metadata but never calls it in any flow
+        # (/root/reference/src/ai.py:207 — definition only); pass
+        # --annotate to opt in to the wrapped form
         mathml = latex_to_mathml(latex)
-        if mathml:
+        if mathml and getattr(args, "annotate", False):
             mathml = add_mathml_metadata(mathml)
         with open(args.output, "w") as f:
             f.write(mathml)
@@ -189,7 +193,9 @@ def run_mathml(args) -> int:
         from .pipelines.extract import extract_pipeline
 
         try:
-            ds = extract_pipeline(args.input)
+            # zoom=1.0: the reference's mathml pdf->pdf mode re-renders
+            # formula elements at zoom 1 (/root/reference/src/generate_mathml.py:226)
+            ds = extract_pipeline(args.input, zoom=1.0)
             ds.select_columns(["url", "formulas_json"]).write_parquet(args.output)
         except FileNotFoundError as exc:
             print(f"Failed to open input: {exc}", file=sys.stderr)
@@ -231,6 +237,8 @@ def main(argv: Optional[list[str]] = None) -> int:
     p_ml.add_argument("--input", "-i", required=True)
     p_ml.add_argument("--output", "-o", required=True)
     p_ml.add_argument("--cpus", type=int, default=None)
+    p_ml.add_argument("--annotate", action="store_true",
+                      help="Wrap output in <semantics> with annotations.")
     p_ml.set_defaults(func=run_mathml)
 
     try:

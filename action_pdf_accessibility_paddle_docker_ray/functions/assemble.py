@@ -53,7 +53,8 @@ def assemble_document(
         }
 
     page_templates = [
-        page_template(p.get("elements") or [], p["page_no"]) for p in pages
+        # 1-based page numbers in the template (reference autotag.py:191)
+        page_template(p.get("elements") or [], p["page_no"] + 1) for p in pages
     ]
     formulas: list[tuple[int, str]] = []
     for p in pages:

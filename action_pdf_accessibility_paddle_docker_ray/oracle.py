@@ -76,8 +76,10 @@ def extract_row(
             ])
         page_records = []
         for page_no, page in enumerate(doc.get("pages", [])):
+            # the reference numbers pages 1-based in templates/ids
+            # (/root/reference/src/autotag.py:191 page_number = page_index + 1)
             result = process_page(
-                page, page_no, model=model, thresholds=thresholds, zoom=zoom,
+                page, page_no + 1, model=model, thresholds=thresholds, zoom=zoom,
                 process_table=process_table, process_formula=process_formula,
             )
             page_records.append(

@@ -71,7 +71,8 @@ DOCS = pa.schema(
     ]
 )
 
-# flat spans table (spans_dataset output)
+# flat spans table (spans_dataset output); page_no is the reference's
+# 1-based page number for %SDOC docs, 0 for unpaginated HTML docs
 SPANS = pa.schema(
     [
         ("url", pa.string()),

@@ -128,8 +128,10 @@ class PageProcessor:
             if kind == "sdoc":
                 try:
                     page = json.loads(row["payload"])
+                    # 1-based page numbering in templates/ids (reference
+                    # autotag.py:191); row page_no stays the 0-based sort key
                     result = process_page(
-                        page, row["page_no"], model=self.model,
+                        page, row["page_no"] + 1, model=self.model,
                         thresholds=self.thresholds, zoom=self.zoom,
                         process_table=self.process_table,
                         process_formula=self.process_formula,
