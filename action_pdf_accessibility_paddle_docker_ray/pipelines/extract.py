@@ -54,8 +54,9 @@ def _default_concurrency() -> tuple[int, int]:
     # autoscaler (upscale only at 2x queue pressure) wastes the whole ramp
     # on short jobs, and a pool reserving EVERY cpu starves the read/write
     # stages (33s vs 7s at 32 cpus for the same job).  The reserve covers
-    # read, write and the driver.
-    size = max(2, cpus - max(1, cpus // 8))
+    # read, write and the driver; never reserve every CPU (read tasks
+    # would never schedule → deadlock on tiny sessions).
+    size = max(1, min(cpus - 1, cpus - max(1, cpus // 8)))
     return (size, size)
 
 
