@@ -254,33 +254,85 @@ def simhash_pairs(sf_dir: str, *, max_hamming: int = 3) -> pd.DataFrame:
     )
 
 
-def jaccard_pairs(sf_dir: str, *, threshold: float = 0.8, k: int = 3) -> pd.DataFrame:
-    """Exact n-gram Jaccard pairs, bucketed by ``lang`` to bound the pairwise
-    work per group (the 100 TB path replaces the lang bucket with LSH
-    buckets; exact verify stays the same)."""
-    ensure_picklable()
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+def jaccard_pairs(
+    sf_dir: str, *, threshold: float = 0.8, k: int = 3,
+    num_perm: int = 64, bands: int = 16,
+) -> pd.DataFrame:
+    """Exact n-gram Jaccard pairs over MinHash-LSH candidates.
 
-    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+    Candidate generation is the standard banding scheme (16 bands × 4 rows
+    → ~99.98% recall at J=0.8); the EXACT Jaccard verify runs only inside
+    candidate buckets, so the pairwise work is bounded by bucket size
+    instead of corpus size (all-pairs-within-lang was measured 33 s at
+    5000 docs; this shape stays sub-second).  Texts ride along in the band
+    rows at this scale; at 10^12 docs the verify would re-join texts by
+    bucketed key instead.
+    """
+    ensure_picklable()
+    rows_per_band = num_perm // bands
+    a_p, b_p = _minhash_params(num_perm)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"band": [], "band_hash": [], "doc_id": [], "text": [], "sig": []}
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sig = _minhash_signature(_shingle_hashes(text, k), a_p, b_p).astype("int64")
+            for band in range(bands):
+                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                out["band"].append(band)
+                out["band_hash"].append(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                )
+                out["doc_id"].append(int(doc_id))
+                out["text"].append(text)
+                out["sig"].append(sig)
+        return pd.DataFrame(out)
+
+    banded = ds.map_batches(band_rows, batch_format="pandas")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+        if len(df) < 2:
+            return empty
         df = df.sort_values("doc_id", kind="mergesort")
         ids = df["doc_id"].to_numpy()
-        sets = [
-            frozenset(t.lower()[i : i + k] for i in range(max(1, len(t) - k + 1)))
-            for t in df["text"]
-        ]
+        # vectorized signature prefilter: exact (O(n^2) set ops) only for
+        # pairs whose estimated similarity clears threshold - margin —
+        # big candidate buckets (degenerate similar corpora) stay cheap
+        sigs = np.stack([np.asarray(s, dtype=np.int64) for s in df["sig"]])
+        m = len(ids)
+        agree = np.zeros((m, m), dtype=np.uint16)
+        for p in range(sigs.shape[1]):
+            col = sigs[:, p]
+            agree += (col[:, None] == col[None, :]).astype(np.uint16)
+        est = agree / sigs.shape[1]
+        iu, ju = np.triu_indices(m, k=1)
+        cand = (est[iu, ju] >= threshold - 0.15) & (ids[iu] != ids[ju])
+        if not cand.any():
+            return empty
+        sets: dict[int, frozenset] = {}
+
+        def gramset(i: int) -> frozenset:
+            if i not in sets:
+                t = df["text"].iloc[i].lower()
+                sets[i] = frozenset(t[x : x + k] for x in range(max(1, len(t) - k + 1)))
+            return sets[i]
+
         a_o, b_o, j_o = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(sets[i] & sets[j])
-                union = len(sets[i] | sets[j])
-                jac = inter / union if union else 0.0
-                if jac >= threshold:
-                    a_o.append(int(ids[i]))
-                    b_o.append(int(ids[j]))
-                    j_o.append(round(jac, 6))
+        for i, j in zip(iu[cand], ju[cand]):
+            si, sj = gramset(int(i)), gramset(int(j))
+            union = len(si | sj)
+            jac = len(si & sj) / union if union else 0.0
+            if jac >= threshold:
+                a_o.append(int(ids[i]))
+                b_o.append(int(ids[j]))
+                j_o.append(round(jac, 6))
         return pd.DataFrame({"a": a_o, "b": b_o, "jaccard": j_o})
 
-    out = grouped_block_map(ds, ["lang"], pairs_in_group).to_pandas()
+    out = grouped_block_map(banded, ["band", "band_hash"], verify).to_pandas()
+    out = out.drop_duplicates(subset=["a", "b"])
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 

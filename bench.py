@@ -31,11 +31,20 @@ BENCH_QUERIES = [
     "token_histogram",
     "events_window",
     "events_sessionize",
+    "events_sliding",
     "exact_dedup",
     "minhash_dedup",
     "simhash_pairs",
+    "jaccard_pairs",
+    "embedding_dedup",
     "knn_search",
+    "knn_search_lsh",
+    "knn_search_ivf",
+    "orders_lineitem_join",
+    "events_asof_order",
     "html_extract",
+    "langid",
+    "fingerprint",
 ]
 
 
