@@ -1,32 +1,36 @@
 """The flagship extraction pipeline (SURVEY.md §3.4).
 
-``read_parquet(pages)`` → stale-crawl filter (broadcast semi-join against a
-tiny (url, max warc_ts) aggregate) → doc-aligned page fan-out (task) →
-per-page detect+process (ACTOR POOL) → block-local per-url assembly →
-output docs ``(url, text, n_pages, n_regions, status, template_json,
-spans_json, formulas_json)``.
+Two physical plans for the same logical job:
+
+- ``regroup="colocate"`` (default, **no all-to-all**):
+  ``read_parquet(url, warc_ts, html)`` → stale-crawl filter (broadcast
+  semi-join against a tiny (url, max warc_ts) winner map) → ``DocProcessor``
+  ACTOR POOL (doc parse → page loop → detect → resolve → reading order →
+  text extract → template assembly, all per input row = per document) →
+  partitioned parquet.  A document never spans blocks, so per-url assembly
+  needs no exchange; stale duplicate crawls were filtered before any
+  payload was touched.
+- ``regroup="sort"`` (page-parallel): doc-aligned page fan-out (task) →
+  ``PageProcessor`` actor pool over page rows → ``sort(url)`` exchange →
+  block-local assembly.  Spreads a single enormous document across the
+  whole pool and tolerates same-timestamp conflicting duplicates; costs
+  the one output-sized all-to-all (measured ~1.8x slower end-to-end).
 
 Scale design notes (100 TB / multi-node):
 - columns pruned at the read: only (url, warc_ts, html) leave storage;
-- skew: page fan-out makes the heavy-stage unit a page, so 400-page docs
-  parallelize instead of straggling (reference: sequential page loop,
+- skew: the heavy-stage unit is a document (bounded, batch-dispatched
+  across the pool) or a page in sort mode — never a whole input block
+  (reference: one sequential page loop per process,
   /root/reference/src/autotag.py:123-138);
-- the detector is an actor pool (state loaded once per actor, batched
-  calls) sized to leave CPUs for the read/fanout/assemble stages;
-- **no all-to-all on the main path** (regroup="colocate", the default):
-  the fan-out yields doc-aligned blocks, so every url's pages are already
-  co-located and assembly is block-local.  Input dedup is a semi-join: a
-  (url, warc_ts)-only aggregate (reads just 2 columns, tiny shuffle)
-  finds urls with multiple crawls; losers are filtered out by a broadcast
-  lookup BEFORE fan-out, so stale payloads are never processed.
-  regroup="sort" keeps the classic sort-based per-url exchange for inputs
-  that may contain same-timestamp conflicting duplicates;
+- the processing pool loads per-worker state once (``__init__``), sized to
+  leave CPUs for read/write (see ``_default_concurrency``);
 - everything streams: no take_all/to_pandas/materialize on the main path;
   consume with write_parquet / iter_batches or the helpers below.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import ray
@@ -76,7 +80,7 @@ def _stale_filter(source: str) -> Any:
     import pyarrow.dataset as pads
 
     fragments = list(pads.dataset(source).files)
-    total_bytes = sum(__import__("os").path.getsize(f) for f in fragments)
+    total_bytes = sum(os.path.getsize(f) for f in fragments)
 
     if total_bytes <= _SMALL_INPUT_BYTES:
         @ray.remote(num_cpus=1)
