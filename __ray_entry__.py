@@ -29,6 +29,9 @@ from action_pdf_accessibility_paddle_docker_ray.pipelines.extract import (  # no
     extract_pipeline,
     spans_dataset,
 )
+from action_pdf_accessibility_paddle_docker_ray.pipelines import (  # noqa: E402
+    sql_oracles,
+)
 from action_pdf_accessibility_paddle_docker_ray.pipelines.flagship import (  # noqa: E402
     pages_path_for,
 )
@@ -37,6 +40,9 @@ from action_pdf_accessibility_paddle_docker_ray.stages.multimodal import (  # no
 )
 
 SF0001 = "/root/testdata/sf0.001"
+# the driver's correctness gate runs at sf0.01; oracles that need inlined
+# constants (embedding dim, derived-corpus path) resolve them against it
+SF_ORACLE = "/root/testdata/sf0.01"
 
 
 def _extract_docs(sf_dir: str):
@@ -44,6 +50,13 @@ def _extract_docs(sf_dir: str):
     path = pages_path_for(sf_dir)
     ds = extract_pipeline(path)
     return ds.select_columns(["url", "text", "n_pages", "n_regions", "status"])
+
+
+def _extract_doc_meta(sf_dir: str):
+    """SQL-checkable projection of the flagship extraction: per-url page
+    count after the (warc_ts, content_key) winner dedup."""
+    path = pages_path_for(sf_dir)
+    return extract_pipeline(path).select_columns(["url", "n_pages"])
 
 
 def _extract_spans(sf_dir: str):
@@ -65,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # against the single-process oracle by tests/test_pipeline.py)
         "extract_docs": _extract_docs,
         "extract_spans": _extract_spans,
+        # SQL-checkable projection of the flagship pipeline
+        "extract_doc_meta": _extract_doc_meta,
         # HTML-arm round-trip with a SQL oracle (byte-exact text recovery)
         "html_extract": text_ops.html_extract,
         # relational operator demos (SQL-checked)
@@ -104,7 +119,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+        _embedding_dim,
+    )
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.text_ops import STOPWORDS
+
+    dim = _embedding_dim(SF_ORACLE)
     return {
+        # --- generated oracles (pipelines/sql_oracles.py): recompute the
+        # operator's hashes/LSH/exact-verify logic inside DuckDB -----------
+        "langid": sql_oracles.sql_langid(STOPWORDS),
+        "fingerprint": sql_oracles.sql_fingerprint(),
+        "jaccard_pairs": sql_oracles.sql_jaccard_pairs(threshold=0.8, k=3),
+        "minhash_dedup": sql_oracles.sql_minhash_dedup(threshold=0.7, k=5),
+        "simhash_pairs": sql_oracles.sql_simhash_pairs(max_hamming=3),
+        "embedding_dedup": sql_oracles.sql_embedding_dedup(dim, threshold=0.3, planes=6),
+        "knn_search_lsh": sql_oracles.sql_knn_search_lsh(dim, k=5, n_queries=10, planes=8),
+        "image_features": sql_oracles.sql_image_features(),
+        "extract_doc_meta": sql_oracles.sql_extract_doc_meta(
+            pages_path_for(SF_ORACLE) + "/*.parquet"
+        ),
         "html_extract": (
             "SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url, "
             "text FROM documents"

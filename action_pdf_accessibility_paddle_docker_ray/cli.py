@@ -38,8 +38,21 @@ from .functions.labels import LAYOUT_CLASS_NAMES, SUPPORTED_MODELS, clamp
 EC_ARG_GENERAL = 10
 EC_ARG_ZOOM = 11
 EC_ARG_INPUT_OUTPUT_NOT_ALLOWED = 14
+EC_ENGINE_RENDER = 23
 EC_ENGINE_FAILED_TO_OPEN = 24
 EC_ENGINE_FAILED_TO_SAVE = 25
+
+# error texts keyed by code, mirroring the reference's integration
+# descriptor (/root/reference/config.json "errors" maps; engine-specific
+# wording where the PDFix SDK codes don't apply)
+ERROR_TEXTS = {
+    EC_ARG_GENERAL: "Failed to parse arguments. Please check the usage and try again.",
+    EC_ARG_ZOOM: "Zoom level must between 1.0 and 10.0.",
+    EC_ARG_INPUT_OUTPUT_NOT_ALLOWED: "Not allowed input output file combination. Please see --help.",
+    EC_ENGINE_RENDER: "Failed to decode the formula image (codec/model unavailable).",
+    EC_ENGINE_FAILED_TO_OPEN: "Failed to open the input pages table.",
+    EC_ENGINE_FAILED_TO_SAVE: "Failed to save the output table.",
+}
 
 # threshold knob order = class-id order (reference main.py:429-453)
 _THRESHOLD_ARGS = [f"threshold_{name}" for name in LAYOUT_CLASS_NAMES]
@@ -80,18 +93,124 @@ def _add_common_args(p: argparse.ArgumentParser, thresholds: bool = True) -> Non
             )
 
 
+def _common_action_args() -> list[dict]:
+    """Shared arg descriptors (model / zoom / process flags / 23 per-class
+    thresholds) in the reference descriptor's arg-record shape
+    (/root/reference/config.json:40-260: name/desc/type/value[/set])."""
+    args: list[dict] = [
+        {"name": "input", "desc": "Input pages parquet file or directory",
+         "type": "file_path", "ext": "parquet", "value": ""},
+        {"name": "output", "desc": "Output parquet directory",
+         "type": "file_path", "ext": "parquet", "value": ""},
+        {"title": "Paddle Layout Model", "name": "model",
+         "desc": "Layout prediction model that the engine should use",
+         "type": "string", "value": "PP-DocLayout-L",
+         "set": [{"value": m} for m in SUPPORTED_MODELS]},
+        {"title": "Rendering Zoom Level", "name": "zoom",
+         "desc": "Pages are processed at this render zoom level",
+         "type": "float", "value": "2.0"},
+        {"title": "Process Formulas", "name": "process_formula",
+         "desc": "Run the formula-recognition sub-model",
+         "type": "bool", "value": "true"},
+        {"title": "Process Tables", "name": "process_table",
+         "desc": "Run the table classification + cell-detection sub-models",
+         "type": "bool", "value": "true"},
+    ]
+    for name in LAYOUT_CLASS_NAMES:
+        args.append(
+            {
+                "name": f"threshold_{name}",
+                "desc": f"Threshold for {name.replace('_', ' ')}. "
+                "Value between 0.0 and 1.0.",
+                "type": "float",
+                "value": str(0.3 if name in _LOW_DEFAULT else 0.5),
+            }
+        )
+    return args
+
+
+def _program_line(action: str, args: list[dict]) -> str:
+    flags = " ".join(
+        f"--{a['name']}=${{{a['name']}}}" if a["name"].startswith("threshold_")
+        else f"--{a['name']} \"${{{a['name']}}}\""
+        for a in args
+        if a["name"] not in ("input", "output")
+    )
+    return (
+        f"python -m action_pdf_accessibility_paddle_docker_ray.cli {action} "
+        f'-i "${{input}}" -o "${{output}}" {flags}'
+    ).strip()
+
+
 def integration_config() -> dict:
+    """Integration descriptor with the reference's record shape
+    (/root/reference/config.json:1-635 via main.py:282-296: name/version +
+    one record per action carrying title/name/desc/program/args/errors/
+    progress_regex), re-targeted at the Ray engine's parquet actions."""
+    errors = {str(code): text for code, text in sorted(ERROR_TEXTS.items())}
+    common = _common_action_args()
+    tpl_args = [a for a in common if a["name"] != "process_formula"]
+    mathml_img_args = [
+        {"name": "input", "desc": "Input formula image (JPG/PNG)",
+         "type": "file_path", "ext": "jpg", "value": ""},
+        {"name": "output", "desc": "Output MathML XML file",
+         "type": "file_path", "ext": "xml", "value": ""},
+    ]
+    actions = [
+        {
+            "title": "Extract (Ray Data)",
+            "name": "graft_extract_tag",
+            "desc": "Extracts main content from a pages table [Distributed]",
+            "version": __version__,
+            "category": "Extraction",
+            "local": True,
+            "program": _program_line("tag", common),
+            "args": common,
+            "errors": errors,
+            "progress_regex": r"^(?<text>[^:]+):\s+(?<progress>\d{1,3})%",
+        },
+        {
+            "title": "Create Layout Template (Ray Data)",
+            "name": "graft_create_layout_template",
+            "desc": "Creates the per-url layout template table",
+            "version": __version__,
+            "category": "Extraction",
+            "local": True,
+            "program": _program_line("template", tpl_args),
+            "args": tpl_args,
+            "errors": errors,
+            "progress_regex": r"^(?<text>[^:]+):\s+(?<progress>\d{1,3})%",
+        },
+        {
+            "title": "Generate MathML from Image (Ray Data)",
+            "name": "graft_generate_formula_mathml_from_image",
+            "desc": "Converts one formula image to annotated MathML",
+            "version": __version__,
+            "category": "Extraction",
+            "local": True,
+            "program": _program_line("mathml", mathml_img_args),
+            "args": mathml_img_args,
+            "errors": errors,
+            "progress_regex": r"^(?<text>[^:]+):\s+(?<progress>\d{1,3})%",
+        },
+        {
+            "title": "Generate MathML (Ray Data)",
+            "name": "graft_generate_formula_mathml",
+            "desc": "Emits the per-url formula MathML table",
+            "version": __version__,
+            "category": "Extraction",
+            "local": True,
+            "program": _program_line("mathml", common),
+            "args": common[:4],
+            "errors": errors,
+            "progress_regex": r"^(?<text>[^:]+):\s+(?<progress>\d{1,3})%",
+        },
+    ]
     return {
+        "name": "Ray Data Content Extraction",
         "version": __version__,
-        "engine": "ray-data",
-        "actions": [
-            {"name": "tag", "input": "pages parquet", "output": "docs parquet"},
-            {"name": "template", "input": "pages parquet", "output": "template parquet"},
-            {"name": "mathml", "input": "latex (.tex) | pages parquet",
-             "output": "mathml xml | formulas parquet"},
-        ],
+        "actions": actions,
         "models": list(SUPPORTED_MODELS),
-        "thresholds": {n: (0.3 if n in _LOW_DEFAULT else 0.5) for n in LAYOUT_CLASS_NAMES},
     }
 
 
@@ -169,10 +288,54 @@ def run_template(args) -> int:
     return 0
 
 
+_JPEG_MAGIC = b"\xff\xd8"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _formula_image_to_latex(data: bytes) -> str:
+    """Stubbed formula-recognition decode boundary for image-mode mathml
+    (reference flow: cv2.imread → PaddleX formula model → LaTeX,
+    /root/reference/src/generate_mathml.py:37-78).
+
+    Real raster images need cv2 + the model (absent in this container) —
+    NotImplementedError, like the multimodal decode stub.  A 'fake image'
+    whose bytes are the LaTeX payload itself exercises the full
+    surrounding plumbing deterministically."""
+    if data[:2] == _JPEG_MAGIC or data[:8] == _PNG_MAGIC:
+        try:
+            import cv2  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "raster formula images need cv2 + the PaddleX formula model, "
+                "neither available in this container"
+            ) from exc
+    return data.decode("utf-8").strip()
+
+
 def run_mathml(args) -> int:
     from .functions.mathml import add_mathml_metadata, latex_to_mathml
 
-    if args.input.lower().endswith(".tex") and args.output.lower().endswith(".xml"):
+    in_lower = args.input.lower()
+    if in_lower.endswith((".jpg", ".jpeg", ".png")) and args.output.lower().endswith(".xml"):
+        # image → mathml XML (reference generate_mathml.py:37-78; the
+        # decode + formula model are the stubbed boundary)
+        try:
+            with open(args.input, "rb") as f:
+                data = f.read()
+        except OSError:
+            return EC_ENGINE_FAILED_TO_OPEN
+        try:
+            latex = _formula_image_to_latex(data)
+        except NotImplementedError as exc:
+            print(str(exc), file=sys.stderr)
+            return EC_ENGINE_RENDER
+        mathml = latex_to_mathml(latex)
+        if mathml and getattr(args, "annotate", False):
+            mathml = add_mathml_metadata(mathml)
+        with open(args.output, "w") as f:
+            f.write(mathml)
+        return 0
+    if in_lower.endswith(".tex") and args.output.lower().endswith(".xml"):
         try:
             with open(args.input) as f:
                 latex = f.read().strip()

@@ -37,6 +37,7 @@ from .fnv import K_PDE_IMAGE, region_unique_id
 from .labels import default_thresholds, element_attrs
 from .mathml import latex_to_mathml
 from .sdoc import BASE_ZOOM, GlyphIndex, stub_detect
+from .table_cls import TableCellDetector
 from .table_grid import infer_table_grid
 
 ENGINE_VERSION = "0.1.0"
@@ -131,10 +132,15 @@ def process_page(
 
     boxes = stub_detect(page, model, thresholds, zoom)
 
-    # table / formula sub-models (/root/reference/src/ai.py:105-148)
+    # table / formula sub-models (/root/reference/src/ai.py:105-148); tables
+    # route through the wired/wireless two-model seam (ai.py:279-333) —
+    # stubbed detectors return the corpus truth boxes, so output is
+    # unchanged while real cell models have a drop-in boundary
+    table_detector = TableCellDetector()
     for box in boxes:
         if box["label"] == "table" and process_table:
-            box["custom"] = infer_table_grid(box.get("cell_boxes", []), box["coordinate"])
+            _model, cells = table_detector.detect_cells(box)
+            box["custom"] = infer_table_grid(cells, box["coordinate"])
         elif box["label"] == "formula" and process_formula:
             mathml = latex_to_mathml(box.get("latex", ""))
             if mathml != "":

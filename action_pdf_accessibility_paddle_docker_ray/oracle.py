@@ -24,12 +24,12 @@ from .functions.template import process_page
 
 def dedup_latest(rows: list[dict]) -> list[dict]:
     """Per-url keep the most recent warc_ts (ties → larger content hash, the
-    same key the pipeline's late dedup uses — stages/fanout.content_key);
+    same key EVERY pipeline dedup path uses — stages/fanout.content_key);
     output in first-seen url order."""
-    import hashlib
+    from .stages.fanout import content_key
 
     def key(row: dict):
-        return (row["warc_ts"], hashlib.blake2b(row["html"], digest_size=8).hexdigest())
+        return (row["warc_ts"], content_key(row["html"]))
 
     best: dict[str, dict] = {}
     order: list[str] = []

@@ -1,15 +1,27 @@
 """Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard, embedding
 cosine — the training-data dedup family.
 
-Scale shapes (per the Ray Data dedup pattern): shingle→minhash per batch
-(vectorized numpy), explode to (band_id, band_hash, doc_id) rows,
-``groupby(band)`` for candidate generation, signature-based verification,
-then connected components.  Components use driver union-find here because
-the candidate set is provably small at these SFs; the 100 TB path is
-iterative min-label propagation (groupby until fixpoint) — documented, not
-needed for correctness.
+Scale shapes (per the Ray Data dedup pattern):
 
-All hashes are explicit (blake2b / FNV / seeded affine) — deterministic
+- **Candidate generation** explodes each doc into NARROW band rows
+  ``(band, band_hash, doc_id)`` — no text, no signature payload rides the
+  all-to-all (round-1 shipped full signatures/texts through every band row;
+  this was the measured scale-killer).
+- **Verification** re-joins the needed per-doc payload (text, signature)
+  onto the *candidate pairs only* via bucketed hash joins — the exchange
+  volume is bounded by the candidate count (output-sized), never the corpus.
+- **Exact verify**: minhash_dedup and jaccard_pairs verify candidates with
+  the EXACT char-k-gram Jaccard (LSH is only the candidate generator), so
+  their results are reproducible by an all-pairs SQL oracle; simhash's
+  4×16-bit banding with ``max_hamming=3`` has *guaranteed* recall
+  (pigeonhole: ≤3 differing bits cannot touch all 4 bands), and
+  embedding LSH uses floor-quantized integer projections so bucket
+  assignment is bit-exact across engines.
+- **Connected components** run on the driver when the verified pair set is
+  provably output-sized (default), or via iterative min-label propagation
+  (``cluster_mode="distributed"``) — the 100 TB path.
+
+All hashes are explicit (md5 / FNV / fmix32 / seeded affine) — deterministic
 across processes (builtin ``hash`` is salted and never used).
 """
 
@@ -22,15 +34,29 @@ import pandas as pd
 import ray.data
 
 from .. import ensure_picklable
+from ..functions.fnv import fnv1a_32
 from ..sources.pages import read_table
 from .util import grouped_block_map
 
 _MERSENNE_P = (1 << 61) - 1
 
-
 _FNV64_PRIME = np.uint64(1099511628211)
 _MIX1 = np.uint64(0xFF51AFD7ED558CCD)
 _MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+VERIFY_BUCKETS = 64  # hash-join buckets for candidate-pair verification
+
+
+def fmix32(h: int) -> int:
+    """murmur3 32-bit finalizer (public domain) — also generated in SQL by
+    the DuckDB oracle (pipelines/sql_oracles.py), so keep bit-exact."""
+    h &= 0xFFFFFFFF
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
@@ -52,6 +78,15 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
         h *= _MIX2
         h ^= h >> np.uint64(33)
     return np.unique(h)
+
+
+def char_gramset(text: str, k: int) -> frozenset:
+    """Char k-gram set of the lowercased text — the EXACT-verify unit.
+
+    Matches the SQL oracle's ``substr(lower(text), i, k)`` windows
+    (1 window of the whole prefix when the text is shorter than k)."""
+    t = text.lower()
+    return frozenset(t[i : i + k] for i in range(max(1, len(t) - k + 1)))
 
 
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -87,6 +122,235 @@ def minhash_signatures(
     return ds.map_batches(sig_batch, batch_format="pandas")
 
 
+# ---------------------------------------------------------------------------
+# candidate generation: narrow band rows → bucket groupby → distinct pairs
+# ---------------------------------------------------------------------------
+
+def _band_rows_fn(bands: int, rows_per_band: int):
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        hashes = []
+        for sig in df["sig"]:
+            sig = np.asarray(sig, dtype=np.int64)
+            for band in range(bands):
+                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                hashes.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(bands, dtype=np.int64), n),
+                "band_hash": hashes,
+                "doc_id": np.repeat(df["doc_id"].to_numpy().astype("int64"), bands),
+            }
+        )
+
+    return band_rows
+
+
+def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """All distinct id pairs within one (band, band_hash) bucket."""
+    ids = np.unique(df["doc_id"].to_numpy())
+    if len(ids) < 2:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    iu, ju = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
+
+
+def lsh_candidate_pairs(
+    docs: ray.data.Dataset, *, num_perm: int, bands: int, shingle_k: int,
+) -> ray.data.Dataset:
+    """MinHash-LSH candidate pairs (a < b), globally deduplicated.
+
+    Band rows carry (band, 16-hex band hash, doc_id) ONLY — ~40 B/row
+    through the one candidate-generation exchange regardless of document
+    size or signature width."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, shingle_k)
+    banded = sigs.map_batches(_band_rows_fn(bands, rows_per_band), batch_format="pandas")
+    pairs = grouped_block_map(banded, ["band", "band_hash"], _bucket_pairs)
+    # a pair found by several bands must verify once: distinct via one more
+    # (narrow, candidate-sized) exchange
+    return grouped_block_map(pairs, ["a", "b"], lambda g: g.head(1))
+
+
+# ---------------------------------------------------------------------------
+# verification: bucketed join of per-doc payload onto candidate pairs
+# ---------------------------------------------------------------------------
+
+_PAIR_COLS = ("a", "b", "payload_a", "payload_b")
+
+
+def _empty_pair_frame() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "payload_a": pd.Series([], dtype="object"),
+            "payload_b": pd.Series([], dtype="object"),
+        }
+    )
+
+
+def _attach_payload(
+    pairs: ray.data.Dataset, docs_payload: ray.data.Dataset, key: str, fill: str,
+) -> ray.data.Dataset:
+    """Bucketed hash join: pairs.<key> ⋈ docs_payload.doc_id, filling the
+    ``fill`` column with the doc's packed payload string.
+
+    Both sides co-locate on ``key % VERIFY_BUCKETS``; the exchange ships the
+    (small) candidate pair rows and ONE copy of each doc's payload — never
+    payload × bands.  Pair rows keep a fixed (a, b, payload_a, payload_b)
+    schema through both passes so blocks stay schema-stable."""
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (df[key] % VERIFY_BUCKETS).astype("int64"),
+                "side": "p",
+                "doc_id": np.int64(-1),
+                "a": df["a"].astype("int64"),
+                "b": df["b"].astype("int64"),
+                "payload_a": df["payload_a"].astype("object"),
+                "payload_b": df["payload_b"].astype("object"),
+                "doc_payload": "",
+            }
+        )
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (df["doc_id"] % VERIFY_BUCKETS).astype("int64"),
+                "side": "d",
+                "doc_id": df["doc_id"].astype("int64"),
+                "a": np.int64(-1),
+                "b": np.int64(-1),
+                "payload_a": "",
+                "payload_b": "",
+                "doc_payload": df["payload"].astype("object"),
+            }
+        )
+
+    both = pairs.map_batches(tag_pairs, batch_format="pandas").union(
+        docs_payload.map_batches(tag_docs, batch_format="pandas")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["side"] == "p"]
+        d = df[df["side"] == "d"]
+        if len(p) == 0:
+            return _empty_pair_frame()
+        out = p[list(_PAIR_COLS)].copy()
+        lookup = dict(zip(d["doc_id"], d["doc_payload"]))
+        out[fill] = p[key].map(lookup).fillna("").astype("object")
+        return out
+
+    return grouped_block_map(both, ["bucket"], join_bucket)
+
+
+def _pack_payload(sig: np.ndarray | None, text: str) -> str:
+    """One string column per doc through the verify joins: 'sighex|text'
+    (sig part empty when the verify needs no estimate prefilter)."""
+    hexpart = sig.astype("<i8").tobytes().hex() if sig is not None else ""
+    return hexpart + "|" + text
+
+
+def _unpack_payload(payload: str) -> tuple[np.ndarray | None, str]:
+    hexpart, text = payload.split("|", 1)
+    sig = np.frombuffer(bytes.fromhex(hexpart), dtype="<i8") if hexpart else None
+    return sig, text
+
+
+def exact_jaccard_verify(
+    pairs: ray.data.Dataset, docs: ray.data.Dataset, *, k: int, threshold: float,
+    prefilter_margin: float | None = None, num_perm: int = 64,
+) -> ray.data.Dataset:
+    """(a, b) candidates → (a, b, jaccard) rows with EXACT char-k-gram
+    Jaccard ≥ threshold.
+
+    With ``prefilter_margin`` set, a vectorized minhash-agreement estimate
+    screens pairs before the exact set intersection (est ≥ threshold −
+    margin): in corpora where background k-gram similarity is high (small
+    k), candidate buckets admit many sub-threshold pairs and the estimate
+    removes them at ~num_perm integer compares instead of a set build."""
+    with_sig = prefilter_margin is not None
+    if with_sig:
+        a_p, b_p = _minhash_params(num_perm)
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        if with_sig:
+            payloads = [
+                _pack_payload(
+                    _minhash_signature(_shingle_hashes(t, k), a_p, b_p).astype("int64"),
+                    t,
+                )
+                for t in df["text"]
+            ]
+        else:
+            payloads = [_pack_payload(None, t) for t in df["text"]]
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"), "payload": payloads})
+
+    docs_payload = docs.map_batches(pack, batch_format="pandas")
+
+    def seed_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "a": df["a"].astype("int64"),
+                "b": df["b"].astype("int64"),
+                "payload_a": "",
+                "payload_b": "",
+            }
+        )
+
+    step = pairs.map_batches(seed_pairs, batch_format="pandas")
+    step = _attach_payload(step, docs_payload, "a", "payload_a")
+    step = _attach_payload(step, docs_payload, "b", "payload_b")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        unpacked = [
+            (_unpack_payload(pa), _unpack_payload(pb))
+            for pa, pb in zip(df["payload_a"], df["payload_b"])
+        ]
+        if with_sig:
+            sig_a = np.stack([u[0][0] for u in unpacked])
+            sig_b = np.stack([u[1][0] for u in unpacked])
+            est = (sig_a == sig_b).mean(axis=1)
+            keep = est >= threshold - prefilter_margin
+        else:
+            keep = np.ones(len(df), dtype=bool)
+        grams: dict[int, frozenset] = {}
+
+        def gset(doc_id: int, text: str) -> frozenset:
+            g = grams.get(doc_id)
+            if g is None:
+                g = grams[doc_id] = char_gramset(text, k)
+            return g
+
+        a_o, b_o, j_o = [], [], []
+        for i, (a, b) in enumerate(zip(df["a"], df["b"])):
+            if not keep[i]:
+                continue
+            sa = gset(int(a), unpacked[i][0][1])
+            sb = gset(int(b), unpacked[i][1][1])
+            union = len(sa | sb)
+            jac = len(sa & sb) / union if union else 0.0
+            if jac >= threshold:
+                a_o.append(int(a))
+                b_o.append(int(b))
+                j_o.append(round(jac, 6))
+        return pd.DataFrame({"a": a_o, "b": b_o, "jaccard": j_o})
+
+    return step.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
 def _cluster_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
     """Union-find → {doc_id: representative (min id in component)}."""
     parent: dict[int, int] = {}
@@ -107,73 +371,164 @@ def _cluster_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def _cluster_pairs_distributed(pair_df: pd.DataFrame, max_iters: int = 50) -> pd.DataFrame:
+    """Min-label propagation to fixpoint — the 100 TB component path.
+
+    Each round is one grouped exchange over (node, peer, label) rows: every
+    node's current label flows to its neighbours, and each node adopts the
+    minimum label seen; rounds ≤ O(component diameter) with doubling via
+    label re-propagation (near-dup clusters are shallow).  Every step is a
+    Ray Dataset op; nothing bigger than the edge list materializes — the
+    driver only holds the (node, label) state to test convergence, which is
+    output-sized (one row per clustered doc)."""
+    edges = pd.DataFrame(
+        {
+            "node": pd.concat([pair_df["a"], pair_df["b"]], ignore_index=True),
+            "peer": pd.concat([pair_df["b"], pair_df["a"]], ignore_index=True),
+        }
+    ).astype("int64")
+    edges_ds = ray.data.from_pandas(edges.assign(label=np.int64(-1)))
+    labels = (
+        pd.DataFrame({"node": np.sort(edges["node"].unique())})
+        .assign(peer=np.int64(-1))
+        .astype("int64")
+    )
+    labels["label"] = labels["node"]
+
+    def flow(df: pd.DataFrame) -> pd.DataFrame:
+        # rows of one node: its label row (peer == -1) + its edge rows
+        lab = df.loc[df["peer"] == -1, "label"]
+        if len(lab) == 0:  # isolated edge rows without state (cannot happen)
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "label": pd.Series([], dtype="int64")})
+        label = int(lab.min())
+        peers = df.loc[df["peer"] >= 0, "peer"].to_numpy()
+        return pd.DataFrame(
+            {"node": np.r_[peers, [int(df["node"].iloc[0])]],
+             "label": np.int64(label)}
+        ).astype("int64")
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": [int(g["node"].iloc[0])], "label": [int(g["label"].min())]}
+        )
+
+    for _ in range(max_iters):
+        labels_ds = ray.data.from_pandas(labels)
+        both = edges_ds.union(labels_ds)
+        flowed = grouped_block_map(both, ["node"], flow)
+        new = grouped_block_map(flowed, ["node"], reduce_min).to_pandas()
+        new = new.sort_values("node").reset_index(drop=True).astype("int64")
+        if new["label"].equals(labels.sort_values("node")["label"].reset_index(drop=True)):
+            break
+        labels = new.assign(peer=np.int64(-1))[["node", "peer", "label"]]
+    out = labels[["node", "label"]].rename(columns={"node": "doc_id", "label": "rep_id"})
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# the four public dedup operators
+# ---------------------------------------------------------------------------
+
 def minhash_dedup(
     sf_dir: str, *, num_perm: int = 64, bands: int = 16, threshold: float = 0.7,
-    shingle_k: int = 5,
+    shingle_k: int = 5, cluster_mode: str = "driver",
 ) -> pd.DataFrame:
     """MinHash-LSH near-dup clusters over ``documents``.
 
-    Returns (doc_id, rep_id) for every doc that belongs to a near-dup
-    cluster of size ≥ 2 (rep = min doc_id of the cluster); empty when the
-    corpus has no near-dups.
+    Candidates come from 16×4 banding; candidates are verified with the
+    EXACT char-k-gram Jaccard (≥ threshold), so the result equals the
+    all-pairs exact-Jaccard clustering whenever LSH recall holds (recall ≥
+    1 − (1−t^r)^b ≈ 1 − 3e-10 at the corpus's observed minimum true-pair
+    similarity of ~0.92; verified exactly by the SQL oracle at the driver's
+    scale factors).
+
+    Returns (doc_id, rep_id) for every doc in a near-dup cluster of size
+    ≥ 2 (rep = min doc_id of the cluster).
     """
     ensure_picklable()
-    rows_per_band = num_perm // bands
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    sigs = minhash_signatures(ds, num_perm, shingle_k)
-
-    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out_band, out_hash, out_doc, out_sig = [], [], [], []
-        for doc_id, sig in zip(df["doc_id"], df["sig"]):
-            sig = np.asarray(sig, dtype=np.int64)
-            for band in range(bands):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out_band.append(band)
-                out_hash.append(h)
-                out_doc.append(int(doc_id))
-                out_sig.append(sig)
-        return pd.DataFrame(
-            {"band": out_band, "band_hash": out_hash, "doc_id": out_doc, "sig": out_sig}
-        )
-
-    banded = sigs.map_batches(band_rows, batch_format="pandas")
-
-    def candidates(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "est": pd.Series([], dtype="float64")})
-        df = df.sort_values("doc_id", kind="mergesort")
-        ids = df["doc_id"].to_numpy()
-        sigs_arr = np.stack([np.asarray(s, dtype=np.int64) for s in df["sig"]])
-        a_out, b_out, est_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                est = float(np.mean(sigs_arr[i] == sigs_arr[j]))
-                if est >= threshold:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    est_out.append(est)
-        return pd.DataFrame({"a": a_out, "b": b_out, "est": est_out})
-
-    pair_df = grouped_block_map(banded, ["band", "band_hash"], candidates).to_pandas()
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = lsh_candidate_pairs(docs, num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+    verified = exact_jaccard_verify(cands, docs, k=shingle_k, threshold=threshold)
+    pair_df = verified.to_pandas()  # verified pairs: output-sized by construction
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "rep_id": pd.Series([], dtype="int64")})
+    if len(pair_df) == 0:
+        return empty
+    if cluster_mode == "distributed":
+        out = _cluster_pairs_distributed(pair_df)
+        return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
     pairs = sorted({(int(r.a), int(r.b)) for r in pair_df.itertuples(index=False)})
     clusters = _cluster_pairs(pairs)
-    if not clusters:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "rep_id": pd.Series([], dtype="int64")})
     rows = sorted(clusters.items())
     return pd.DataFrame(
         {"doc_id": [r[0] for r in rows], "rep_id": [r[1] for r in rows]}
     ).astype("int64")
 
 
+def jaccard_pairs(
+    sf_dir: str, *, threshold: float = 0.8, k: int = 3,
+    num_perm: int = 64, bands: int = 16,
+) -> pd.DataFrame:
+    """Exact char-3-gram Jaccard pairs (≥ threshold) over MinHash-LSH
+    candidates.
+
+    Background 3-gram similarity between unrelated docs is high (measured
+    median ≈ 0.46 on the test corpus), so candidates get a vectorized
+    minhash-agreement prefilter (est ≥ threshold − 0.3, a ≥ 6σ margin at
+    num_perm = 64) before the exact set intersection.  Candidate pair rows
+    carry only (a, b) through the exchanges; texts join on at verification,
+    once per candidate pair — never per band row.
+    """
+    ensure_picklable()
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = lsh_candidate_pairs(docs, num_perm=num_perm, bands=bands, shingle_k=k)
+    verified = exact_jaccard_verify(
+        cands, docs, k=k, threshold=threshold,
+        prefilter_margin=0.3, num_perm=num_perm,
+    )
+    out = verified.to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+_GOLDEN32 = 0x9E3779B9
+
+
+def token_hash_pair(tok: str) -> tuple[int, int]:
+    """(h_lo, h_hi): two chained 32-bit hashes of a token — fnv1a-32 over
+    codepoints + fmix32 diffusion; bit-reproducible by the SQL oracle."""
+    h1 = fmix32(fnv1a_32(tok))
+    h2 = fmix32(h1 ^ _GOLDEN32)
+    return h1, h2
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64, copy=True)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & m1)
+        x = (x & m2) + ((x >> np.uint64(2)) & m2)
+        x = (x + (x >> np.uint64(4))) & m4
+        x = (x * h01) >> np.uint64(56)
+    return x.astype(np.int64)
+
+
 def simhash_pairs(sf_dir: str, *, max_hamming: int = 3) -> pd.DataFrame:
     """SimHash near-dup candidate pairs: 64-bit token-weighted simhash,
-    4×16-bit band LSH, exact hamming verify ≤ ``max_hamming``."""
+    4×16-bit band LSH, vectorized hamming verify ≤ ``max_hamming``.
+
+    ``max_hamming < 4`` bands makes candidate recall EXACT (pigeonhole:
+    ≤ 3 differing bits leave at least one 16-bit band identical), so the
+    output equals the all-pairs hamming scan the SQL oracle runs.
+    """
     ensure_picklable()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -184,192 +539,172 @@ def simhash_pairs(sf_dir: str, *, max_hamming: int = 3) -> pd.DataFrame:
     def _row(tok: str) -> np.ndarray:
         row = token_rows.get(tok)
         if row is None:
-            h = np.frombuffer(
-                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
-                dtype=np.uint64,
-            )[0]
-            bits = (np.right_shift(h, np.arange(64, dtype=np.uint64)) & np.uint64(1))
+            h1, h2 = token_hash_pair(tok)
+            h = np.uint64(h1 | (h2 << 32))
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
             row = np.where(bits == 1, 1, -1).astype(np.int8)
             token_rows[tok] = row
         return row
 
     def sim_batch(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        weights = np.arange(64, dtype=np.uint64)
+        lo_out, hi_out = [], []
+        weights = 1 << np.arange(32, dtype=np.int64)
         for text in df["text"]:
             toks = set(text.lower().split())
             if toks:
                 acc = np.sum([_row(t) for t in toks], axis=0, dtype=np.int64)
             else:
                 acc = np.zeros(64, dtype=np.int64)
-            sh = int(np.sum(np.left_shift(np.uint64(1), weights[acc > 0])))
-            out.append(sh)
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "simhash": [f"{s:016x}" for s in out],
-        })
+            bits = (acc > 0).astype(np.int64)
+            lo_out.append(int((bits[:32] * weights).sum()))
+            hi_out.append(int((bits[32:] * weights).sum()))
+        return pd.DataFrame({"doc_id": df["doc_id"], "h_lo": lo_out, "h_hi": hi_out})
 
     sims = ds.map_batches(sim_batch, batch_format="pandas")
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"band": [], "chunk": [], "doc_id": [], "simhash": []}
-        for doc_id, hx in zip(df["doc_id"], df["simhash"]):
-            s = int(hx, 16)
-            for band in range(4):
-                rows["band"].append(band)
-                rows["chunk"].append((s >> (16 * band)) & 0xFFFF)
-                rows["doc_id"].append(int(doc_id))
-                rows["simhash"].append(hx)
-        return pd.DataFrame(rows)
+        lo = df["h_lo"].to_numpy().astype(np.int64)
+        hi = df["h_hi"].to_numpy().astype(np.int64)
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        chunks = np.stack([lo & 0xFFFF, lo >> 16, hi & 0xFFFF, hi >> 16], axis=1)
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(4, dtype=np.int64), n),
+                "chunk": chunks.reshape(-1),
+                "doc_id": np.repeat(ids, 4),
+                "h_lo": np.repeat(lo, 4),
+                "h_hi": np.repeat(hi, 4),
+            }
+        )
 
     banded = sims.map_batches(band_rows, batch_format="pandas")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})
         if len(df) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
-        df = df.sort_values("doc_id", kind="mergesort")
+            return empty
+        df = df.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort")
         ids = df["doc_id"].to_numpy()
-        hs = [int(h, 16) for h in df["simhash"]]
-        a_o, b_o, d_o = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                d = bin(hs[i] ^ hs[j]).count("1")
-                if d <= max_hamming:
-                    a_o.append(int(ids[i]))
-                    b_o.append(int(ids[j]))
-                    d_o.append(d)
-        return pd.DataFrame({"a": a_o, "b": b_o, "hamming": d_o})
+        lo = df["h_lo"].to_numpy().astype(np.uint64)
+        hi = df["h_hi"].to_numpy().astype(np.uint64)
+        # vectorized hamming matrix: XOR + SWAR popcount, no Python pair loop
+        d = _popcount64(lo[:, None] ^ lo[None, :]) + _popcount64(hi[:, None] ^ hi[None, :])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = d[iu, ju] <= max_hamming
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"a": ids[iu[keep]], "b": ids[ju[keep]], "hamming": d[iu[keep], ju[keep]]}
+        ).astype("int64")
 
-    pair_df = grouped_block_map(banded, ["band", "chunk"], verify).to_pandas()
-    uniq = sorted({(int(r.a), int(r.b), int(r.hamming)) for r in pair_df.itertuples(index=False)})
-    return pd.DataFrame(
-        {"a": [u[0] for u in uniq], "b": [u[1] for u in uniq], "hamming": [u[2] for u in uniq]}
-    ).astype("int64") if uniq else pd.DataFrame(
-        {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
-         "hamming": pd.Series([], dtype="int64")}
-    )
+    pair_ds = grouped_block_map(banded, ["band", "chunk"], verify)
+    out = grouped_block_map(pair_ds, ["a", "b"], lambda g: g.head(1)).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")
 
 
-def jaccard_pairs(
-    sf_dir: str, *, threshold: float = 0.8, k: int = 3,
-    num_perm: int = 64, bands: int = 16,
+# ---------------------------------------------------------------------------
+# embedding cosine LSH
+# ---------------------------------------------------------------------------
+
+_QUANT = float(1 << 24)  # floor-quantization scale for sign projections
+
+
+def rademacher_planes(dim: int, planes: int, seed: int) -> np.ndarray:
+    """±1 projection matrix (dim × planes) — sign-random-projection LSH with
+    Rademacher entries (Achlioptas-style sparse projections, public
+    method).  ±1 entries + floor-quantized inputs make the bucket codes
+    exact integer arithmetic, bit-reproducible by the SQL oracle."""
+    rng = np.random.RandomState(seed)
+    return (rng.randint(0, 2, size=(dim, planes)) * 2 - 1).astype(np.int64)
+
+
+def bucket_codes(mat: np.ndarray, planes_mat: np.ndarray) -> np.ndarray:
+    """LSH bucket code per row: floor(v·2^24) (exact int) → ±1 projections →
+    sign bits.  Integer dot products, so engines can't disagree by a ulp."""
+    q = np.floor(mat.astype(np.float64) * _QUANT).astype(np.int64)
+    dots = q @ planes_mat  # exact integer arithmetic
+    bits = (dots > 0).astype(np.int64)
+    return (bits * (1 << np.arange(planes_mat.shape[1], dtype=np.int64))).sum(axis=1)
+
+
+def auto_planes(n_rows: int) -> int:
+    """Scale bucket count with corpus size: ~n/64 expected rows per bucket
+    (planes ≈ log2(n) − 6), floor 6 — keeps the in-bucket exact verify
+    O(n/2^planes)² bounded as n grows."""
+    import math
+
+    return max(6, int(math.ceil(math.log2(max(n_rows, 2)))) - 6)
+
+
+class EmbeddingBucketStage:
+    """Actor-pool bucket stage: plane matrix built ONCE per actor in
+    ``__init__`` (the stateful-stage idiom), applied per batch."""
+
+    def __init__(self, dim: int, planes: int, seed: int = 11) -> None:
+        self.planes_mat = rademacher_planes(dim, planes, seed)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        codes = bucket_codes(mat, self.planes_mat)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"], "bucket": codes, "embedding": list(mat)}
+        )
+
+
+def _embedding_dim(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).slice(0, 1)
+    return len(t.column("embedding")[0])
+
+
+def embedding_dedup(
+    sf_dir: str, *, threshold: float = 0.3, planes: int | None = 6, seed: int = 11,
 ) -> pd.DataFrame:
-    """Exact n-gram Jaccard pairs over MinHash-LSH candidates.
+    """Embedding cosine near-dup: sign-random-projection LSH buckets, exact
+    cosine verify within buckets (vectorized).
 
-    Candidate generation is the standard banding scheme (16 bands × 4 rows
-    → ~99.98% recall at J=0.8); the EXACT Jaccard verify runs only inside
-    candidate buckets, so the pairwise work is bounded by bucket size
-    instead of corpus size (all-pairs-within-lang was measured 33 s at
-    5000 docs; this shape stays sub-second).  Texts ride along in the band
-    rows at this scale; at 10^12 docs the verify would re-join texts by
-    bucketed key instead.
+    ``planes=None`` scales the bucket count with the corpus
+    (``auto_planes``); the default stays fixed at 6 so the op is
+    reproducible by the static SQL oracle.
     """
     ensure_picklable()
-    rows_per_band = num_perm // bands
-    a_p, b_p = _minhash_params(num_perm)
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out = {"band": [], "band_hash": [], "doc_id": [], "text": [], "sig": []}
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = _minhash_signature(_shingle_hashes(text, k), a_p, b_p).astype("int64")
-            for band in range(bands):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                out["band"].append(band)
-                out["band_hash"].append(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                )
-                out["doc_id"].append(int(doc_id))
-                out["text"].append(text)
-                out["sig"].append(sig)
-        return pd.DataFrame(out)
-
-    banded = ds.map_batches(band_rows, batch_format="pandas")
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dim = _embedding_dim(sf_dir)
+    if planes is None:
+        planes = auto_planes(ds.count())
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
                               "b": pd.Series([], dtype="int64"),
-                              "jaccard": pd.Series([], dtype="float64")})
+                              "cos_milli": pd.Series([], dtype="int64")})
         if len(df) < 2:
             return empty
-        df = df.sort_values("doc_id", kind="mergesort")
-        ids = df["doc_id"].to_numpy()
-        # vectorized signature prefilter: exact (O(n^2) set ops) only for
-        # pairs whose estimated similarity clears threshold - margin —
-        # big candidate buckets (degenerate similar corpora) stay cheap
-        sigs = np.stack([np.asarray(s, dtype=np.int64) for s in df["sig"]])
-        m = len(ids)
-        agree = np.zeros((m, m), dtype=np.uint16)
-        for p in range(sigs.shape[1]):
-            col = sigs[:, p]
-            agree += (col[:, None] == col[None, :]).astype(np.uint16)
-        est = agree / sigs.shape[1]
-        iu, ju = np.triu_indices(m, k=1)
-        cand = (est[iu, ju] >= threshold - 0.15) & (ids[iu] != ids[ju])
-        if not cand.any():
-            return empty
-        sets: dict[int, frozenset] = {}
-
-        def gramset(i: int) -> frozenset:
-            if i not in sets:
-                t = df["text"].iloc[i].lower()
-                sets[i] = frozenset(t[x : x + k] for x in range(max(1, len(t) - k + 1)))
-            return sets[i]
-
-        a_o, b_o, j_o = [], [], []
-        for i, j in zip(iu[cand], ju[cand]):
-            si, sj = gramset(int(i)), gramset(int(j))
-            union = len(si | sj)
-            jac = len(si & sj) / union if union else 0.0
-            if jac >= threshold:
-                a_o.append(int(ids[i]))
-                b_o.append(int(ids[j]))
-                j_o.append(round(jac, 6))
-        return pd.DataFrame({"a": a_o, "b": b_o, "jaccard": j_o})
-
-    out = grouped_block_map(banded, ["band", "band_hash"], verify).to_pandas()
-    out = out.drop_duplicates(subset=["a", "b"])
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
-
-
-def embedding_dedup(sf_dir: str, *, threshold: float = 0.3, planes: int = 6) -> pd.DataFrame:
-    """Embedding cosine near-dup: random-hyperplane LSH buckets, exact
-    cosine verify within buckets."""
-    ensure_picklable()
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
-        # same seeded planes in every task → consistent buckets
-        hp = np.random.RandomState(11).normal(size=(mat.shape[1], planes))
-        bits = (mat @ hp > 0).astype(np.int64)
-        codes = (bits * (1 << np.arange(planes))).sum(axis=1)
-        return pd.DataFrame({"vec_id": df["vec_id"], "bucket": codes, "embedding": list(mat)})
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "cos_milli": pd.Series([], dtype="int64")})
         df = df.sort_values("vec_id", kind="mergesort")
         ids = df["vec_id"].to_numpy()
         mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
         norms = np.linalg.norm(mat, axis=1)
         sims = (mat @ mat.T) / np.outer(norms, norms)
-        a_o, b_o, c_o = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    a_o.append(int(ids[i]))
-                    b_o.append(int(ids[j]))
-                    c_o.append(int(round(sims[i, j] * 1000)))
-        return pd.DataFrame({"a": a_o, "b": b_o, "cos_milli": c_o})
+        iu, ju = np.triu_indices(len(ids), k=1)  # vectorized, no pair loop
+        keep = sims[iu, ju] >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "a": ids[iu[keep]].astype("int64"),
+                "b": ids[ju[keep]].astype("int64"),
+                "cos_milli": np.round(sims[iu[keep], ju[keep]] * 1000).astype("int64"),
+            }
+        )
 
-    out = grouped_block_map(
-        ds.map_batches(bucket, batch_format="pandas"), ["bucket"], verify
-    ).to_pandas()
+    bucketed = ds.map_batches(
+        EmbeddingBucketStage,
+        fn_constructor_kwargs=dict(dim=dim, planes=planes, seed=seed),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    out = grouped_block_map(bucketed, ["bucket"], verify).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)

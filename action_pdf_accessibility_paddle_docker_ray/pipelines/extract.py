@@ -64,7 +64,30 @@ def _default_concurrency() -> tuple[int, int]:
     return (size, size)
 
 
-_SMALL_INPUT_BYTES = 50 << 30  # below this, the winner scan is one task
+_SMALL_INPUT_BYTES = 1 << 30  # below this, the winner scan is one task
+# broadcast bound: above this many duplicated urls the per-worker winner map
+# stops being "small side"; fall back to the sort plan (one exchange, no
+# broadcast).  At Common-Crawl dup rates the 100 TB refinement is a bloom /
+# hashed-key filter + exchange of only maybe-dup rows — documented in
+# SURVEY §3.4; the bound keeps memory honest either way.
+_WINNER_BROADCAST_MAX = 2_000_000
+
+FALLBACK_SORT = "fallback_sort"
+
+
+def _merge_winner_partials(df):
+    """Merge per-batch (url, max_ts, n_at_max, n) partials of one url."""
+    import pandas as pd
+
+    best = int(df["max_ts"].max())
+    return pd.DataFrame(
+        {
+            "url": [df["url"].iloc[0]],
+            "max_ts": [best],
+            "n_at_max": [int(df.loc[df["max_ts"] == best, "n_at_max"].sum())],
+            "n": [int(df["n"].sum())],
+        }
+    )
 
 
 def _stale_filter(source: str) -> Any:
@@ -72,62 +95,82 @@ def _stale_filter(source: str) -> Any:
     winning warc_ts via a (url, warc_ts)-ONLY scan — a second read of just
     two pruned columns (cheap even at 100 TB: ~1% of the bytes).
 
-    Small inputs: one Ray task does a columnar scan + pandas groupby (no
-    sub-pipeline startup).  Large inputs: a distributed Ray Data aggregate.
-    Returns a ``ray.ObjectRef`` of ``{url: max_ts_us}`` for duplicated urls
-    (broadcast once), or None when the input has no duplicate urls.
+    Small inputs (≤1 GiB): one Ray task does a columnar scan + pandas
+    groupby (no sub-pipeline startup).  Large inputs: a distributed
+    per-batch partial aggregate + one grouped merge over (url, partial)
+    rows.
+
+    Returns:
+    - ``None`` — no duplicate urls; nothing to filter;
+    - a ``ray.ObjectRef`` of ``{url: max_ts_us}`` for duplicated urls
+      (broadcast once, read per task);
+    - ``FALLBACK_SORT`` — the colocate plan's guarantee doesn't hold
+      (some url has ≥2 crawls sharing the max warc_ts, which the ts-only
+      filter cannot disambiguate) or the winner map exceeds the broadcast
+      bound; the caller must switch to the sort plan, which handles both
+      correctly.
     """
+    import pandas as pd
     import pyarrow.dataset as pads
 
     fragments = list(pads.dataset(source).files)
     total_bytes = sum(os.path.getsize(f) for f in fragments)
 
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["warc_ts"].astype("datetime64[us]").astype("int64")
+        d = pd.DataFrame({"url": df["url"].to_numpy(), "ts_us": ts.to_numpy()})
+        mx = d.groupby("url", sort=False)["ts_us"].transform("max")
+        d["at_max"] = (d["ts_us"] == mx).astype("int64")
+        g = d.groupby("url", sort=False).agg(
+            max_ts=("ts_us", "max"), n_at_max=("at_max", "sum"), n=("ts_us", "size")
+        )
+        return g.reset_index()
+
     if total_bytes <= _SMALL_INPUT_BYTES:
         @ray.remote(num_cpus=1)
-        def scan_winners(path: str) -> dict:
-            import pandas as pd
+        def scan_winners(path: str) -> pd.DataFrame:
             import pyarrow.dataset as pads2
 
             t = pads2.dataset(path).to_table(columns=["url", "warc_ts"])
-            df = t.to_pandas()
-            df["ts_us"] = df["warc_ts"].astype("datetime64[us]").astype("int64")
-            g = df.groupby("url", sort=False)["ts_us"].agg(["max", "count"])
-            return g[g["count"] > 1]["max"].to_dict()
+            out = partials(t.to_pandas())
+            return out[out["n"] > 1]
 
-        winners = ray.get(scan_winners.remote(source))
-        return ray.put(winners) if winners else None
+        dups = ray.get(scan_winners.remote(source))
+    else:
+        from .util import grouped_block_map
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Max
+        merged = grouped_block_map(
+            read_pages(source, columns=["url", "warc_ts"]).map_batches(
+                partials, batch_format="pandas"
+            ),
+            ["url"],
+            _merge_winner_partials,
+        )
+        import pyarrow.compute as pc
 
-    def to_us(t: pa.Table) -> pa.Table:
-        ts_us = pc.cast(t.column("warc_ts"), pa.int64())
-        return pa.table({"url": t.column("url"), "ts_us": ts_us})
+        dups = merged.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+        ).to_pandas()
 
-    agg = (
-        read_pages(source, columns=["url", "warc_ts"])
-        .map_batches(to_us, batch_format="pyarrow")
-        .groupby("url")
-        .aggregate(Max("ts_us", alias_name="max_ts"), Count(alias_name="n"))
-    )
-    dups = agg.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
-    ).to_pandas()
     if len(dups) == 0:
         return None
+    if (dups["n_at_max"] > 1).any() or len(dups) > _WINNER_BROADCAST_MAX:
+        return FALLBACK_SORT
     return ray.put(dict(zip(dups["url"], dups["max_ts"].astype("int64"))))
 
 
 def _make_drop_stale(winners_ref: Any):
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
 
     def drop_stale(t: pa.Table) -> pa.Table:
         winners = ray.get(winners_ref)
-        urls = t.column("url").to_pylist()
-        ts_us = pc.cast(t.column("warc_ts"), pa.int64()).to_pylist()
-        keep = [u not in winners or ts == winners[u] for u, ts in zip(urls, ts_us)]
+        urls = pd.Series(t.column("url").to_pandas())
+        ts_us = pc.cast(t.column("warc_ts"), pa.int64()).to_pandas().to_numpy()
+        # vectorized semi-join: hash-map lookup per column, no Python loop
+        win_ts = urls.map(winners).to_numpy()
+        keep = pd.isna(win_ts) | (win_ts == ts_us)
         return t.filter(pa.array(keep, pa.bool_()))
 
     return drop_stale
@@ -154,10 +197,10 @@ def extract_pipeline(
     - "colocate" (default): NO output shuffle.  The fan-out yields
       doc-aligned blocks (all pages of a url in one block), so assembly is
       block-local.  Requires ``dedup="late"`` semantics handled by the
-      semi-join stale filter; inputs where one url has two crawls with the
-      SAME max warc_ts but different content fall outside this mode's
-      guarantee (both survive the filter in different blocks) — use
-      "sort" for such inputs.
+      semi-join stale filter; when the winner scan detects a url with ≥2
+      crawls sharing the max warc_ts (which a ts-only filter cannot
+      disambiguate) or a winner map too large to broadcast, the plan
+      AUTO-FALLS-BACK to "sort", which stays correct for both.
     - "sort": classic sort("url") exchange before assembly (the same
       guarantee Ray's map_groups uses; a keyed hash repartition was
       measured 1.7x slower end-to-end on this Ray version).
@@ -183,15 +226,25 @@ def extract_pipeline(
     if dedup == "early" or dedup is True:
         ds = dedup_latest(ds)
 
+    if regroup == "colocate" and dedup == "late":
+        winners_ref = _winners_ref
+        if winners_ref is None and is_path:
+            winners_ref = _stale_filter(source)
+        if winners_ref == FALLBACK_SORT:
+            # same-max-ts conflicting crawls (or an over-bound winner map):
+            # the broadcast semi-join can't guarantee one row per url —
+            # auto-switch to the sort plan, which resolves ties on
+            # content_key inside the per-url assembly groups
+            regroup = "sort"
+        elif winners_ref is not None:
+            # num_cpus=0.5 keeps this a TASK stage (no fusion into the actor
+            # pool): an ObjectRef captured in actor-constructor args breaks
+            # actor restarts (ray#53727); task retries just re-fetch the ref
+            ds = ds.map_batches(
+                _make_drop_stale(winners_ref), batch_format="pyarrow", num_cpus=0.5
+            )
+
     if regroup == "colocate":
-        if dedup == "late":
-            winners_ref = _winners_ref
-            if winners_ref is None and is_path:
-                winners_ref = _stale_filter(source)
-            if winners_ref is not None:
-                ds = ds.map_batches(
-                    _make_drop_stale(winners_ref), batch_format="pyarrow"
-                )
         # one actor stage: doc parse → page loop → detect → resolve →
         # assemble, emitting finished doc rows — unit of work = document,
         # no intermediate serialization, no output exchange.

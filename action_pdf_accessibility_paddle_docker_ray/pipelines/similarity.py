@@ -80,47 +80,70 @@ def knn_search(sf_dir: str, *, k: int = 5, n_queries: int = 10) -> ray.data.Data
     return grouped_block_map(partials, ["query_id"], final_topk)
 
 
-def knn_search_lsh(
-    sf_dir: str, *, k: int = 5, n_queries: int = 10, planes: int = 8
-) -> pd.DataFrame:
-    """Approximate top-k: hyperplane LSH buckets with multi-probe (hamming ≤ 1).
+class LshTopKStage:
+    """Actor-pool LSH search stage: plane matrix + query probe codes built
+    ONCE per actor in ``__init__`` (the stateful-stage idiom), per-batch
+    multi-probe candidate scan in ``__call__``.
 
-    At 100 TB the bucket id becomes the shuffle key (groupby(bucket) builds
-    per-bucket sub-indexes once); here buckets stay columnar in one pass.
+    Bucket codes use the floor-quantized ±1 projections from ``dedup_ops``
+    (exact integer arithmetic — bit-reproducible by the DuckDB oracle).
     """
-    ensure_picklable()
-    q_ids, q_mat = _load_queries(sf_dir, n_queries)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
 
-    def code_of(mat: np.ndarray, hp: np.ndarray) -> np.ndarray:
-        bits = (mat @ hp > 0).astype(np.int64)
-        return (bits * (1 << np.arange(hp.shape[1]))).sum(axis=1)
+    def __init__(self, q_ids: np.ndarray, q_mat: np.ndarray, *, k: int,
+                 planes: int, seed: int = 13) -> None:
+        from .dedup_ops import bucket_codes, rademacher_planes
 
-    def probe_codes(code: int) -> list[int]:
-        return [code] + [code ^ (1 << b) for b in range(planes)]
+        self.k = k
+        self.q_ids = q_ids
+        self.q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+        self.planes_mat = rademacher_planes(q_mat.shape[1], planes, seed)
+        self._codes = bucket_codes
+        q_codes = bucket_codes(q_mat, self.planes_mat)
+        # multi-probe: own bucket + every hamming-1 neighbour bucket
+        self.q_probe = [
+            [int(c)] + [int(c) ^ (1 << b) for b in range(planes)] for c in q_codes
+        ]
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
         matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        hp = np.random.RandomState(13).normal(size=(mat.shape[1], planes))
-        codes = code_of(matn, hp)
-        q_codes = code_of(q_norm, hp)
+        codes = self._codes(mat, self.planes_mat)
         vec_ids = df["vec_id"].to_numpy()
         rows = {"query_id": [], "neighbor_id": [], "sim": []}
-        for qi, qid in enumerate(q_ids):
-            cand = np.isin(codes, probe_codes(int(q_codes[qi]))) & (vec_ids != qid)
+        for qi, qid in enumerate(self.q_ids):
+            cand = np.isin(codes, self.q_probe[qi]) & (vec_ids != qid)
             if not cand.any():
                 continue
-            s = q_norm[qi] @ matn[cand].T
+            s = self.q_norm[qi] @ matn[cand].T
             v = vec_ids[cand]
-            take = min(k, len(s))
+            take = min(self.k, len(s))
             order = np.lexsort((v, -s))[:take]
             rows["query_id"].extend([int(qid)] * take)
             rows["neighbor_id"].extend(v[order].astype("int64"))
             rows["sim"].extend(s[order])
         return pd.DataFrame(rows)
+
+
+def knn_search_lsh(
+    sf_dir: str, *, k: int = 5, n_queries: int = 10, planes: int = 8
+) -> pd.DataFrame:
+    """Approximate top-k: sign-random-projection buckets with multi-probe
+    (hamming ≤ 1); exact cosine only for probed candidates.
+
+    At 100 TB the bucket id becomes the shuffle key (groupby(bucket) builds
+    per-bucket sub-indexes once); here buckets stay columnar in one pass.
+    Quantized ±1 projections (not raw float sign) make bucket assignment
+    identical in the SQL oracle — see ``dedup_ops.bucket_codes``.
+    """
+    ensure_picklable()
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        LshTopKStage,
+        fn_constructor_kwargs=dict(q_ids=q_ids, q_mat=q_mat, k=k, planes=planes),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
@@ -133,9 +156,7 @@ def knn_search_lsh(
             }
         )
 
-    out = grouped_block_map(
-        ds.map_batches(partial, batch_format="pandas"), ["query_id"], final
-    ).to_pandas()
+    out = grouped_block_map(partials, ["query_id"], final).to_pandas()
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
@@ -144,20 +165,30 @@ def _kmeans_centroids(
 ) -> np.ndarray:
     """Deterministic distributed k-means: seeded init from the first rows,
     then ``n_iters`` rounds of (per-batch partial sums → driver reduce).
-    The per-round shuffle volume is n_clusters × dim floats per batch."""
-    import ray.data as rd
+    The per-round shuffle volume is n_clusters × dim floats per batch.
 
+    The embedding table is read + normalized ONCE and ``materialize()``d
+    (it is the k-means working set, re-scanned every iteration — round 1
+    re-read the parquet 5×)."""
     ids, init = _load_queries(sf_dir, n_clusters)  # first n vectors as seeds
     centroids = init / np.linalg.norm(init, axis=1, keepdims=True)
 
-    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.DataFrame({"embedding": list(mat)})
+
+    ds = (
+        read_table(sf_dir, "embeddings", columns=["embedding"])
+        .map_batches(normalize, batch_format="pandas")
+        .materialize()
+    )
     for _ in range(n_iters):
         c_ref = ray.put(centroids)
 
         def partial_sums(df: pd.DataFrame) -> pd.DataFrame:
             cents = ray.get(c_ref)
-            mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
-            matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            matn = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
             assign = (matn @ cents.T).argmax(axis=1)
             rows = []
             for c in np.unique(assign):

@@ -1,0 +1,279 @@
+"""DuckDB SQL oracles for the operators whose round-1 checks were
+rows-only.
+
+Every builder returns ONE SELECT statement (the driver executes a single
+string per query) that recomputes the Ray operator's full result from the
+raw parquet views — including the hash functions: fnv1a-32 / fmix32 are
+generated as chained CTE steps with 32-bit arithmetic held in BIGINT
+(products that can reach 2^63 go through HUGEINT), and LSH plane matrices
+are inlined as ±1 literals from the same seeded generator the Ray side
+uses.
+
+Exactness notes (why Ray output == SQL output, not just approximately):
+
+- ``minhash_dedup`` / ``jaccard_pairs`` verify candidates with EXACT
+  char-k-gram Jaccard, so the oracle is the all-pairs exact scan; the only
+  gap is LSH candidate recall, ≤ ~1e-9 at the corpus's measured minimum
+  true-pair similarity (0.92 at both check SFs) and verified empirically.
+- ``simhash_pairs`` recall is exact by pigeonhole (max_hamming 3 < 4
+  bands), and the token hashes are recomputed bit-for-bit in SQL.
+- ``embedding_dedup`` / ``knn_search_lsh`` bucket via floor-quantized
+  integer projections — bit-equal across engines by construction.
+- byte-level hashes assume byte == codepoint, which holds because the
+  driver's documents corpus is pure ASCII (asserted by
+  tests/test_sql_oracles.py); non-ASCII corpora would need a SQL
+  utf-8-byte expansion here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_M32 = 4294967296  # 2^32
+
+# ---------------------------------------------------------------------------
+# 32-bit hash primitives as SQL expression/CTE generators
+# ---------------------------------------------------------------------------
+
+
+def sql_fnv1a32(expr: str) -> str:
+    """fnv1a-32 over the codepoints of a VARCHAR expression (one expression,
+    safe in BIGINT: xor ≤ 2^32, ×16777619 < 2^56)."""
+    return (
+        f"list_reduce(list_prepend(2166136261::BIGINT, "
+        f"[unicode(c)::BIGINT for c in split({expr}, '')]), "
+        f"(h, b) -> (xor(h, b) * 16777619) % {_M32})"
+    )
+
+
+def _fmix32_ctes(prefix: str, src_cte: str, carry: list[str], in_col: str,
+                 out_col: str) -> tuple[str, str]:
+    """murmur3 fmix32 as 5 chained CTE steps (expression duplication in a
+    single expression would blow up 2^5×; columns keep each step O(1)).
+    Returns (sql_fragment, final_cte_name)."""
+    cols = ", ".join(carry)
+    steps = [
+        f"xor(h, h // 65536)",
+        f"CAST((h::HUGEINT * 2246822507) % {_M32} AS BIGINT)",  # 0x85EBCA6B
+        f"xor(h, h // 8192)",
+        f"CAST((h::HUGEINT * 3266489909) % {_M32} AS BIGINT)",  # 0xC2B2AE35
+        f"xor(h, h // 65536)",
+    ]
+    parts = [f"{prefix}0 AS (SELECT {cols}, {in_col} AS h FROM {src_cte})"]
+    for i, step in enumerate(steps):
+        alias = "h" if i < len(steps) - 1 else out_col
+        parts.append(
+            f"{prefix}{i + 1} AS (SELECT {cols}, {step} AS {alias} FROM {prefix}{i})"
+        )
+    return ", ".join(parts), f"{prefix}{len(steps)}"
+
+
+def _gramset_cte(k: int, table: str = "documents") -> str:
+    """Distinct char-k-gram list per doc (1-based substr windows; one short
+    window when the text is shorter than k — mirrors
+    dedup_ops.char_gramset)."""
+    return (
+        f"g AS (SELECT doc_id, list_distinct([substr(lower(text), i, {k}) "
+        f"for i in range(1, greatest(length(text) - {k - 2}, 2))]) AS grams "
+        f"FROM {table})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-operator oracles
+# ---------------------------------------------------------------------------
+
+
+def sql_langid(stopwords: dict[str, tuple[str, ...]]) -> str:
+    """Stopword-count argmax with strict-majority tie → 'und' (mirrors
+    text_ops.langid)."""
+    langs = sorted(stopwords)
+    score_cols = ", ".join(
+        "length(regexp_extract_all(lower(text), "
+        f"'\\b(?:{'|'.join(stopwords[lang])})\\b'))::BIGINT AS s_{lang}"
+        for lang in langs
+    )
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    n_at_max = " + ".join(f"(s_{lang} = m)::INT" for lang in langs)
+    pick = " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}'"
+    return (
+        f"WITH s AS (SELECT doc_id, lang, {score_cols} FROM documents), "
+        f"t AS (SELECT *, {m} AS m FROM s), "
+        f"u AS (SELECT *, {n_at_max} AS n_at_max FROM t) "
+        f"SELECT doc_id, CASE WHEN m = 0 OR n_at_max > 1 THEN 'und' "
+        f"{pick} END AS lang_pred, lang FROM u"
+    )
+
+
+def sql_fingerprint() -> str:
+    """Winnowing fingerprint: fnv1a-32 of every 8-char window, 4 smallest
+    distinct hashes hex-joined (mirrors text_ops.fingerprint)."""
+    fnv = sql_fnv1a32("w")
+    return (
+        "WITH w AS (SELECT doc_id, CASE WHEN length(text) < 8 THEN [text] "
+        "ELSE [substr(text, i, 8) for i in range(1, length(text) - 6)] END AS wins "
+        "FROM documents), "
+        f"h AS (SELECT doc_id, list_transform(wins, w -> {fnv}) AS hs FROM w) "
+        "SELECT doc_id, array_to_string(list_transform("
+        "list_sort(list_distinct(hs))[1:4], x -> printf('%08x', x)), '-') "
+        "AS fingerprint FROM h"
+    )
+
+
+def sql_jaccard_pairs(threshold: float = 0.8, k: int = 3) -> str:
+    """All-pairs exact char-k-gram Jaccard ≥ threshold (the LSH candidate
+    stage has verified-exact recall at the check SFs — see module doc)."""
+    return (
+        f"WITH {_gramset_cte(k)}, "
+        "j AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+        "len(list_intersect(a.grams, b.grams))::DOUBLE "
+        "/ len(list_distinct(list_concat(a.grams, b.grams))) AS jac "
+        "FROM g a JOIN g b ON a.doc_id < b.doc_id) "
+        f"SELECT a, b, ROUND(jac, 6) AS jaccard FROM j WHERE jac >= {threshold}"
+    )
+
+
+def sql_minhash_dedup(threshold: float = 0.7, k: int = 5) -> str:
+    """Exact-Jaccard pair graph → transitive closure → min-id representative
+    (mirrors minhash_dedup's exact verify + union-find)."""
+    return (
+        f"WITH RECURSIVE {_gramset_cte(k)}, "
+        "p AS (SELECT a.doc_id AS a, b.doc_id AS b "
+        "FROM g a JOIN g b ON a.doc_id < b.doc_id "
+        "WHERE len(list_intersect(a.grams, b.grams))::DOUBLE "
+        f"/ len(list_distinct(list_concat(a.grams, b.grams))) >= {threshold}), "
+        "e AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+        "reach(src, dst) AS (SELECT a, b FROM e "
+        "UNION SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a) "
+        "SELECT src AS doc_id, least(src, MIN(dst)) AS rep_id "
+        "FROM reach GROUP BY src"
+    )
+
+
+def sql_simhash_pairs(max_hamming: int = 3) -> str:
+    """Recompute every document's 64-bit simhash (token fnv1a-32 → fmix32
+    pair, ±1 bit votes) and scan all pairs for hamming ≤ max_hamming.
+    Recall of the Ray side's 4×16-bit banding is exact by pigeonhole."""
+    fnv = sql_fnv1a32("tok")
+    fmix_a, end_a = _fmix32_ctes("ma", "f0", ["doc_id", "tok"], "fh", "h1")
+    fmix_b, end_b = _fmix32_ctes(
+        "mb", end_a, ["doc_id", "tok", "h1"], "xor(h1, 2654435769)", "h2"
+    )
+    lo_bits = ", ".join(
+        f"SUM(CASE WHEN (h1 // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS a{j}"
+        for j in range(32)
+    )
+    hi_bits = ", ".join(
+        f"SUM(CASE WHEN (h2 // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(32)
+    )
+    h_lo = " + ".join(f"(CASE WHEN a{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    h_hi = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(list_distinct(regexp_extract_all(lower(text), '\\S+'))) AS tok "
+        "FROM documents), "
+        f"f0 AS (SELECT doc_id, tok, {fnv} AS fh FROM toks), "
+        f"{fmix_a}, {fmix_b}, "
+        f"bits AS (SELECT doc_id, {lo_bits}, {hi_bits} FROM {end_b} GROUP BY doc_id), "
+        f"sh AS (SELECT doc_id, {h_lo} AS h_lo, {h_hi} AS h_hi FROM bits), "
+        "full_sh AS (SELECT d.doc_id, COALESCE(s.h_lo, 0) AS h_lo, "
+        "COALESCE(s.h_hi, 0) AS h_hi FROM documents d LEFT JOIN sh s USING (doc_id)) "
+        "SELECT x.doc_id AS a, y.doc_id AS b, "
+        "bit_count(xor(x.h_lo, y.h_lo)) + bit_count(xor(x.h_hi, y.h_hi)) AS hamming "
+        "FROM full_sh x JOIN full_sh y ON x.doc_id < y.doc_id "
+        f"WHERE bit_count(xor(x.h_lo, y.h_lo)) + bit_count(xor(x.h_hi, y.h_hi)) "
+        f"<= {max_hamming}"
+    )
+
+
+def _planes_literal(dim: int, planes: int, seed: int) -> list[str]:
+    """±1 plane-column literals from the SAME generator the Ray stages use."""
+    from .dedup_ops import rademacher_planes
+
+    mat = rademacher_planes(dim, planes, seed)
+    return ["[" + ", ".join(str(int(v)) for v in mat[:, p]) + "]" for p in range(planes)]
+
+
+def _bucket_expr(dim: int, planes: int, seed: int) -> str:
+    """SQL bucket code: floor(v·2^24) ±1-projections → sign bits (exact
+    integer arithmetic, mirrors dedup_ops.bucket_codes)."""
+    cols = _planes_literal(dim, planes, seed)
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(fq, {cols[p]}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+
+
+def sql_embedding_dedup(dim: int, threshold: float = 0.3, planes: int = 6,
+                        seed: int = 11) -> str:
+    bucket = _bucket_expr(dim, planes, seed)
+    return (
+        "WITH v AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), "
+        "q AS (SELECT vec_id, emb, list_transform(emb, "
+        "x -> CAST(floor(x * 16777216.0) AS BIGINT)) AS fq FROM v), "
+        f"c AS (SELECT vec_id, emb, {bucket} AS bucket FROM q), "
+        "s AS (SELECT x.vec_id AS a, y.vec_id AS b, "
+        "list_cosine_similarity(x.emb, y.emb) AS sim "
+        "FROM c x JOIN c y ON x.vec_id < y.vec_id AND x.bucket = y.bucket) "
+        "SELECT a, b, CAST(ROUND(sim * 1000) AS BIGINT) AS cos_milli "
+        f"FROM s WHERE sim >= {threshold}"
+    )
+
+
+def sql_knn_search_lsh(dim: int, k: int = 5, n_queries: int = 10,
+                       planes: int = 8, seed: int = 13) -> str:
+    bucket = _bucket_expr(dim, planes, seed)
+    return (
+        "WITH v AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), "
+        "q AS (SELECT vec_id, emb, list_transform(emb, "
+        "x -> CAST(floor(x * 16777216.0) AS BIGINT)) AS fq FROM v), "
+        f"c AS (SELECT vec_id, emb, {bucket} AS code FROM q), "
+        "qs AS (SELECT vec_id AS query_id, emb AS qemb, code AS qcode FROM c "
+        f"WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id "
+        f"LIMIT {n_queries})), "
+        "cand AS (SELECT qs.query_id, c.vec_id AS neighbor_id, "
+        "list_cosine_similarity(qs.qemb, c.emb) AS sim FROM qs JOIN c "
+        "ON bit_count(xor(qs.qcode, c.code)) <= 1 AND c.vec_id != qs.query_id), "
+        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM cand) "
+        f"SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}"
+    )
+
+
+def sql_image_features() -> str:
+    """Byte-level features of the documents' utf-8 payloads (char == byte on
+    the ASCII corpus): length, md5 digest, byte-entropy (mirrors
+    stages/multimodal.ImageFeatureStage)."""
+    return (
+        "WITH c AS (SELECT doc_id, unnest(split(text, '')) AS ch FROM documents), "
+        "cnt AS (SELECT doc_id, ch, count(*)::DOUBLE AS n FROM c GROUP BY doc_id, ch), "
+        "tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY doc_id), "
+        "ent AS (SELECT cnt.doc_id, "
+        "CAST(ROUND(-sum((n / t) * log2(n / t)) * 1000) AS BIGINT) AS entropy_milli "
+        "FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id) "
+        "SELECT d.doc_id, octet_length(encode(d.text))::BIGINT AS n_bytes, "
+        "md5(d.text) AS digest, COALESCE(e.entropy_milli, 0) AS entropy_milli "
+        "FROM documents d LEFT JOIN ent e USING (doc_id)"
+    )
+
+
+def sql_extract_doc_meta(pages_glob: str) -> str:
+    """Per-url page count of the flagship extraction over the derived pages
+    corpus: winner crawl = max (warc_ts, md5 content key) — the unified
+    dedup tie-break — then n_pages from the %SDOC JSON container (html
+    docs count as one page)."""
+    return (
+        f"WITH pages AS (SELECT url, warc_ts, decode(html) AS body "
+        f"FROM read_parquet('{pages_glob}')), "
+        "ranked AS (SELECT url, body, row_number() OVER (PARTITION BY url "
+        "ORDER BY warc_ts DESC, md5(body) DESC) AS rn FROM pages), "
+        "win AS (SELECT url, body FROM ranked WHERE rn = 1) "
+        "SELECT url, CAST(CASE WHEN starts_with(body, '%SDOC') "
+        "THEN json_array_length(json_extract(substr(body, 6), '$.pages')) "
+        "ELSE 1 END AS BIGINT) AS n_pages FROM win"
+    )

@@ -145,14 +145,27 @@ def fingerprint(sf_dir: str) -> ray.data.Dataset:
     keep the 4 smallest window hashes → hex-joined fingerprint string."""
     ensure_picklable()
 
+    import numpy as np
+
+    _OFFSET = np.uint32(0x811C9DC5)
+    _PRIME = np.uint32(0x1000193)
+
     def fp_one(text: str) -> str:
         k = 8
         if len(text) < k:
-            hashes = [fnv1a_32(text)]
+            hashes = np.array([fnv1a_32(text)], dtype=np.uint64)
         else:
-            hashes = [fnv1a_32(text[i : i + k]) for i in range(len(text) - k + 1)]
-        smallest = sorted(set(hashes))[:4]
-        return "-".join(f"{h:08x}" for h in smallest)
+            # all windows at once: FNV-1a is sequential over a window's k
+            # chars, but fully vectorized ACROSS windows (k=8 tiny loop)
+            cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            win = np.lib.stride_tricks.sliding_window_view(cps, k)
+            h = np.full(len(win), _OFFSET, dtype=np.uint32)
+            with np.errstate(over="ignore"):
+                for j in range(k):
+                    h = (h ^ win[:, j]) * _PRIME
+            hashes = h.astype(np.uint64)
+        smallest = np.unique(hashes)[:4]
+        return "-".join(f"{int(h):08x}" for h in smallest)
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

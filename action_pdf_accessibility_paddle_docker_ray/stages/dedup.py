@@ -7,8 +7,9 @@ Two-level design so the all-to-all shuffle moves as little as possible:
    hash exchange, carrying only the already-pruned (url, warc_ts, html)
    columns.
 
-Winner = max ``warc_ts``; ties broken by ``html`` bytes (lexicographic) so
-the result is deterministic at any parallelism.
+Winner = max ``(warc_ts, content_key)`` — the SAME tie-break key the late
+(assembly) dedup and the golden oracle use (``stages/fanout.content_key``),
+so every dedup path picks the identical winner for identical input.
 """
 
 from __future__ import annotations
@@ -16,13 +17,28 @@ from __future__ import annotations
 import pandas as pd
 import ray.data
 
+from .fanout import content_key
+
 
 def best_per_url(df: pd.DataFrame) -> pd.DataFrame:
-    """Keep the (warc_ts, html)-max row per url; deterministic."""
+    """Keep the (warc_ts, content_key)-max row per url; deterministic.
+
+    The content hash is only computed for rows whose url is duplicated
+    inside this frame — the common (unique-url) row never pays a hash of
+    its payload.
+    """
     if len(df) <= 1:
         return df
-    df = df.sort_values(["url", "warc_ts", "html"], kind="mergesort")
-    return df.groupby("url", sort=False).tail(1).reset_index(drop=True)
+    dup_mask = df["url"].duplicated(keep=False)
+    if not dup_mask.any():
+        return df
+    ck = pd.Series("", index=df.index, dtype="object")
+    ck[dup_mask] = [content_key(h) for h in df.loc[dup_mask, "html"]]
+    order = df.assign(_ck=ck).sort_values(
+        ["url", "warc_ts", "_ck"], kind="mergesort"
+    )
+    out = order.groupby("url", sort=False).tail(1)
+    return out.drop(columns="_ck").reset_index(drop=True)
 
 
 def dedup_latest(ds: ray.data.Dataset) -> ray.data.Dataset:

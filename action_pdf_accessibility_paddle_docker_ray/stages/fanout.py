@@ -31,8 +31,12 @@ def size_bucket(n_bytes: int) -> int:
 
 
 def content_key(html: bytes) -> str:
-    """Stable content hash used as the dedup tie-breaker (see stages/dedup.py)."""
-    return hashlib.blake2b(html, digest_size=8).hexdigest()
+    """Stable content hash used as the dedup tie-breaker — THE one tie-break
+    key for every dedup path (early ``stages/dedup``, late assembly, and the
+    golden ``oracle.dedup_latest``).  md5 (not a crypto use — just a
+    deterministic total order over payloads) so the DuckDB oracle can
+    recompute it with its built-in ``md5()``."""
+    return hashlib.md5(html).hexdigest()
 
 
 FLUSH_BYTES = 4 << 20  # yield a doc-aligned sub-batch after ~4 MB of payload

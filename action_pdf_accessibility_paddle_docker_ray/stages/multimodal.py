@@ -16,9 +16,41 @@ the payload column stays zero-copy Arrow until the feature kernel touches it.
 from __future__ import annotations
 
 import hashlib
-import math
 
+import numpy as np
 import pyarrow as pa
+
+
+def base64_data_uri_to_bytes(base64_data: str) -> np.ndarray:
+    """base64 data-URI → uint8 byte array.
+
+    Mirrors /root/reference/src/page_renderer.py:111-124
+    (``convert_base64_image_to_matlike_image``): split off the
+    ``data:image/...;base64,`` header, decode, wrap as a numpy uint8
+    buffer.  The cv2.imdecode step is the stubbed codec boundary — see
+    ``base64_to_image``."""
+    import base64
+
+    _header, encoded = base64_data.split(",", 1)
+    return np.frombuffer(base64.b64decode(encoded), np.uint8)
+
+
+def base64_to_image(base64_data: str, decode: bool = True) -> np.ndarray:
+    """Full reference semantics: data-URI → decoded BGR image.
+
+    ``decode=False`` returns the raw byte buffer (the testable part);
+    ``decode=True`` needs cv2, which this container lacks."""
+    arr = base64_data_uri_to_bytes(base64_data)
+    if not decode:
+        return arr
+    try:
+        import cv2
+    except ImportError as exc:  # pragma: no cover - no cv2 in sandbox
+        raise NotImplementedError(
+            "image decoding requires cv2, which is not available in this "
+            "container — use decode=False for the raw byte buffer"
+        ) from exc
+    return cv2.imdecode(arr, cv2.IMREAD_COLOR)
 
 
 class ImageFeatureStage:
@@ -47,11 +79,10 @@ class ImageFeatureStage:
     def _entropy_milli(data: bytes) -> int:
         if not data:
             return 0
-        counts: dict[int, int] = {}
-        for byte in data:
-            counts[byte] = counts.get(byte, 0) + 1
-        n = len(data)
-        ent = -sum((c / n) * math.log2(c / n) for c in counts.values())
+        counts = np.bincount(np.frombuffer(data, dtype=np.uint8), minlength=256)
+        counts = counts[counts > 0]
+        p = counts / len(data)
+        ent = float(-(p * np.log2(p)).sum())
         return int(round(ent * 1000))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -61,7 +92,9 @@ class ImageFeatureStage:
         for p in payloads:
             data = p if isinstance(p, (bytes, bytearray)) else bytes(str(p), "utf-8")
             n_bytes.append(len(data))
-            digests.append(hashlib.blake2b(data, digest_size=8).hexdigest())
+            # md5, not a crypto use: content digest recomputable by the
+            # DuckDB oracle's built-in md5()
+            digests.append(hashlib.md5(data).hexdigest())
             entropies.append(self._entropy_milli(data))
         return pa.table(
             {

@@ -88,8 +88,9 @@ def run_bench() -> dict:
         extract_pipeline(pages).count()  # untimed: warms worker pool + cache
 
     # min-of-N: the sandbox host shows ±50% wall noise; the minimum is the
-    # standard noise-resistant wall estimator (GRAFT_REPEAT=1 by default)
-    repeats = int(os.environ.get("GRAFT_REPEAT", "1"))
+    # standard noise-resistant wall estimator.  Default 3 so round-over-round
+    # BENCH comparisons aren't dominated by host contention.
+    repeats = int(os.environ.get("GRAFT_REPEAT", "3"))
     headline_sec = None
     for _ in range(repeats):
         shutil.rmtree(out_dir, ignore_errors=True)
