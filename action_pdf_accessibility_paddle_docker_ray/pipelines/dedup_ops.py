@@ -126,7 +126,7 @@ def minhash_signatures(
 # candidate generation: narrow band rows → bucket groupby → distinct pairs
 # ---------------------------------------------------------------------------
 
-def _band_rows_fn(bands: int, rows_per_band: int):
+def _band_rows_fn(bands: int, rows_per_band: int, carry_sig: bool):
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
         hashes = []
@@ -135,13 +135,18 @@ def _band_rows_fn(bands: int, rows_per_band: int):
             for band in range(bands):
                 chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
                 hashes.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "band": np.tile(np.arange(bands, dtype=np.int64), n),
                 "band_hash": hashes,
                 "doc_id": np.repeat(df["doc_id"].to_numpy().astype("int64"), bands),
             }
         )
+        if carry_sig:
+            out["sig"] = [
+                np.asarray(s, dtype=np.int64) for s in np.repeat(df["sig"], bands)
+            ]
+        return out
 
     return band_rows
 
@@ -156,21 +161,73 @@ def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
 
 
+def _bucket_pairs_prefiltered(est_cut: float):
+    """In-bucket pair emitter with a vectorized signature-agreement
+    prefilter: only pairs with est ≥ est_cut leave the bucket.
+
+    For low-threshold shingle spaces (char 3-grams: measured background
+    J ≈ 0.46) the bucket-pair count approaches all-pairs; materializing
+    those pairs and joining payloads per pair was measured 7× slower than
+    the whole round-1 op at sf0.1.  Screening on the signatures ALREADY in
+    the bucket collapses the survivor count to ~true pairs, so the later
+    payload join is output-sized.  The cost: band rows carry the signature
+    (num_perm × 8 B each) through the candidate exchange — the documented
+    bandwidth/selectivity trade (SURVEY §3.4)."""
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
+        df = df.drop_duplicates("doc_id")
+        if len(df) < 2:
+            return empty
+        df = df.sort_values("doc_id", kind="mergesort")
+        ids = df["doc_id"].to_numpy()
+        sigs = np.stack([np.asarray(s, dtype=np.int64) for s in df["sig"]])
+        m = len(ids)
+        agree = np.zeros((m, m), dtype=np.uint16)
+        for p in range(sigs.shape[1]):  # perms loop; m×m compare vectorized
+            col = sigs[:, p]
+            agree += (col[:, None] == col[None, :]).astype(np.uint16)
+        iu, ju = np.triu_indices(m, k=1)
+        keep = (agree[iu, ju] / sigs.shape[1]) >= est_cut
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"a": ids[iu[keep]], "b": ids[ju[keep]]})
+
+    return bucket_pairs
+
+
 def lsh_candidate_pairs(
     docs: ray.data.Dataset, *, num_perm: int, bands: int, shingle_k: int,
+    est_prefilter: float | None = None,
 ) -> ray.data.Dataset:
-    """MinHash-LSH candidate pairs (a < b), globally deduplicated.
+    """MinHash-LSH candidate pairs (a < b); multi-band duplicates possible
+    (the verify join drops them without an extra exchange).
 
-    Band rows carry (band, 16-hex band hash, doc_id) ONLY — ~40 B/row
-    through the one candidate-generation exchange regardless of document
-    size or signature width."""
+    Default: band rows carry (band, 16-hex band hash, doc_id) ONLY —
+    ~40 B/row through the candidate-generation exchange regardless of
+    document size or signature width.  Right when banding is selective
+    (shingle space with low background similarity).
+
+    ``est_prefilter``: band rows additionally carry the signature and each
+    bucket screens its pairs on estimated similarity before emitting them —
+    right when banding alone is unselective (see
+    ``_bucket_pairs_prefiltered``)."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, shingle_k)
-    banded = sigs.map_batches(_band_rows_fn(bands, rows_per_band), batch_format="pandas")
-    pairs = grouped_block_map(banded, ["band", "band_hash"], _bucket_pairs)
-    # a pair found by several bands must verify once: distinct via one more
-    # (narrow, candidate-sized) exchange
-    return grouped_block_map(pairs, ["a", "b"], lambda g: g.head(1))
+    banded = sigs.map_batches(
+        _band_rows_fn(bands, rows_per_band, carry_sig=est_prefilter is not None),
+        batch_format="pandas",
+    )
+    bucket_fn = (
+        _bucket_pairs if est_prefilter is None
+        else _bucket_pairs_prefiltered(est_prefilter)
+    )
+    # NOTE: a pair found by several bands appears several times; the
+    # verify join dedupes it for free (same-`a` copies co-locate in its
+    # first bucketed join) — see exact_jaccard_verify
+    return grouped_block_map(banded, ["band", "band_hash"], bucket_fn,
+                             drop_singletons=True)
 
 
 # ---------------------------------------------------------------------------
@@ -193,6 +250,7 @@ def _empty_pair_frame() -> pd.DataFrame:
 
 def _attach_payload(
     pairs: ray.data.Dataset, docs_payload: ray.data.Dataset, key: str, fill: str,
+    dedupe: bool = False,
 ) -> ray.data.Dataset:
     """Bucketed hash join: pairs.<key> ⋈ docs_payload.doc_id, filling the
     ``fill`` column with the doc's packed payload string.
@@ -240,8 +298,12 @@ def _attach_payload(
         if len(p) == 0:
             return _empty_pair_frame()
         out = p[list(_PAIR_COLS)].copy()
+        if dedupe:
+            # every copy of a pair shares its `key` value, so all copies
+            # land in THIS bucket — a local drop is a global distinct
+            out = out.drop_duplicates(["a", "b"])
         lookup = dict(zip(d["doc_id"], d["doc_payload"]))
-        out[fill] = p[key].map(lookup).fillna("").astype("object")
+        out[fill] = out[key].map(lookup).fillna("").astype("object")
         return out
 
     return grouped_block_map(both, ["bucket"], join_bucket)
@@ -302,7 +364,9 @@ def exact_jaccard_verify(
         )
 
     step = pairs.map_batches(seed_pairs, batch_format="pandas")
-    step = _attach_payload(step, docs_payload, "a", "payload_a")
+    # dedupe folded into the first join (same-`a` copies co-locate there):
+    # saves a whole candidate-sized sort exchange
+    step = _attach_payload(step, docs_payload, "a", "payload_a", dedupe=True)
     step = _attach_payload(step, docs_payload, "b", "payload_b")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -448,7 +512,10 @@ def minhash_dedup(
     """
     ensure_picklable()
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    cands = lsh_candidate_pairs(docs, num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+    cands = lsh_candidate_pairs(
+        docs, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        est_prefilter=threshold - 0.15,
+    )
     verified = exact_jaccard_verify(cands, docs, k=shingle_k, threshold=threshold)
     pair_df = verified.to_pandas()  # verified pairs: output-sized by construction
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -474,19 +541,20 @@ def jaccard_pairs(
     candidates.
 
     Background 3-gram similarity between unrelated docs is high (measured
-    median ≈ 0.46 on the test corpus), so candidates get a vectorized
-    minhash-agreement prefilter (est ≥ threshold − 0.3, a ≥ 6σ margin at
-    num_perm = 64) before the exact set intersection.  Candidate pair rows
-    carry only (a, b) through the exchanges; texts join on at verification,
-    once per candidate pair — never per band row.
+    median ≈ 0.46 on the test corpus), so banding alone is unselective:
+    buckets screen their pairs on the vectorized signature-agreement
+    estimate (est ≥ threshold − 0.15) BEFORE any pair leaves the bucket —
+    survivors are ~true pairs, and only they pay the text join + exact
+    set intersection.  (Materializing unscreened bucket pairs and joining
+    texts per pair was measured 7× slower than round 1 at sf0.1.)
     """
     ensure_picklable()
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    cands = lsh_candidate_pairs(docs, num_perm=num_perm, bands=bands, shingle_k=k)
-    verified = exact_jaccard_verify(
-        cands, docs, k=k, threshold=threshold,
-        prefilter_margin=0.3, num_perm=num_perm,
+    cands = lsh_candidate_pairs(
+        docs, num_perm=num_perm, bands=bands, shingle_k=k,
+        est_prefilter=threshold - 0.15,
     )
+    verified = exact_jaccard_verify(cands, docs, k=k, threshold=threshold)
     out = verified.to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
@@ -600,7 +668,8 @@ def simhash_pairs(sf_dir: str, *, max_hamming: int = 3) -> pd.DataFrame:
             {"a": ids[iu[keep]], "b": ids[ju[keep]], "hamming": d[iu[keep], ju[keep]]}
         ).astype("int64")
 
-    pair_ds = grouped_block_map(banded, ["band", "chunk"], verify)
+    pair_ds = grouped_block_map(banded, ["band", "chunk"], verify,
+                                drop_singletons=True)
     out = grouped_block_map(pair_ds, ["a", "b"], lambda g: g.head(1)).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")
 
@@ -706,5 +775,5 @@ def embedding_dedup(
         batch_format="pandas",
         concurrency=(1, 4),
     )
-    out = grouped_block_map(bucketed, ["bucket"], verify).to_pandas()
+    out = grouped_block_map(bucketed, ["bucket"], verify, drop_singletons=True).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
