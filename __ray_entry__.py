@@ -135,6 +135,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": sql_oracles.sql_simhash_pairs(max_hamming=3),
         "embedding_dedup": sql_oracles.sql_embedding_dedup(dim, threshold=0.3, planes=6),
         "knn_search_lsh": sql_oracles.sql_knn_search_lsh(dim, k=5, n_queries=10, planes=8),
+        "knn_search_ivf": sql_oracles.sql_knn_search_ivf(
+            dim, k=5, n_queries=10, n_clusters=16, n_probe=4
+        ),
         "image_features": sql_oracles.sql_image_features(),
         "extract_doc_meta": sql_oracles.sql_extract_doc_meta(
             pages_path_for(SF_ORACLE) + "/*.parquet"

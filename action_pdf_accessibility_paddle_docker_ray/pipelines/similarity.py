@@ -160,78 +160,103 @@ def knn_search_lsh(
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
-def _kmeans_centroids(
-    sf_dir: str, n_clusters: int, n_iters: int = 5, seed: int = 17
-) -> np.ndarray:
-    """Deterministic distributed k-means: seeded init from the first rows,
-    then ``n_iters`` rounds of (per-batch partial sums → driver reduce).
-    The per-round shuffle volume is n_clusters × dim floats per batch.
+_IVF_QUANT = 4096.0  # floor-quantization scale for the coarse quantizer
 
-    The embedding table is read + normalized ONCE and ``materialize()``d
-    (it is the k-means working set, re-scanned every iteration — round 1
-    re-read the parquet 5×)."""
-    ids, init = _load_queries(sf_dir, n_clusters)  # first n vectors as seeds
-    centroids = init / np.linalg.norm(init, axis=1, keepdims=True)
 
-    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+def _ivf_quantize(mat: np.ndarray) -> np.ndarray:
+    """floor(v·4096) — exact in float64 (float32 inputs), identical in SQL."""
+    return np.floor(mat.astype(np.float64) * _IVF_QUANT).astype(np.int64)
+
+
+def _ivf_scores(q: np.ndarray, sums: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Assignment scores dot(q, S_c)/n_c: integer dot products (exact —
+    magnitudes ≤ 2^47 for 64-dim unit-scale embeddings) divided by integer
+    counts in float64.  Because both operands are bit-identical integers in
+    every engine, the float quotient is bit-identical too — the whole
+    k-means trajectory is reproducible by the SQL oracle with NO
+    accumulated float-order divergence."""
+    return (q @ sums.T).astype(np.float64) / counts.astype(np.float64)
+
+
+def _kmeans_state(
+    sf_dir: str, n_clusters: int, n_iters: int = 5
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic distributed quantized k-means (seeded from the first
+    ``n_clusters`` vectors): ``n_iters`` rounds of (per-batch INTEGER
+    partial sums → driver reduce).  Returns the final (S, n) state —
+    centroid c = S_c / n_c.  The per-round exchange is n_clusters × dim
+    ints per batch; empty clusters keep their previous state.
+
+    The embedding table is read + quantized ONCE and ``materialize()``d
+    (it is the k-means working set, re-scanned every iteration)."""
+    _ids, init = _load_queries(sf_dir, n_clusters)  # first n vectors as seeds
+    sums = _ivf_quantize(init)
+    counts = np.ones(n_clusters, dtype=np.int64)
+
+    def quantize(df: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        return pd.DataFrame({"embedding": list(mat)})
+        return pd.DataFrame({"qv": list(_ivf_quantize(mat))})
 
     ds = (
         read_table(sf_dir, "embeddings", columns=["embedding"])
-        .map_batches(normalize, batch_format="pandas")
+        .map_batches(quantize, batch_format="pandas")
         .materialize()
     )
     for _ in range(n_iters):
-        c_ref = ray.put(centroids)
+        c_ref = ray.put((sums, counts))
 
         def partial_sums(df: pd.DataFrame) -> pd.DataFrame:
-            cents = ray.get(c_ref)
-            matn = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
-            assign = (matn @ cents.T).argmax(axis=1)
+            s, n = ray.get(c_ref)
+            q = np.stack([np.asarray(e, dtype=np.int64) for e in df["qv"]])
+            assign = _ivf_scores(q, s, n).argmax(axis=1)
             rows = []
             for c in np.unique(assign):
-                members = matn[assign == c]
+                members = q[assign == c]
                 rows.append({"cluster": int(c), "n": len(members),
                              "vec_sum": members.sum(axis=0).tolist()})
             return pd.DataFrame(rows)
 
         parts = ds.map_batches(partial_sums, batch_format="pandas").to_pandas()
-        sums = np.zeros_like(centroids)
-        counts = np.zeros(len(centroids))
+        new_sums = np.zeros_like(sums)
+        new_counts = np.zeros(n_clusters, dtype=np.int64)
         for row in parts.itertuples(index=False):
-            sums[row.cluster] += np.asarray(row.vec_sum)
-            counts[row.cluster] += row.n
-        nonzero = counts > 0
-        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
-        centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    return centroids
+            new_sums[row.cluster] += np.asarray(row.vec_sum, dtype=np.int64)
+            new_counts[row.cluster] += row.n
+        empty = new_counts == 0
+        new_sums[empty] = sums[empty]
+        new_counts[empty] = counts[empty]
+        sums, counts = new_sums, new_counts
+    return sums, counts
 
 
 def knn_search_ivf(
     sf_dir: str, *, k: int = 5, n_queries: int = 10, n_clusters: int = 16,
     n_probe: int = 4,
 ) -> pd.DataFrame:
-    """IVF approximate top-k: coarse k-means quantizer, queries probe the
-    ``n_probe`` nearest cells, exact cosine only within probed cells.
+    """IVF approximate top-k: quantized-k-means coarse quantizer, queries
+    probe the ``n_probe`` best cells, exact cosine only within probed cells.
 
     The scale path: cells become the shuffle key (groupby(cluster) builds
-    per-cell sub-indexes once, queries fan out only to probed cells)."""
+    per-cell sub-indexes once, queries fan out only to probed cells).
+    Cell assignment is exact integer arithmetic end-to-end, so the cell of
+    every vector — and hence the candidate sets — is reproducible by the
+    DuckDB SQL oracle."""
     ensure_picklable()
-    centroids = _kmeans_centroids(sf_dir, n_clusters)
+    sums, counts = _kmeans_state(sf_dir, n_clusters)
     q_ids, q_mat = _load_queries(sf_dir, n_queries)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-    q_cells = np.argsort(-(q_norm @ centroids.T), axis=1)[:, :n_probe]
-    c_ref = ray.put((centroids, q_ids, q_norm, q_cells))
+    q_scores = _ivf_scores(_ivf_quantize(q_mat), sums, counts)
+    # stable sort: ties → lower cell id, matching SQL row_number order
+    q_cells = np.argsort(-q_scores, axis=1, kind="stable")[:, :n_probe]
+    c_ref = ray.put((sums, counts, q_ids, q_norm, q_cells))
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        cents, ids, qn, cells = ray.get(c_ref)
+        s, n, ids, qn, cells = ray.get(c_ref)
         mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
         matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        assign = (matn @ cents.T).argmax(axis=1)
+        assign = _ivf_scores(_ivf_quantize(mat), s, n).argmax(axis=1)
         vec_ids = df["vec_id"].to_numpy()
         rows = {"query_id": [], "neighbor_id": [], "sim": []}
         for qi, qid in enumerate(ids):

@@ -245,6 +245,79 @@ def sql_knn_search_lsh(dim: int, k: int = 5, n_queries: int = 10,
     )
 
 
+def _ivf_iter_ctes(prev: str, idx: int, dim: int) -> tuple[str, str]:
+    """One quantized-k-means iteration as CTEs: assign every vector to its
+    best cell by score = dot(qv, S_c)/n_c (exact-int dot, float division of
+    identical ints → bit-equal to numpy), then element-wise integer sums
+    per cell; empty cells keep the previous state."""
+    a, b, m, u, n, c = (f"{p}{idx}" for p in "abmunc")
+    sql = (
+        f"{a} AS (SELECT q.vec_id, q.qv, c.c, "
+        f"list_dot_product(q.qv, c.s)::DOUBLE / c.n AS score "
+        f"FROM q CROSS JOIN {prev} c), "
+        f"{b} AS (SELECT vec_id, qv, c, row_number() OVER ("
+        f"PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM {a}), "
+        f"{m} AS (SELECT vec_id, qv, c FROM {b} WHERE rn = 1), "
+        f"{u} AS (SELECT c, d.i AS dim, SUM(qv[d.i]) AS sv "
+        f"FROM {m}, range(1, {dim + 1}) AS d(i) GROUP BY c, d.i), "
+        f"{n} AS (SELECT c, COUNT(*) AS n FROM {m} GROUP BY c), "
+        f"{c} AS (SELECT p.c, COALESCE(su.s, p.s) AS s, COALESCE({n}.n, p.n) AS n "
+        f"FROM {prev} p "
+        f"LEFT JOIN (SELECT c, list(sv ORDER BY dim) AS s FROM {u} GROUP BY c) su "
+        f"ON p.c = su.c LEFT JOIN {n} ON p.c = {n}.c)"
+    )
+    return sql, c
+
+
+def sql_knn_search_ivf(dim: int, k: int = 5, n_queries: int = 10,
+                       n_clusters: int = 16, n_probe: int = 4,
+                       n_iters: int = 5) -> str:
+    """Recompute the full quantized-k-means IVF search: seeded init from the
+    first n_clusters vectors, n_iters exact-integer iterations, multi-cell
+    probe, cosine rank (mirrors similarity.knn_search_ivf /
+    _kmeans_state)."""
+    iters = []
+    prev = "c0"
+    for i in range(1, n_iters + 1):
+        sql, prev = _ivf_iter_ctes(prev, i, dim)
+        iters.append(sql)
+    final_state = prev
+    return (
+        "WITH v AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), "
+        "q AS (SELECT vec_id, emb, list_transform(emb, "
+        "x -> CAST(floor(x * 4096.0) AS BIGINT)) AS qv FROM v), "
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, "
+        "qv AS s, CAST(1 AS BIGINT) AS n FROM "
+        f"(SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {n_clusters})), "
+        + ", ".join(iters) + ", "
+        # final cell of every vector under the converged state
+        "fa AS (SELECT q.vec_id, c.c, "
+        f"list_dot_product(q.qv, c.s)::DOUBLE / c.n AS score "
+        f"FROM q CROSS JOIN {final_state} c), "
+        "cells AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM fa) WHERE rn = 1), "
+        # the first n_queries vectors probe their n_probe best cells
+        "qs AS (SELECT vec_id AS query_id, emb, qv FROM q "
+        f"WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id "
+        f"LIMIT {n_queries})), "
+        "pa AS (SELECT qs.query_id, c.c, "
+        f"list_dot_product(qs.qv, c.s)::DOUBLE / c.n AS score "
+        f"FROM qs CROSS JOIN {final_state} c), "
+        "probe AS (SELECT query_id, c FROM (SELECT query_id, c, row_number() OVER ("
+        f"PARTITION BY query_id ORDER BY score DESC, c) AS rn FROM pa) "
+        f"WHERE rn <= {n_probe}), "
+        "cand AS (SELECT p.query_id, ce.vec_id AS neighbor_id, "
+        "list_cosine_similarity(qs.emb, v.emb) AS sim "
+        "FROM probe p JOIN cells ce ON ce.c = p.c "
+        "JOIN v ON v.vec_id = ce.vec_id "
+        "JOIN qs ON qs.query_id = p.query_id WHERE ce.vec_id != p.query_id), "
+        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM cand) "
+        f"SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}"
+    )
+
+
 def sql_image_features() -> str:
     """Byte-level features of the documents' utf-8 payloads (char == byte on
     the ASCII corpus): length, md5 digest, byte-entropy (mirrors
