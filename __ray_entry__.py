@@ -93,9 +93,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": relational.events_sliding,
         "distinct_stats": relational.distinct_stats,
         "quality_filter": relational.quality_filter,
-        # joins (both-sides-large partitioned hash join; as-of join)
+        # joins (both-sides-large partitioned hash join; salted-skew
+        # variant; as-of join; range join)
         "orders_lineitem_join": joins.orders_lineitem_join,
+        "orders_lineitem_join_salted": joins.orders_lineitem_join_salted,
         "events_asof_order": joins.events_asof_order,
+        "events_orders_range_join": joins.events_orders_range_join,
         # text analysis (SQL-checked)
         "exact_dedup": text_ops.exact_dedup,
         "token_count": text_ops.token_count,
@@ -242,6 +245,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, epoch_us(o.o_orderdate) AS order_ts_us "
             "FROM events e ASOF LEFT JOIN orders o "
             "ON o.o_custkey = e.user_id + 1 AND e.ts >= o.o_orderdate"
+        ),
+        # salted variant: identical logical result, different physical plan
+        "orders_lineitem_join_salted": (
+            "SELECT o.o_orderpriority, COUNT(*) AS n_items, "
+            "CAST(ROUND(SUM(l.l_quantity), 0) AS BIGINT) AS sum_qty "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderpriority"
+        ),
+        "events_orders_range_join": (
+            "SELECT e.event_id, CAST(COUNT(o.o_orderdate) AS BIGINT) AS n_orders_7d, "
+            "COALESCE(MAX(epoch_us(o.o_orderdate)), -1) AS last_order_ts_us "
+            "FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id + 1 "
+            "AND o.o_orderdate <= e.ts "
+            "AND epoch_us(o.o_orderdate) >= epoch_us(e.ts) - 604800000000 "
+            "GROUP BY e.event_id"
         ),
         "knn_search": (
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "

@@ -14,6 +14,7 @@ joins beyond the formula-id lookup).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -90,6 +91,154 @@ def orders_lineitem_join(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def orders_lineitem_join_salted(sf_dir: str, *, salt: int = 4) -> ray.data.Dataset:
+    """The same partitioned hash join with HOT-KEY SALTING: the probe side
+    (lineitem) spreads each key over ``salt`` sub-buckets via a
+    deterministic row hash, and the build side (orders) replicates each row
+    into all ``salt`` sub-buckets.  A key whose probe rows would all land
+    in one bucket now splits across ``salt`` of them — the skew-mitigation
+    pattern for power-law join keys, at the cost of build-side ×salt
+    replication.  Output (and SQL oracle) identical to
+    ``orders_lineitem_join``."""
+    ensure_picklable()
+    from ray.data.aggregate import Sum
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    lineitem = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity", "l_linenumber"])
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        # build side: replicate into every salt sub-bucket of its key
+        n = len(df)
+        key = np.repeat(df["o_orderkey"].to_numpy().astype("int64"), salt)
+        sub = np.tile(np.arange(salt, dtype=np.int64), n)
+        return pd.DataFrame(
+            {
+                "key": key,
+                "bucket": (key % JOIN_BUCKETS) * salt + sub,
+                "side": "o",
+                "priority": np.repeat(df["o_orderpriority"].to_numpy(), salt),
+                "qty": 0.0,
+            }
+        )
+
+    def tag_lineitem(df: pd.DataFrame) -> pd.DataFrame:
+        # probe side: deterministic per-row salt (NOT derived from the key,
+        # so a hot key's rows spread evenly)
+        key = df["l_orderkey"].astype("int64")
+        row_salt = (df["l_linenumber"].astype("int64") * 2654435761) % salt
+        return pd.DataFrame(
+            {
+                "key": key,
+                "bucket": (key % JOIN_BUCKETS) * salt + row_salt,
+                "side": "l",
+                "priority": "",
+                "qty": df["l_quantity"].astype("float64"),
+            }
+        )
+
+    both = orders.map_batches(tag_orders, batch_format="pandas").union(
+        lineitem.map_batches(tag_lineitem, batch_format="pandas")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == "o"][["key", "priority"]]
+        li = df[df["side"] == "l"][["key", "qty"]]
+        if len(o) == 0 or len(li) == 0:
+            return pd.DataFrame(
+                {"priority": pd.Series([], dtype="object"),
+                 "part_n": pd.Series([], dtype="int64"),
+                 "part_qty": pd.Series([], dtype="float64")}
+            )
+        j = li.merge(o, on="key", how="inner")
+        g = j.groupby("priority", sort=True).agg(part_n=("qty", "size"), part_qty=("qty", "sum"))
+        return g.reset_index()
+
+    partials = grouped_block_map(both, ["bucket"], join_bucket)
+    agg = partials.groupby("priority").aggregate(
+        Sum("part_n", alias_name="n_items"), Sum("part_qty", alias_name="qty_raw")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": df["priority"],
+                "n_items": df["n_items"].astype("int64"),
+                "sum_qty": df["qty_raw"].round(0).astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+RANGE_JOIN_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7 days
+
+
+def events_orders_range_join(sf_dir: str) -> ray.data.Dataset:
+    """RANGE JOIN: for every event, the count and latest timestamp of the
+    same customer's orders inside the trailing 7-day window
+    (o_orderdate ∈ [ts − 7d, ts]).
+
+    Shape: bucket both sides by the equality key (customer), per bucket
+    sort the orders once and answer every event with two vectorized
+    ``searchsorted`` probes — O((E+O)·log O) per bucket, never the E×O
+    interval cross product.  Inequality-bounded joins are not expressible
+    as a plain hash join; this is the composition pattern (equality
+    co-partition + per-bucket interval scan) the engine uses for them."""
+    ensure_picklable()
+    import numpy as np
+
+    events = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": (df["user_id"] + 1).astype("int64"),
+                "side": "e",
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["o_custkey"].astype("int64"),
+                "side": "o",
+                "event_id": -1,
+                "ts_us": df["o_orderdate"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    both = events.map_batches(tag_events, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def range_key(df: pd.DataFrame) -> pd.DataFrame:
+        ev = df[df["side"] == "e"]
+        empty = pd.DataFrame(
+            {"event_id": pd.Series([], dtype="int64"),
+             "n_orders_7d": pd.Series([], dtype="int64"),
+             "last_order_ts_us": pd.Series([], dtype="int64")}
+        )
+        if len(ev) == 0:
+            return empty
+        od_ts = np.sort(df.loc[df["side"] == "o", "ts_us"].to_numpy())
+        ev_ts = ev["ts_us"].to_numpy()
+        hi = np.searchsorted(od_ts, ev_ts, side="right")
+        lo = np.searchsorted(od_ts, ev_ts - RANGE_JOIN_WINDOW_US, side="left")
+        n = (hi - lo).astype("int64")
+        # -1 sentinel for "no order in window" (keeps the column
+        # non-nullable int64 → bit-exact under the driver's normalize)
+        last = np.where(hi > lo, od_ts[np.maximum(hi - 1, 0)], -1).astype("int64")
+        return pd.DataFrame(
+            {"event_id": ev["event_id"].to_numpy(), "n_orders_7d": n,
+             "last_order_ts_us": last}
+        )
+
+    return grouped_block_map(both, ["key"], range_key)
 
 
 def events_asof_order(sf_dir: str) -> ray.data.Dataset:

@@ -41,7 +41,9 @@ BENCH_QUERIES = [
     "knn_search_lsh",
     "knn_search_ivf",
     "orders_lineitem_join",
+    "orders_lineitem_join_salted",
     "events_asof_order",
+    "events_orders_range_join",
     "html_extract",
     "langid",
     "fingerprint",

@@ -247,3 +247,43 @@ def test_entropy_vectorized_matches_reference():
     for _ in range(50):
         data = bytes(rng.randint(0, 256, size=rng.randint(0, 500)).astype(np.uint8))
         assert ImageFeatureStage._entropy_milli(data) == ref(data)
+
+
+def test_salted_join_matches_unsalted(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.joins import (
+        orders_lineitem_join,
+        orders_lineitem_join_salted,
+    )
+
+    a = orders_lineitem_join(SF).to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    b = (
+        orders_lineitem_join_salted(SF, salt=4)
+        .to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_range_join_window_semantics(ray_session):
+    """Trailing 7-day window: counts must be consistent with a pandas
+    recompute on a sampled key."""
+    import pyarrow.parquet as pq
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.joins import (
+        RANGE_JOIN_WINDOW_US,
+        events_orders_range_join,
+    )
+
+    out = events_orders_range_join(SF).to_pandas().set_index("event_id")
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "user_id", "ts"]).to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey", "o_orderdate"]).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    od["ts_us"] = od["o_orderdate"].astype("datetime64[us]").astype("int64")
+    sample = ev.head(50)
+    for r in sample.itertuples(index=False):
+        mine = od[(od["o_custkey"] == r.user_id + 1)
+                  & (od["ts_us"] <= r.ts_us)
+                  & (od["ts_us"] >= r.ts_us - RANGE_JOIN_WINDOW_US)]
+        got = out.loc[r.event_id]
+        assert got["n_orders_7d"] == len(mine)
+        want_last = int(mine["ts_us"].max()) if len(mine) else -1
+        assert got["last_order_ts_us"] == want_last
