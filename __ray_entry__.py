@@ -33,6 +33,7 @@ from action_pdf_accessibility_paddle_docker_ray.pipelines import (  # noqa: E402
     sql_oracles,
 )
 from action_pdf_accessibility_paddle_docker_ray.pipelines.flagship import (  # noqa: E402
+    domain_stats,
     pages_path_for,
 )
 from action_pdf_accessibility_paddle_docker_ray.stages.multimodal import (  # noqa: E402
@@ -80,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans": _extract_spans,
         # SQL-checkable projection of the flagship pipeline
         "extract_doc_meta": _extract_doc_meta,
+        # web-corpus composition over the derived pages corpus
+        "domain_stats": domain_stats,
         # HTML-arm round-trip with a SQL oracle (byte-exact text recovery)
         "html_extract": text_ops.html_extract,
         # relational operator demos (SQL-checked)
@@ -104,9 +107,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": text_ops.token_count,
         "text_quality": text_ops.text_quality,
         "token_histogram": text_ops.token_histogram,
-        # text analysis (rows-only)
         "langid": text_ops.langid,
         "fingerprint": text_ops.fingerprint,
+        "repetition_stats": text_ops.repetition_stats,
+        "unigram_logprob": text_ops.unigram_logprob,
+        "events_top3_per_user": relational.events_top3_per_user,
         # dedup family (rows-only: LSH/minhash not SQL-expressible)
         "minhash_dedup": dedup_ops.minhash_dedup,
         "simhash_pairs": dedup_ops.simhash_pairs,
@@ -144,6 +149,12 @@ def oracle_sql() -> dict[str, str]:
         "image_features": sql_oracles.sql_image_features(),
         "extract_doc_meta": sql_oracles.sql_extract_doc_meta(
             pages_path_for(SF_ORACLE) + "/*.parquet"
+        ),
+        "domain_stats": (
+            "SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain, "
+            "COUNT(*) AS n_pages "
+            f"FROM read_parquet('{pages_path_for(SF_ORACLE)}/*.parquet') "
+            "GROUP BY domain ORDER BY n_pages DESC, domain LIMIT 20"
         ),
         "html_extract": (
             "SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url, "
@@ -260,6 +271,39 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate <= e.ts "
             "AND epoch_us(o.o_orderdate) >= epoch_us(e.ts) - 604800000000 "
             "GROUP BY e.event_id"
+        ),
+        "repetition_stats": (
+            "WITH l AS (SELECT doc_id, unnest(split(text, chr(10))) AS ln FROM documents), "
+            "lc AS (SELECT doc_id, ln, COUNT(*) AS n FROM l GROUP BY doc_id, ln), "
+            "lines AS (SELECT doc_id, "
+            "CAST(SUM(CASE WHEN n > 1 THEN length(ln) * n ELSE 0 END) AS BIGINT) AS dup_line_chars, "
+            "CAST(SUM(length(ln) * n) AS BIGINT) AS line_chars FROM lc GROUP BY doc_id), "
+            r"tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents), "
+            "bg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i + 1] "
+            "for i in range(1, greatest(len(toks), 1))]) AS bigram FROM tk), "
+            "bc AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram), "
+            "tb AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS top_bigram_n FROM bc GROUP BY doc_id) "
+            "SELECT d.doc_id, lines.dup_line_chars, lines.line_chars, "
+            "COALESCE(tb.top_bigram_n, 0) AS top_bigram_n, "
+            r"CAST(greatest(length(regexp_extract_all(d.text, '\S+')) - 1, 0) AS BIGINT) AS n_bigrams "
+            "FROM documents d JOIN lines ON d.doc_id = lines.doc_id "
+            "LEFT JOIN tb ON d.doc_id = tb.doc_id"
+        ),
+        "unigram_logprob": (
+            r"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t "
+            "FROM documents), "
+            "vocab AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t), "
+            "tot AS (SELECT SUM(n)::DOUBLE AS total FROM vocab), "
+            "lp AS (SELECT t, CAST(ROUND(log2(n / total) * 1000000) AS BIGINT) AS l "
+            "FROM vocab, tot) "
+            "SELECT tok.doc_id, CAST(SUM(lp.l) AS BIGINT) AS logprob_micro, "
+            "COUNT(*) AS n_tokens FROM tok JOIN lp ON tok.t = lp.t GROUP BY tok.doc_id"
+        ),
+        "events_top3_per_user": (
+            "SELECT user_id, event_id, rk FROM ("
+            "SELECT user_id, event_id, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY value DESC, event_id) AS rk FROM events"
+            ") WHERE rk <= 3"
         ),
         "knn_search": (
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "

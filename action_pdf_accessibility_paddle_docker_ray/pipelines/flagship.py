@@ -51,6 +51,34 @@ def corpus_from_documents(sf_dir: str, replicate: int = 1) -> pa.Table:
     )
 
 
+def domain_stats(sf_dir: str):
+    """Per-domain crawl counts over the derived pages corpus — the standard
+    web-corpus composition report (and a pruned-read demo: ONLY the url
+    column leaves storage).
+
+    Output: top 20 (domain, n_pages) by (count desc, domain asc)."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .. import ensure_picklable
+
+    ensure_picklable()
+    path = pages_path_for(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dom = df["url"].str.extract(r"^[a-z]+://([^/]+)", expand=False).fillna("")
+        counts = dom.value_counts()
+        return pd.DataFrame(
+            {"domain": counts.index, "part_n": counts.to_numpy().astype("int64")}
+        )
+
+    ds = ray.data.read_parquet(path, columns=["url"])
+    ds = ds.map_batches(partial, batch_format="pandas")
+    agg = ds.groupby("domain").aggregate(Sum("part_n", alias_name="n_pages"))
+    return agg.sort(["n_pages", "domain"], descending=[True, False]).limit(20)
+
+
 def pages_path_for(
     sf_dir: str, n_sdoc: int = 120, seed: int = 42, n_files: int = 32,
     replicate: int = 1,

@@ -259,6 +259,35 @@ def distinct_stats(sf_dir: str) -> "pd.DataFrame":
     )
 
 
+def events_top3_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Grouped top-k (window ranking): each user's 3 highest-value events.
+
+    Per-batch combiner keeps only each batch's local top-3 per user before
+    the one grouped exchange — the shuffle carries ≤ 3 rows per (user,
+    batch) instead of the full events table."""
+    ensure_picklable()
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("user_id", sort=False).head(3)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True],
+                          kind="mergesort").head(3)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64").to_numpy(),
+                "event_id": g["event_id"].astype("int64").to_numpy(),
+                "rk": pd.RangeIndex(1, len(g) + 1).to_numpy().astype("int64"),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "value"])
+    ds = ds.map_batches(local_top, batch_format="pandas")
+    return grouped_block_map(ds, ["user_id"], rank_group)
+
+
 def quality_filter(sf_dir: str) -> ray.data.Dataset:
     """Composed quality-gate: keep docs passing stopword/punct/length
     thresholds (the training-data corpus filter shape); SQL-checked."""

@@ -10,6 +10,7 @@ explicit stable hash functions (hashlib / FNV) — never Python's builtin
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pandas as pd
 import ray.data
@@ -174,6 +175,99 @@ def fingerprint(sf_dir: str) -> ray.data.Dataset:
 
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         fp, batch_format="pandas"
+    )
+
+
+def repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition signals (Rae et al. 2021, public method):
+    characters inside duplicated lines, and the most-frequent word bigram's
+    count — the standard repetitious-document filters for training corpora.
+
+    Integer-only outputs (numerators/denominators, not fractions) so the
+    DuckDB oracle matches bit-for-bit: (doc_id, dup_line_chars, line_chars,
+    top_bigram_n, n_bigrams)."""
+    ensure_picklable()
+    from collections import Counter
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        dup_chars, tot_chars, top_bi, n_bi = [], [], [], []
+        for text in df["text"]:
+            lines = text.split("\n")
+            counts = Counter(lines)
+            tot_chars.append(sum(len(ln) for ln in lines))
+            dup_chars.append(
+                sum(len(ln) for ln in lines if counts[ln] > 1)
+            )
+            toks = text.split()
+            bigrams = Counter(
+                a + " " + b for a, b in zip(toks, toks[1:])
+            )
+            top_bi.append(max(bigrams.values()) if bigrams else 0)
+            n_bi.append(max(len(toks) - 1, 0))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "dup_line_chars": pd.Series(dup_chars, dtype="int64"),
+                "line_chars": pd.Series(tot_chars, dtype="int64"),
+                "top_bigram_n": pd.Series(top_bi, dtype="int64"),
+                "n_bigrams": pd.Series(n_bi, dtype="int64"),
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas"
+    )
+
+
+def unigram_logprob(sf_dir: str) -> ray.data.Dataset:
+    """Unigram language-model scoring — the classic cheap quality signal.
+
+    Two-phase: (1) global token counts via per-batch combiners + one small
+    groupby (the vocabulary build); (2) the vocabulary's per-token
+    micro-logprobs broadcast once (``ray.put``), each batch scores its
+    docs by an exact INTEGER sum of per-token values — integer sums are
+    order-free, so the result is bit-identical at any parallelism and in
+    the SQL oracle (per-token rounding happens on identical doubles in
+    both engines)."""
+    ensure_picklable()
+    import numpy as np
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(_TOKEN_RE).explode().dropna()
+        counts = toks.value_counts()
+        return pd.DataFrame({"token": counts.index, "part_n": counts.to_numpy().astype("int64")})
+
+    vocab = (
+        read_table(sf_dir, "documents", columns=["text"])
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    total = int(vocab["n"].sum())
+    lp_micro = np.round(np.log2(vocab["n"].to_numpy() / total) * 1e6).astype("int64")
+    lp_ref = ray.put(dict(zip(vocab["token"], lp_micro)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lp = ray.get(lp_ref)
+        out_lp, out_n = [], []
+        for text in df["text"]:
+            toks = re.findall(_TOKEN_RE, text)
+            out_lp.append(int(sum(lp[t] for t in toks)))
+            out_n.append(len(toks))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "logprob_micro": pd.Series(out_lp, dtype="int64"),
+                "n_tokens": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
     )
 
 

@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "html_extract",
     "langid",
     "fingerprint",
+    "repetition_stats",
+    "unigram_logprob",
+    "events_top3_per_user",
 ]
 
 
