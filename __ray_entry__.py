@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top3_per_user": relational.events_top3_per_user,
         # dedup family (rows-only: LSH/minhash not SQL-expressible)
         "minhash_dedup": dedup_ops.minhash_dedup,
+        "dedup_corpus": dedup_ops.dedup_corpus,
         "simhash_pairs": dedup_ops.simhash_pairs,
         "jaccard_pairs": dedup_ops.jaccard_pairs,
         "embedding_dedup": dedup_ops.embedding_dedup,
@@ -140,6 +141,12 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": sql_oracles.sql_fingerprint(),
         "jaccard_pairs": sql_oracles.sql_jaccard_pairs(threshold=0.8, k=3),
         "minhash_dedup": sql_oracles.sql_minhash_dedup(threshold=0.7, k=5),
+        "dedup_corpus": (
+            "SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN ("
+            "SELECT doc_id FROM ("
+            + sql_oracles.sql_minhash_dedup(threshold=0.7, k=5)
+            + ") WHERE doc_id != rep_id)"
+        ),
         "simhash_pairs": sql_oracles.sql_simhash_pairs(max_hamming=3),
         "embedding_dedup": sql_oracles.sql_embedding_dedup(dim, threshold=0.3, planes=6),
         "knn_search_lsh": sql_oracles.sql_knn_search_lsh(dim, k=5, n_queries=10, planes=8),

@@ -3,13 +3,16 @@ cosine — the training-data dedup family.
 
 Scale shapes (per the Ray Data dedup pattern):
 
-- **Candidate generation** explodes each doc into NARROW band rows
-  ``(band, band_hash, doc_id)`` — no text, no signature payload rides the
-  all-to-all (round-1 shipped full signatures/texts through every band row;
-  this was the measured scale-killer).
-- **Verification** re-joins the needed per-doc payload (text, signature)
-  onto the *candidate pairs only* via bucketed hash joins — the exchange
-  volume is bounded by the candidate count (output-sized), never the corpus.
+- **Candidate generation** explodes each doc into band rows.  Two modes,
+  chosen by the shingle space's background similarity: narrow rows
+  ``(band, band_hash, doc_id)`` (~40 B/row) when banding is selective, or
+  signature-carrying rows + an in-bucket agreement prefilter
+  (``est_prefilter``) when it is not — texts NEVER ride band rows either
+  way (round-1 shipped full texts through every band row; that was the
+  measured scale-killer, 16× payload amplification).
+- **Verification** re-joins the text payload onto the *surviving candidate
+  pairs only* via bucketed hash joins — the exchange volume is bounded by
+  the survivor count (output-sized), never the corpus.
 - **Exact verify**: minhash_dedup and jaccard_pairs verify candidates with
   the EXACT char-k-gram Jaccard (LSH is only the candidate generator), so
   their results are reproducible by an all-pairs SQL oracle; simhash's
@@ -531,6 +534,40 @@ def minhash_dedup(
     return pd.DataFrame(
         {"doc_id": [r[0] for r in rows], "rep_id": [r[1] for r in rows]}
     ).astype("int64")
+
+
+def dedup_corpus(
+    sf_dir: str, *, num_perm: int = 64, bands: int = 16, threshold: float = 0.7,
+    shingle_k: int = 5,
+) -> "ray.data.Dataset":
+    """The actual corpus-dedup step a training pipeline runs: keep every
+    document that is either not near-duplicated or is its cluster's
+    representative (min doc_id).
+
+    The drop set is the clustered non-representatives — output-sized
+    (bounded by the duplicate count), so it broadcasts via ``ray.put`` and
+    the corpus filter is a streaming map_batches; at extreme duplicate
+    rates the drop set becomes a bucketed anti-join instead (same
+    partitioned-join machinery as the verify stage)."""
+    import ray
+
+    clusters = minhash_dedup(
+        sf_dir, num_perm=num_perm, bands=bands, threshold=threshold,
+        shingle_k=shingle_k,
+    )
+    drop = frozenset(
+        int(d) for d, r in zip(clusters["doc_id"], clusters["rep_id"]) if d != r
+    )
+    drop_ref = ray.put(drop)
+
+    def keep_fn(df: pd.DataFrame) -> pd.DataFrame:
+        dropped = ray.get(drop_ref)
+        keep = ~df["doc_id"].isin(dropped)
+        return pd.DataFrame({"doc_id": df["doc_id"][keep].astype("int64")})
+
+    return read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        keep_fn, batch_format="pandas"
+    )
 
 
 def jaccard_pairs(

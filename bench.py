@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "events_sliding",
     "exact_dedup",
     "minhash_dedup",
+    "dedup_corpus",
     "simhash_pairs",
     "jaccard_pairs",
     "embedding_dedup",

@@ -287,3 +287,60 @@ def test_range_join_window_semantics(ray_session):
         assert got["n_orders_7d"] == len(mine)
         want_last = int(mine["ts_us"].max()) if len(mine) else -1
         assert got["last_order_ts_us"] == want_last
+
+
+def test_attach_payload_matches_pandas_merge(ray_session):
+    """Randomized check of the bucketed verify-join machinery: attaching
+    payloads for both pair sides must equal a plain pandas merge, including
+    the fold-in distinct on the first pass."""
+    import ray.data
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+        _attach_payload,
+    )
+
+    rng = np.random.RandomState(42)
+    n_docs = 200
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(n_docs, dtype="int64"),
+         "payload": [f"p{i}|text {i}" for i in range(n_docs)]}
+    )
+    pairs = pd.DataFrame(
+        {
+            "a": rng.randint(0, n_docs, 500).astype("int64"),
+            "b": rng.randint(0, n_docs, 500).astype("int64"),
+        }
+    )
+    pairs = pairs[pairs["a"] < pairs["b"]].reset_index(drop=True)
+    seeded = pairs.assign(payload_a="", payload_b="")
+
+    step = _attach_payload(
+        ray.data.from_pandas(seeded), ray.data.from_pandas(docs), "a", "payload_a",
+        dedupe=True,
+    )
+    step = _attach_payload(step, ray.data.from_pandas(docs), "b", "payload_b")
+    got = step.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+
+    want = pairs.drop_duplicates(["a", "b"])
+    want = want.merge(docs.rename(columns={"doc_id": "a", "payload": "payload_a"}), on="a")
+    want = want.merge(docs.rename(columns={"doc_id": "b", "payload": "payload_b"}), on="b")
+    want = want.sort_values(["a", "b"]).reset_index(drop=True)
+    assert got[["a", "b", "payload_a", "payload_b"]].equals(
+        want[["a", "b", "payload_a", "payload_b"]]
+    )
+
+
+def test_dedup_corpus_keeps_reps_only(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+        dedup_corpus,
+        minhash_dedup,
+    )
+
+    clusters = minhash_dedup(SF)
+    kept = set(dedup_corpus(SF).to_pandas()["doc_id"])
+    for d, r in zip(clusters["doc_id"], clusters["rep_id"]):
+        if d != r:
+            assert d not in kept
+        else:
+            assert d in kept
+    assert len(kept) > 0
