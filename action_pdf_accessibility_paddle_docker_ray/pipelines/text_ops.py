@@ -228,7 +228,12 @@ def unigram_logprob(sf_dir: str) -> ray.data.Dataset:
     docs by an exact INTEGER sum of per-token values — integer sums are
     order-free, so the result is bit-identical at any parallelism and in
     the SQL oracle (per-token rounding happens on identical doubles in
-    both engines)."""
+    both engines).
+
+    Scale note: the driver holds the vocabulary table (distinct tokens).
+    At open-web scale that broadcast becomes either a top-K vocabulary +
+    OOV-smoothing bucket (the standard LM-scoring shape) or a bucketed
+    token⋈logprob join — the two-phase topology is unchanged."""
     ensure_picklable()
     import numpy as np
     import ray
