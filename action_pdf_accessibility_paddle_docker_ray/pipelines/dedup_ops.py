@@ -146,9 +146,17 @@ def _band_rows_fn(bands: int, rows_per_band: int, carry_sig: bool):
             }
         )
         if carry_sig:
-            out["sig"] = [
-                np.asarray(s, dtype=np.int64) for s in np.repeat(df["sig"], bands)
+            # byte-compact signature for the in-bucket estimate screen:
+            # one uint8 per perm (minhash mod 256).  Collisions only BIAS
+            # the estimate upward by (1−J)/256 — the screen gets slightly
+            # laxer, never stricter, so recall is unaffected while the
+            # band-row payload shrinks 8×.  The exact verify later uses
+            # full texts, not this.
+            sig_bytes = [
+                np.asarray(s, dtype=np.int64).astype(np.uint8).tobytes()
+                for s in df["sig"]
             ]
+            out["sigb"] = np.repeat(np.array(sig_bytes, dtype=object), bands)
         return out
 
     return band_rows
@@ -185,7 +193,7 @@ def _bucket_pairs_prefiltered(est_cut: float):
             return empty
         df = df.sort_values("doc_id", kind="mergesort")
         ids = df["doc_id"].to_numpy()
-        sigs = np.stack([np.asarray(s, dtype=np.int64) for s in df["sig"]])
+        sigs = np.stack([np.frombuffer(b, dtype=np.uint8) for b in df["sigb"]])
         m = len(ids)
         agree = np.zeros((m, m), dtype=np.uint16)
         for p in range(sigs.shape[1]):  # perms loop; m×m compare vectorized
@@ -222,15 +230,62 @@ def lsh_candidate_pairs(
         _band_rows_fn(bands, rows_per_band, carry_sig=est_prefilter is not None),
         batch_format="pandas",
     )
-    bucket_fn = (
-        _bucket_pairs if est_prefilter is None
-        else _bucket_pairs_prefiltered(est_prefilter)
-    )
     # NOTE: a pair found by several bands appears several times; the
     # verify join dedupes it for free (same-`a` copies co-locate in its
     # first bucketed join) — see exact_jaccard_verify
-    return grouped_block_map(banded, ["band", "band_hash"], bucket_fn,
-                             drop_singletons=True)
+    if est_prefilter is None:
+        return grouped_block_map(banded, ["band", "band_hash"], _bucket_pairs,
+                                 drop_singletons=True)
+
+    group_fn = _bucket_pairs_prefiltered(est_prefilter)
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        """Block-level screening: the overwhelming majority of non-singleton
+        LSH buckets hold exactly 2 rows (random band collisions); those are
+        screened in ONE vectorized pass over the whole block instead of a
+        ~0.15 ms/group python dispatch (measured 2-3× end-to-end)."""
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        df = df[df.duplicated(["band", "band_hash"], keep=False)]
+        if len(df) == 0:
+            return empty
+        # group boundaries on the (sorted) block
+        band = df["band"].to_numpy()
+        bh = df["band_hash"].to_numpy()
+        new_grp = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
+        grp_id = np.cumsum(new_grp) - 1
+        sizes = np.bincount(grp_id)
+        outs = []
+
+        two = sizes[grp_id] == 2
+        if two.any():
+            sub = df[two]
+            sigs = np.stack([np.frombuffer(b, dtype=np.uint8) for b in sub["sigb"]])
+            ids = sub["doc_id"].to_numpy()
+            a_rows, b_rows = sigs[0::2], sigs[1::2]
+            est = (a_rows == b_rows).mean(axis=1)
+            keep = est >= est_prefilter
+            if keep.any():
+                lo = np.minimum(ids[0::2][keep], ids[1::2][keep])
+                hi = np.maximum(ids[0::2][keep], ids[1::2][keep])
+                same = lo != hi
+                outs.append(pd.DataFrame({"a": lo[same], "b": hi[same]}))
+
+        big = sizes[grp_id] > 2
+        if big.any():
+            for _, g in df[big].groupby(["band", "band_hash"], sort=False):
+                r = group_fn(g)
+                if len(r):
+                    outs.append(r)
+        if outs:
+            return pd.concat(outs, ignore_index=True).astype("int64")
+        return empty
+
+    return banded.sort(["band", "band_hash"]).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -328,15 +383,25 @@ def _unpack_payload(payload: str) -> tuple[np.ndarray | None, str]:
 def exact_jaccard_verify(
     pairs: ray.data.Dataset, docs: ray.data.Dataset, *, k: int, threshold: float,
     prefilter_margin: float | None = None, num_perm: int = 64,
+    broadcast_limit: int = 500_000,
 ) -> ray.data.Dataset:
     """(a, b) candidates → (a, b, jaccard) rows with EXACT char-k-gram
     Jaccard ≥ threshold.
 
+    Physical plan by candidate volume:
+    - ≤ ``broadcast_limit`` pairs (the normal case — candidates are
+      screened to ~output size upstream): the involved docs' texts are
+      gathered by one distributed filtered scan and broadcast once
+      (``ray.put``); verification is a plain ``map_batches`` over the pair
+      rows — ZERO additional sort exchanges.  Driver/broadcast memory is
+      bounded by the candidate count.
+    - above the limit: two bucketed hash joins co-locate each pair with
+      its payloads (``_attach_payload``) — all-exchange, nothing
+      broadcast, unbounded-safe.
+
     With ``prefilter_margin`` set, a vectorized minhash-agreement estimate
     screens pairs before the exact set intersection (est ≥ threshold −
-    margin): in corpora where background k-gram similarity is high (small
-    k), candidate buckets admit many sub-threshold pairs and the estimate
-    removes them at ~num_perm integer compares instead of a set build."""
+    margin)."""
     with_sig = prefilter_margin is not None
     if with_sig:
         a_p, b_p = _minhash_params(num_perm)
@@ -354,23 +419,62 @@ def exact_jaccard_verify(
             payloads = [_pack_payload(None, t) for t in df["text"]]
         return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"), "payload": payloads})
 
-    docs_payload = docs.map_batches(pack, batch_format="pandas")
+    import ray
 
-    def seed_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "a": df["a"].astype("int64"),
-                "b": df["b"].astype("int64"),
-                "payload_a": "",
-                "payload_b": "",
-            }
+    pairs = pairs.materialize()  # consumed twice (count + verify)
+    if pairs.count() <= broadcast_limit:
+        # broadcast path: one distributed filtered scan gathers the texts
+        # of the involved docs (bounded by the candidate count), broadcast
+        # once; pairs verify in place with no exchange
+        pair_df = pairs.to_pandas().drop_duplicates(["a", "b"])
+        ids = frozenset(pair_df["a"]) | frozenset(pair_df["b"])
+        ids_ref = ray.put(ids)
+
+        def gather(df: pd.DataFrame) -> pd.DataFrame:
+            wanted = ray.get(ids_ref)
+            keep = df["doc_id"].isin(wanted)
+            return pack(df[keep])
+
+        texts = docs.map_batches(gather, batch_format="pandas").to_pandas()
+        payload_ref = ray.put(dict(zip(texts["doc_id"], texts["payload"])))
+
+        def fill(df: pd.DataFrame) -> pd.DataFrame:
+            payloads = ray.get(payload_ref)
+            return pd.DataFrame(
+                {
+                    "a": df["a"].astype("int64"),
+                    "b": df["b"].astype("int64"),
+                    "payload_a": df["a"].map(payloads).astype("object"),
+                    "payload_b": df["b"].map(payloads).astype("object"),
+                }
+            )
+
+        # from_pandas yields ONE block; spread the surviving pairs so the
+        # exact verify parallelizes across the pool
+        n_blocks = max(1, min(64, len(pair_df) // 2000 + 1))
+        step = (
+            ray.data.from_pandas(pair_df)
+            .repartition(n_blocks)
+            .map_batches(fill, batch_format="pandas")
         )
+    else:
+        docs_payload = docs.map_batches(pack, batch_format="pandas")
 
-    step = pairs.map_batches(seed_pairs, batch_format="pandas")
-    # dedupe folded into the first join (same-`a` copies co-locate there):
-    # saves a whole candidate-sized sort exchange
-    step = _attach_payload(step, docs_payload, "a", "payload_a", dedupe=True)
-    step = _attach_payload(step, docs_payload, "b", "payload_b")
+        def seed_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "a": df["a"].astype("int64"),
+                    "b": df["b"].astype("int64"),
+                    "payload_a": "",
+                    "payload_b": "",
+                }
+            )
+
+        step = pairs.map_batches(seed_pairs, batch_format="pandas")
+        # dedupe folded into the first join (same-`a` copies co-locate
+        # there): saves a whole candidate-sized sort exchange
+        step = _attach_payload(step, docs_payload, "a", "payload_a", dedupe=True)
+        step = _attach_payload(step, docs_payload, "b", "payload_b")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
@@ -498,17 +602,22 @@ def _cluster_pairs_distributed(pair_df: pd.DataFrame, max_iters: int = 50) -> pd
 # ---------------------------------------------------------------------------
 
 def minhash_dedup(
-    sf_dir: str, *, num_perm: int = 64, bands: int = 16, threshold: float = 0.7,
+    sf_dir: str, *, num_perm: int = 126, bands: int = 42, threshold: float = 0.7,
     shingle_k: int = 5, cluster_mode: str = "driver",
 ) -> pd.DataFrame:
     """MinHash-LSH near-dup clusters over ``documents``.
 
-    Candidates come from 16×4 banding; candidates are verified with the
+    Candidates come from 42×3 banding; candidates are verified with the
     EXACT char-k-gram Jaccard (≥ threshold), so the result equals the
-    all-pairs exact-Jaccard clustering whenever LSH recall holds (recall ≥
-    1 − (1−t^r)^b ≈ 1 − 3e-10 at the corpus's observed minimum true-pair
-    similarity of ~0.92; verified exactly by the SQL oracle at the driver's
-    scale factors).
+    all-pairs exact-Jaccard clustering whenever LSH recall holds.  The
+    r=3 / b=42 parameters make recall robust AT the threshold itself:
+    P(miss | J=0.7) = (1−0.343)^42 ≈ 2e-8 even for a pair sitting exactly
+    on the decision boundary; the in-bucket estimate prefilter uses a
+    ≥6σ margin (0.25 at 126 perms) for the same reason.  (Round 2's first
+    cut, r=4 / b=16, had a 1.2% miss at J=0.7 — fine for this corpus's
+    ≥0.92 planted pairs, fragile in general.)  The 3-row bands admit more
+    background candidates, which the estimate prefilter screens inside
+    the buckets before any pair row leaves.
 
     Returns (doc_id, rep_id) for every doc in a near-dup cluster of size
     ≥ 2 (rep = min doc_id of the cluster).
@@ -517,7 +626,7 @@ def minhash_dedup(
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     cands = lsh_candidate_pairs(
         docs, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-        est_prefilter=threshold - 0.15,
+        est_prefilter=threshold - 0.25,
     )
     verified = exact_jaccard_verify(cands, docs, k=shingle_k, threshold=threshold)
     pair_df = verified.to_pandas()  # verified pairs: output-sized by construction
@@ -537,7 +646,7 @@ def minhash_dedup(
 
 
 def dedup_corpus(
-    sf_dir: str, *, num_perm: int = 64, bands: int = 16, threshold: float = 0.7,
+    sf_dir: str, *, num_perm: int = 126, bands: int = 42, threshold: float = 0.7,
     shingle_k: int = 5,
 ) -> "ray.data.Dataset":
     """The actual corpus-dedup step a training pipeline runs: keep every
@@ -578,12 +687,22 @@ def jaccard_pairs(
     candidates.
 
     Background 3-gram similarity between unrelated docs is high (measured
-    median ≈ 0.46 on the test corpus), so banding alone is unselective:
-    buckets screen their pairs on the vectorized signature-agreement
-    estimate (est ≥ threshold − 0.15) BEFORE any pair leaves the bucket —
-    survivors are ~true pairs, and only they pay the text join + exact
-    set intersection.  (Materializing unscreened bucket pairs and joining
-    texts per pair was measured 7× slower than round 1 at sf0.1.)
+    median ≈ 0.46 on the test corpus), so banding alone is unselective —
+    ~50% of ALL pairs collide in some band; buckets therefore screen their
+    pairs on the vectorized signature-agreement estimate (est ≥ threshold
+    − 0.15) BEFORE any pair leaves the bucket, and only survivors pay the
+    text gather + exact set intersection.  (Materializing unscreened
+    bucket pairs and joining texts per pair was measured 7× slower than
+    round 1 at sf0.1.)
+
+    Precision is exact (final decision = exact Jaccard).  Recall: pairs AT
+    the decision boundary (J within ~0.02 of threshold) carry up to ~1e-3
+    combined banding+screen miss probability at these parameters; from
+    J ≥ 0.85 the bound is < 1e-7, and the corpus's true pairs sit at
+    J ≥ 0.92 (~1e-9).  The background-similarity level makes stricter
+    bounds cost proportionally (double num_perm/bands ≈ 4× screening ops
+    — measured 23 s vs 10 s at sf0.1); raise them when boundary recall
+    matters more than wall time.
     """
     ensure_picklable()
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
