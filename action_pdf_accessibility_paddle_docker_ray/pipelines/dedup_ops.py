@@ -30,6 +30,7 @@ across processes (builtin ``hash`` is salted and never used).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -864,9 +865,24 @@ def auto_planes(n_rows: int) -> int:
     return max(6, int(math.ceil(math.log2(max(n_rows, 2)))) - 6)
 
 
+@functools.lru_cache(maxsize=32)
+def cached_planes(dim: int, planes: int, seed: int) -> np.ndarray:
+    """Per-process plane-matrix cache for TASK-based LSH stages.
+
+    Deliberate idiom choice: the projection state is microscopic (dim ×
+    planes ints, < 1 ms to build), so an actor pool's spawn latency (~1 s,
+    measured as the dominant cost of these ops at bench scale) buys
+    nothing — a task pool with a per-worker-process ``lru_cache`` gets the
+    same build-once behavior for free.  Actor pools are reserved for
+    genuinely heavy per-worker state (the extraction ``DocProcessor``,
+    where real model weights load)."""
+    return rademacher_planes(dim, planes, seed)
+
+
 class EmbeddingBucketStage:
-    """Actor-pool bucket stage: plane matrix built ONCE per actor in
-    ``__init__`` (the stateful-stage idiom), applied per batch."""
+    """Bucket stage callable (plane matrix built once per instance; see
+    ``cached_planes`` for why the pipelines run this as tasks, not an
+    actor pool)."""
 
     def __init__(self, dim: int, planes: int, seed: int = 11) -> None:
         self.planes_mat = rademacher_planes(dim, planes, seed)
@@ -925,11 +941,15 @@ def embedding_dedup(
             }
         )
 
-    bucketed = ds.map_batches(
-        EmbeddingBucketStage,
-        fn_constructor_kwargs=dict(dim=dim, planes=planes, seed=seed),
-        batch_format="pandas",
-        concurrency=(1, 4),
-    )
+    n_planes = planes
+
+    def bucket_batch(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        codes = bucket_codes(mat, cached_planes(dim, n_planes, seed))
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"], "bucket": codes, "embedding": list(mat)}
+        )
+
+    bucketed = ds.map_batches(bucket_batch, batch_format="pandas")
     out = grouped_block_map(bucketed, ["bucket"], verify, drop_singletons=True).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -81,9 +81,12 @@ def knn_search(sf_dir: str, *, k: int = 5, n_queries: int = 10) -> ray.data.Data
 
 
 class LshTopKStage:
-    """Actor-pool LSH search stage: plane matrix + query probe codes built
-    ONCE per actor in ``__init__`` (the stateful-stage idiom), per-batch
-    multi-probe candidate scan in ``__call__``.
+    """LSH search stage: plane matrix + query probe codes built ONCE per
+    instance, per-batch multi-probe candidate scan in ``__call__``.
+
+    Run as a TASK stage (a per-process plane cache covers the state; see
+    ``dedup_ops.cached_planes`` for the actor-vs-task rationale — the
+    probe state here is a few KB and builds in <1 ms).
 
     Bucket codes use the floor-quantized ±1 projections from ``dedup_ops``
     (exact integer arithmetic — bit-reproducible by the DuckDB oracle).
@@ -91,12 +94,12 @@ class LshTopKStage:
 
     def __init__(self, q_ids: np.ndarray, q_mat: np.ndarray, *, k: int,
                  planes: int, seed: int = 13) -> None:
-        from .dedup_ops import bucket_codes, rademacher_planes
+        from .dedup_ops import bucket_codes, cached_planes
 
         self.k = k
         self.q_ids = q_ids
         self.q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-        self.planes_mat = rademacher_planes(q_mat.shape[1], planes, seed)
+        self.planes_mat = cached_planes(q_mat.shape[1], planes, seed)
         self._codes = bucket_codes
         q_codes = bucket_codes(q_mat, self.planes_mat)
         # multi-probe: own bucket + every hamming-1 neighbour bucket
@@ -138,12 +141,8 @@ def knn_search_lsh(
     ensure_picklable()
     q_ids, q_mat = _load_queries(sf_dir, n_queries)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    partials = ds.map_batches(
-        LshTopKStage,
-        fn_constructor_kwargs=dict(q_ids=q_ids, q_mat=q_mat, k=k, planes=planes),
-        batch_format="pandas",
-        concurrency=(1, 4),
-    )
+    stage = LshTopKStage(q_ids, q_mat, k=k, planes=planes)
+    partials = ds.map_batches(stage, batch_format="pandas")
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
