@@ -344,3 +344,60 @@ def test_dedup_corpus_keeps_reps_only(ray_session):
         else:
             assert d in kept
     assert len(kept) > 0
+
+
+def test_verify_bucketed_path_matches_broadcast(ray_session):
+    """Force the above-bound bucketed-join verify and compare with the
+    broadcast fast path on the same candidates."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+        exact_jaccard_verify,
+        lsh_candidate_pairs,
+    )
+    from action_pdf_accessibility_paddle_docker_ray.sources.pages import read_table
+
+    docs = read_table(SF, "documents", columns=["doc_id", "text"])
+    cands = lsh_candidate_pairs(
+        docs, num_perm=126, bands=42, shingle_k=5, est_prefilter=0.45
+    ).materialize()
+    fast = (
+        exact_jaccard_verify(cands, docs, k=5, threshold=0.7)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    slow = (
+        exact_jaccard_verify(cands, docs, k=5, threshold=0.7, broadcast_limit=0)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert len(fast) > 0
+    assert fast.equals(slow)
+
+
+def test_char_gramset_matches_sql_windows():
+    """char_gramset must equal DuckDB's substr-window expression for any
+    ASCII text (the exact-verify / oracle contract)."""
+    import random
+    import string
+
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+        char_gramset,
+    )
+
+    con = duckdb.connect()
+    rng = random.Random(9)
+    texts = ["ab", "a", "abc", "abcd", ""] + [
+        "".join(rng.choice(string.ascii_letters + " .\n") for _ in range(rng.randint(1, 80)))
+        for _ in range(40)
+    ]
+    for k in (3, 5):
+        for t in texts:
+            if not t:
+                continue
+            # literal SQL, matching the generated oracles (DuckDB misbinds
+            # prepared `?` params inside list comprehensions)
+            lit = "'" + t.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+            got = con.execute(
+                f"SELECT list_distinct([substr(lower({lit}), i, {k}) "
+                f"for i in range(1, greatest(length({lit}) - {k - 2}, 2))])"
+            ).fetchone()[0]
+            assert frozenset(got) == char_gramset(t, k), (t, k)
