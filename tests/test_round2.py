@@ -401,3 +401,44 @@ def test_char_gramset_matches_sql_windows():
                 f"for i in range(1, greatest(length({lit}) - {k - 2}, 2))])"
             ).fetchone()[0]
             assert frozenset(got) == char_gramset(t, k), (t, k)
+
+
+def test_driver_extract_queries_match_oracle_on_flagship_corpus(ray_session):
+    """The two rows-only driver queries (extract_docs / extract_spans) are
+    pinned here against the golden oracle on the EXACT derived corpus the
+    driver executes them on."""
+    import json
+
+    import __ray_entry__ as e
+    from action_pdf_accessibility_paddle_docker_ray.oracle import oracle_extract
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.flagship import (
+        pages_path_for,
+    )
+
+    table = pq.read_table(pages_path_for(SF))
+    golden = {d["url"]: d for d in oracle_extract(table)}
+
+    docs = e.queries()["extract_docs"](SF).to_pandas()
+    assert len(docs) == len(golden)
+    for r in docs.itertuples(index=False):
+        g = golden[r.url]
+        assert r.text == g["text"], r.url
+        assert r.n_pages == g["n_pages"] and r.n_regions == g["n_regions"]
+        assert r.status == g["status"]
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        return int(v)
+
+    spans = e.queries()["extract_spans"](SF).to_pandas()
+    want_spans = []
+    for d in golden.values():
+        for s in d["spans"]:
+            want_spans.append((d["url"], norm(s.get("page_no", 0)), s["label"],
+                               norm(s.get("reading_order")), norm(s.get("region_id"))))
+    got_spans = [
+        (r.url, norm(r.page_no), r.label, norm(r.reading_order), norm(r.region_id))
+        for r in spans.itertuples(index=False)
+    ]
+    assert sorted(got_spans, key=str) == sorted(want_spans, key=str)
