@@ -302,13 +302,13 @@ def _formula_image_to_latex(data: bytes) -> str:
     whose bytes are the LaTeX payload itself exercises the full
     surrounding plumbing deterministically."""
     if data[:2] == _JPEG_MAGIC or data[:8] == _PNG_MAGIC:
-        try:
-            import cv2  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "raster formula images need cv2 + the PaddleX formula model, "
-                "neither available in this container"
-            ) from exc
+        # unconditional: even where cv2 imports, no formula model is wired —
+        # falling through to utf-8 decode would die with an uncaught
+        # UnicodeDecodeError instead of run_mathml's EC_ENGINE_RENDER
+        raise NotImplementedError(
+            "raster formula images need cv2 + the PaddleX formula model; "
+            "the model is not integrated in this engine"
+        )
     return data.decode("utf-8").strip()
 
 

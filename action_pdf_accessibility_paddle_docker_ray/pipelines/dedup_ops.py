@@ -362,7 +362,9 @@ def _attach_payload(
             # land in THIS bucket — a local drop is a global distinct
             out = out.drop_duplicates(["a", "b"])
         lookup = dict(zip(d["doc_id"], d["doc_payload"]))
-        out[fill] = out[key].map(lookup).fillna("").astype("object")
+        # a pair whose doc lookup missed gets the VALID empty payload "|"
+        # (sig part empty, text empty) — `_unpack_payload("")` would raise
+        out[fill] = out[key].map(lookup).fillna("|").astype("object")
         return out
 
     return grouped_block_map(both, ["bucket"], join_bucket)
@@ -548,11 +550,15 @@ def _cluster_pairs_distributed(pair_df: pd.DataFrame, max_iters: int = 50) -> pd
 
     Each round is one grouped exchange over (node, peer, label) rows: every
     node's current label flows to its neighbours, and each node adopts the
-    minimum label seen; rounds ≤ O(component diameter) with doubling via
-    label re-propagation (near-dup clusters are shallow).  Every step is a
-    Ray Dataset op; nothing bigger than the edge list materializes — the
-    driver only holds the (node, label) state to test convergence, which is
-    output-sized (one row per clustered doc)."""
+    minimum label seen.  This is plain one-hop flooding (NO pointer
+    doubling), so convergence takes O(component diameter) rounds — fine for
+    near-dup clusters (shallow by construction), slow for path-shaped
+    graphs.  If ``max_iters`` rounds pass without reaching the fixpoint the
+    function FALLS BACK to the driver union-find on the (already
+    output-sized) edge list rather than silently returning wrong reps.
+    Every step is a Ray Dataset op; nothing bigger than the edge list
+    materializes — the driver only holds the (node, label) state to test
+    convergence, which is output-sized (one row per clustered doc)."""
     edges = pd.DataFrame(
         {
             "node": pd.concat([pair_df["a"], pair_df["b"]], ignore_index=True),
@@ -585,6 +591,7 @@ def _cluster_pairs_distributed(pair_df: pd.DataFrame, max_iters: int = 50) -> pd
             {"node": [int(g["node"].iloc[0])], "label": [int(g["label"].min())]}
         )
 
+    converged = False
     for _ in range(max_iters):
         labels_ds = ray.data.from_pandas(labels)
         both = edges_ds.union(labels_ds)
@@ -592,8 +599,27 @@ def _cluster_pairs_distributed(pair_df: pd.DataFrame, max_iters: int = 50) -> pd
         new = grouped_block_map(flowed, ["node"], reduce_min).to_pandas()
         new = new.sort_values("node").reset_index(drop=True).astype("int64")
         if new["label"].equals(labels.sort_values("node")["label"].reset_index(drop=True)):
+            converged = True
             break
         labels = new.assign(peer=np.int64(-1))[["node", "peer", "label"]]
+    if not converged:
+        # a component deeper than max_iters hops: one-hop flooding hasn't
+        # reached its fixpoint, so the labels would be WRONG reps — fall
+        # back to the driver union-find over the (output-sized) edge list
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "min-label propagation hit max_iters=%d without converging; "
+            "falling back to driver union-find", max_iters,
+        )
+        pairs = sorted(
+            {(int(a), int(b)) for a, b in zip(pair_df["a"], pair_df["b"])}
+        )
+        clusters = _cluster_pairs(pairs)
+        rows = sorted(clusters.items())
+        return pd.DataFrame(
+            {"doc_id": [r[0] for r in rows], "rep_id": [r[1] for r in rows]}
+        ).astype("int64")
     out = labels[["node", "label"]].rename(columns={"node": "doc_id", "label": "rep_id"})
     return out.reset_index(drop=True)
 

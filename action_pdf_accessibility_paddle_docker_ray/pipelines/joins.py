@@ -231,8 +231,13 @@ def events_orders_range_join(sf_dir: str) -> ray.data.Dataset:
         lo = np.searchsorted(od_ts, ev_ts - RANGE_JOIN_WINDOW_US, side="left")
         n = (hi - lo).astype("int64")
         # -1 sentinel for "no order in window" (keeps the column
-        # non-nullable int64 → bit-exact under the driver's normalize)
-        last = np.where(hi > lo, od_ts[np.maximum(hi - 1, 0)], -1).astype("int64")
+        # non-nullable int64 → bit-exact under the driver's normalize).
+        # Index od_ts only where hi > lo: a key with events but zero
+        # orders (LEFT-JOIN semantics) must not fancy-index an empty array.
+        last = np.full(len(ev_ts), -1, dtype="int64")
+        has = hi > lo
+        if has.any():
+            last[has] = od_ts[hi[has] - 1]
         return pd.DataFrame(
             {"event_id": ev["event_id"].to_numpy(), "n_orders_7d": n,
              "last_order_ts_us": last}

@@ -1,0 +1,104 @@
+"""Round-3 additions: ADVICE bug fixes (range-join empty-orders class,
+payload-miss handling, raster gating, label-propagation fallback) and the
+scale-safety work items from VERDICT r2."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE fixes
+# ---------------------------------------------------------------------------
+
+def test_range_join_key_with_zero_orders(ray_session, tmp_path):
+    """LEFT-JOIN semantics: an event key with no orders at all must yield
+    n_orders_7d=0 / last=-1, not IndexError (ADVICE r2, medium)."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.joins import (
+        events_orders_range_join,
+    )
+
+    ts = dt.datetime(2026, 3, 1)
+    events = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            # user 0 → custkey 1 (has an order), user 6 → custkey 7 (none)
+            "user_id": pa.array([0, 6, 6], pa.int64()),
+            "ts": pa.array([ts, ts, ts + dt.timedelta(days=2)], pa.timestamp("us")),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1], pa.int64()),
+            "o_orderdate": pa.array([ts - dt.timedelta(days=1)], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+
+    out = events_orders_range_join(str(tmp_path)).to_pandas().set_index("event_id")
+    assert out.loc[1, "n_orders_7d"] == 1
+    assert out.loc[2, "n_orders_7d"] == 0 and out.loc[2, "last_order_ts_us"] == -1
+    assert out.loc[3, "n_orders_7d"] == 0 and out.loc[3, "last_order_ts_us"] == -1
+
+
+def test_attach_payload_missing_doc_yields_valid_empty_payload(ray_session):
+    """A pair whose doc lookup misses must carry the VALID empty payload
+    '|' (unpackable), not '' (which _unpack_payload rejects)."""
+    import ray.data
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+        _attach_payload,
+        _unpack_payload,
+    )
+
+    docs = pd.DataFrame({"doc_id": [1], "payload": ["|text one"]})
+    pairs = pd.DataFrame({"a": [1], "b": [999], "payload_a": "", "payload_b": ""})
+    step = _attach_payload(
+        ray.data.from_pandas(pairs), ray.data.from_pandas(docs), "a", "payload_a",
+        dedupe=True,
+    )
+    step = _attach_payload(step, ray.data.from_pandas(docs), "b", "payload_b")
+    got = step.to_pandas()
+    assert got.loc[0, "payload_b"] == "|"
+    sig, text = _unpack_payload(got.loc[0, "payload_b"])
+    assert sig is None and text == ""
+
+
+def test_raster_formula_image_always_maps_to_render_error():
+    """JPEG/PNG magic bytes must raise NotImplementedError unconditionally
+    (no formula model is wired even where cv2 imports), so run_mathml maps
+    them to EC_ENGINE_RENDER instead of an uncaught UnicodeDecodeError."""
+    from action_pdf_accessibility_paddle_docker_ray.cli import (
+        _formula_image_to_latex,
+    )
+
+    for data in (b"\xff\xd8\xff\xe0junk\x9c\xff", b"\x89PNG\r\n\x1a\n\x00\xffbits"):
+        with pytest.raises(NotImplementedError):
+            _formula_image_to_latex(data)
+    # non-raster payloads still decode as LaTeX text
+    assert _formula_image_to_latex(b" x^2 ") == "x^2"
+
+
+def test_label_propagation_falls_back_when_not_converged():
+    """With max_iters too small for the chain's diameter the distributed
+    propagation must fall back to the driver union-find (correct reps),
+    never silently return wrong labels."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+        _cluster_pairs,
+        _cluster_pairs_distributed,
+    )
+
+    nodes = list(range(0, 120, 10))  # path graph 0-10-20-...-110
+    pairs = pd.DataFrame({"a": nodes[:-1], "b": nodes[1:]})
+    dist = _cluster_pairs_distributed(pairs, max_iters=2)
+    got = dict(zip(dist["doc_id"], dist["rep_id"]))
+    want = _cluster_pairs([tuple(r) for r in pairs.to_numpy()])
+    assert got == want
+    assert all(v == 0 for v in got.values())
