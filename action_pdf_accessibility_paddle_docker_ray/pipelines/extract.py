@@ -4,7 +4,10 @@ Two physical plans for the same logical job:
 
 - ``regroup="colocate"`` (default, **no all-to-all**):
   ``read_parquet(url, warc_ts, html)`` → stale-crawl filter (broadcast
-  semi-join against a tiny (url, max warc_ts) winner map) → ``DocProcessor``
+  semi-join against a tiny (url, max warc_ts) winner map; above the
+  broadcast bound or on same-max-ts conflicts, a fixed-size dup-url Bloom
+  filter splits the stream and only maybe-dup rows pay a grouped dedup
+  exchange — ``functions/bloom.py``) → ``DocProcessor``
   ACTOR POOL (doc parse → page loop → detect → resolve → reading order →
   text extract → template assembly, all per input row = per document) →
   partitioned parquet.  A document never spans blocks, so per-url assembly
@@ -66,13 +69,22 @@ def _default_concurrency() -> tuple[int, int]:
 
 _SMALL_INPUT_BYTES = 1 << 30  # below this, the winner scan is one task
 # broadcast bound: above this many duplicated urls the per-worker winner map
-# stops being "small side"; fall back to the sort plan (one exchange, no
-# broadcast).  At Common-Crawl dup rates the 100 TB refinement is a bloom /
-# hashed-key filter + exchange of only maybe-dup rows — documented in
-# SURVEY §3.4; the bound keeps memory honest either way.
+# stops being "small side" as a Python dict; the pipeline switches to the
+# BLOOM route — broadcast a fixed-size bit filter of the dup urls, stream
+# definitely-unique rows straight to processing, and pay the grouped dedup
+# exchange for the (dup + false-positive) maybe stream only.
 _WINNER_BROADCAST_MAX = 2_000_000
 
 FALLBACK_SORT = "fallback_sort"
+
+
+class BloomRoute:
+    """Stale-filter verdict: broadcast the dup-url Bloom filter, split the
+    stream into definitely-unique rows (no exchange) and maybe-dup rows
+    (grouped dedup exchange over only those rows)."""
+
+    def __init__(self, bloom_ref: Any) -> None:
+        self.bloom_ref = bloom_ref
 
 
 def _merge_winner_partials(df):
@@ -90,6 +102,29 @@ def _merge_winner_partials(df):
     )
 
 
+def _bloom_from_dups(dups_ds: "ray.data.Dataset", n_dups: int) -> BloomRoute:
+    """Build the dup-url Bloom filter from the DISTRIBUTED winner table.
+
+    Each block maps its urls to probe positions (a tiny uint64 array, k
+    ints per url); the driver streams those batches and ORs bits into the
+    one fixed-size bitmap — it never holds a url, only the filter."""
+    import pandas as pd
+
+    from ..functions.bloom import UrlBloom, bloom_positions
+
+    bloom = UrlBloom(n_dups)
+    m, k = bloom.m, bloom.k
+
+    def positions(df: pd.DataFrame) -> pd.DataFrame:
+        pos = bloom_positions(df["url"].to_numpy(), m, k).reshape(-1)
+        return pd.DataFrame({"pos": pos.astype("uint64")})
+
+    pos_ds = dups_ds.map_batches(positions, batch_format="pandas")
+    for batch in pos_ds.iter_batches(batch_format="numpy"):
+        bloom.set_positions(batch["pos"])
+    return BloomRoute(ray.put(bloom))
+
+
 def _stale_filter(source: str) -> Any:
     """Semi-join dedup prep: find urls crawled more than once and their
     winning warc_ts via a (url, warc_ts)-ONLY scan — a second read of just
@@ -98,17 +133,20 @@ def _stale_filter(source: str) -> Any:
     Small inputs (≤1 GiB): one Ray task does a columnar scan + pandas
     groupby (no sub-pipeline startup).  Large inputs: a distributed
     per-batch partial aggregate + one grouped merge over (url, partial)
-    rows.
+    rows; the dup counts and the conflict check are computed DISTRIBUTED,
+    so nothing bigger than a per-block count row reaches the driver until
+    the winner map is proven small.
 
     Returns:
     - ``None`` — no duplicate urls; nothing to filter;
     - a ``ray.ObjectRef`` of ``{url: max_ts_us}`` for duplicated urls
-      (broadcast once, read per task);
-    - ``FALLBACK_SORT`` — the colocate plan's guarantee doesn't hold
-      (some url has ≥2 crawls sharing the max warc_ts, which the ts-only
-      filter cannot disambiguate) or the winner map exceeds the broadcast
-      bound; the caller must switch to the sort plan, which handles both
-      correctly.
+      (broadcast once, read per task) — only when the map is under the
+      broadcast bound AND no url has ≥2 crawls sharing the max warc_ts
+      (a ts-only dict cannot disambiguate those);
+    - ``BloomRoute`` — winner map too large to broadcast, or same-max-ts
+      conflicts present: broadcast only the fixed-size dup-url Bloom
+      filter; the caller splits the stream and pays the grouped dedup
+      exchange (content_key tie-break included) for maybe-dup rows only.
     """
     import pandas as pd
     import pyarrow.dataset as pads
@@ -136,27 +174,46 @@ def _stale_filter(source: str) -> Any:
             return out[out["n"] > 1]
 
         dups = ray.get(scan_winners.remote(source))
-    else:
-        from .util import grouped_block_map
+        if len(dups) == 0:
+            return None
+        if not (dups["n_at_max"] > 1).any() and len(dups) <= _WINNER_BROADCAST_MAX:
+            return ray.put(dict(zip(dups["url"], dups["max_ts"].astype("int64"))))
+        from ..functions.bloom import UrlBloom
 
-        merged = grouped_block_map(
-            read_pages(source, columns=["url", "warc_ts"]).map_batches(
-                partials, batch_format="pandas"
-            ),
-            ["url"],
-            _merge_winner_partials,
+        bloom = UrlBloom(len(dups))
+        bloom.add(dups["url"].to_numpy())
+        return BloomRoute(ray.put(bloom))
+
+    from .util import grouped_block_map
+
+    merged = grouped_block_map(
+        read_pages(source, columns=["url", "warc_ts"]).map_batches(
+            partials, batch_format="pandas"
+        ),
+        ["url"],
+        _merge_winner_partials,
+    )
+    import pyarrow.compute as pc
+
+    dups_ds = merged.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+    ).materialize()  # winner table: consumed 2-3 times; lives in the object
+    # store (distributed), bounded by the dup-url count — never the input
+
+    def count_block(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": [len(df)], "conflicts": [int((df["n_at_max"] > 1).sum())]}
         )
-        import pyarrow.compute as pc
 
-        dups = merged.map_batches(
-            lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
-        ).to_pandas()
-
-    if len(dups) == 0:
+    counts = dups_ds.map_batches(count_block, batch_format="pandas").to_pandas()
+    n_dups = int(counts["n"].sum())  # driver sees per-BLOCK counts only
+    n_conflicts = int(counts["conflicts"].sum())
+    if n_dups == 0:
         return None
-    if (dups["n_at_max"] > 1).any() or len(dups) > _WINNER_BROADCAST_MAX:
-        return FALLBACK_SORT
-    return ray.put(dict(zip(dups["url"], dups["max_ts"].astype("int64"))))
+    if n_conflicts == 0 and n_dups <= _WINNER_BROADCAST_MAX:
+        dups = dups_ds.to_pandas()  # proven bounded before materializing
+        return ray.put(dict(zip(dups["url"], dups["max_ts"].astype("int64"))))
+    return _bloom_from_dups(dups_ds, n_dups)
 
 
 def _make_drop_stale(winners_ref: Any):
@@ -174,6 +231,19 @@ def _make_drop_stale(winners_ref: Any):
         return t.filter(pa.array(keep, pa.bool_()))
 
     return drop_stale
+
+
+def _make_bloom_split(bloom_ref: Any, keep_hits: bool):
+    """Streaming filter against the broadcast Bloom bitmap: ``keep_hits``
+    False passes definitely-unique rows, True passes maybe-dup rows."""
+    import pyarrow as pa
+
+    def split(t: pa.Table) -> pa.Table:
+        bloom = ray.get(bloom_ref)
+        hits = bloom.contains(t.column("url").to_pandas().to_numpy())
+        return t.filter(pa.array(hits if keep_hits else ~hits, pa.bool_()))
+
+    return split
 
 
 def extract_pipeline(
@@ -198,9 +268,11 @@ def extract_pipeline(
       doc-aligned blocks (all pages of a url in one block), so assembly is
       block-local.  Requires ``dedup="late"`` semantics handled by the
       semi-join stale filter; when the winner scan detects a url with ≥2
-      crawls sharing the max warc_ts (which a ts-only filter cannot
+      crawls sharing the max warc_ts (which a ts-only dict cannot
       disambiguate) or a winner map too large to broadcast, the plan
-      AUTO-FALLS-BACK to "sort", which stays correct for both.
+      AUTO-SWITCHES to the Bloom route: broadcast a fixed-size dup-url
+      bit filter, stream unique rows exchange-free, and run the grouped
+      dedup (exact, content_key tie-break) over maybe-dup rows only.
     - "sort": classic sort("url") exchange before assembly (the same
       guarantee Ray's map_groups uses; a keyed hash repartition was
       measured 1.7x slower end-to-end on this Ray version).
@@ -231,11 +303,32 @@ def extract_pipeline(
         if winners_ref is None and is_path:
             winners_ref = _stale_filter(source)
         if winners_ref == FALLBACK_SORT:
-            # same-max-ts conflicting crawls (or an over-bound winner map):
-            # the broadcast semi-join can't guarantee one row per url —
-            # auto-switch to the sort plan, which resolves ties on
-            # content_key inside the per-url assembly groups
+            # explicit caller override (tests / `_winners_ref` injection):
+            # run the whole input through the sort plan
             regroup = "sort"
+        elif isinstance(winners_ref, BloomRoute):
+            # maybe-dup-only exchange: definitely-unique rows (Bloom miss)
+            # stream straight to the processor with NO exchange; maybe-dup
+            # rows (Bloom hit — dups plus ~6e-4 false positives) pay the
+            # grouped dedup, which resolves winners exactly, including
+            # same-max-ts ties (content_key tie-break in dedup_latest).
+            # The payload is read twice (one pass per side) — at extreme
+            # dup rates that beats the sort plan's full-output all-to-all.
+            bref = winners_ref.bloom_ref
+            unique = ds.map_batches(
+                _make_bloom_split(bref, keep_hits=False),
+                batch_format="pyarrow", num_cpus=0.5,
+            )
+            maybe = read_pages(source).map_batches(
+                _make_bloom_split(bref, keep_hits=True),
+                batch_format="pyarrow", num_cpus=0.5,
+            )
+            # dedup_latest emits pandas blocks; normalize to Arrow so the
+            # union feeds the processor one homogeneous block type
+            resolved = dedup_latest(maybe).map_batches(
+                lambda t: t, batch_format="pyarrow", num_cpus=0.5
+            )
+            ds = unique.union(resolved)
         elif winners_ref is not None:
             # num_cpus=0.5 keeps this a TASK stage (no fusion into the actor
             # pool): an ObjectRef captured in actor-constructor args breaks

@@ -69,11 +69,11 @@ def test_three_dedup_paths_pick_identical_winner(ray_session, tmp_path):
 
 def test_colocate_auto_falls_back_on_same_ts_conflict(ray_session, tmp_path):
     """A parquet input with same-max-ts conflicting crawls must produce ONE
-    row per url on the DEFAULT (colocate) plan — via the automatic
-    sort-plan fallback."""
+    row per url on the DEFAULT (colocate) plan — round 3: via the Bloom
+    route (maybe-dup-only grouped dedup), no longer the full sort plan."""
     from action_pdf_accessibility_paddle_docker_ray.oracle import oracle_extract
     from action_pdf_accessibility_paddle_docker_ray.pipelines.extract import (
-        FALLBACK_SORT,
+        BloomRoute,
         _stale_filter,
         extract_pipeline,
     )
@@ -82,7 +82,7 @@ def test_colocate_auto_falls_back_on_same_ts_conflict(ray_session, tmp_path):
     path = str(tmp_path / "pages.parquet")
     pq.write_table(t, path)
 
-    assert _stale_filter(path) == FALLBACK_SORT
+    assert isinstance(_stale_filter(path), BloomRoute)
 
     out = extract_pipeline(path, concurrency=(1, 2)).to_pandas()
     golden = {d["url"]: d["text"] for d in oracle_extract(t)}

@@ -102,3 +102,75 @@ def test_label_propagation_falls_back_when_not_converged():
     want = _cluster_pairs([tuple(r) for r in pairs.to_numpy()])
     assert got == want
     assert all(v == 0 for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# scale-safe stale filter (VERDICT r2 #1)
+# ---------------------------------------------------------------------------
+
+def test_bloom_filter_membership_and_fpr():
+    from action_pdf_accessibility_paddle_docker_ray.functions.bloom import UrlBloom
+
+    keys = np.array([f"https://dup.example/{i}" for i in range(5000)], dtype=object)
+    other = np.array([f"https://uniq.example/{i}" for i in range(50000)], dtype=object)
+    bloom = UrlBloom(len(keys))
+    bloom.add(keys)
+    assert bloom.contains(keys).all()  # zero false negatives, ever
+    fpr = bloom.contains(other).mean()
+    assert fpr < 0.01, fpr  # 16 bits/key, k=8 → ~6e-4 expected
+
+
+def test_zero_broadcast_bound_uses_bloom_and_matches_oracle(ray_session, tmp_path):
+    """Force _WINNER_BROADCAST_MAX=0: the pipeline must complete WITHOUT a
+    driver-side dup table (BloomRoute) and produce byte-identical output."""
+    import ray.data
+
+    import action_pdf_accessibility_paddle_docker_ray.pipelines.extract as ex
+    from action_pdf_accessibility_paddle_docker_ray.corpus import generate_pages
+    from action_pdf_accessibility_paddle_docker_ray.oracle import oracle_extract
+
+    t = generate_pages(120, seed=7)
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(t, path)
+
+    old = ex._WINNER_BROADCAST_MAX
+    ex._WINNER_BROADCAST_MAX = 0
+    try:
+        route = ex._stale_filter(path)
+        assert isinstance(route, ex.BloomRoute)
+        out = ex.extract_pipeline(path, concurrency=(1, 2)).to_pandas()
+    finally:
+        ex._WINNER_BROADCAST_MAX = old
+
+    golden = {d["url"]: d["text"] for d in oracle_extract(t)}
+    assert len(out) == len(golden)
+    for r in out.itertuples(index=False):
+        assert r.text == golden[r.url], r.url
+
+
+def test_zero_broadcast_bound_distributed_scan_matches(ray_session, tmp_path):
+    """Same forced-Bloom run through the DISTRIBUTED winner scan (driver
+    only ever sees per-block count rows and position batches)."""
+    import action_pdf_accessibility_paddle_docker_ray.pipelines.extract as ex
+    from action_pdf_accessibility_paddle_docker_ray.corpus import generate_pages
+    from action_pdf_accessibility_paddle_docker_ray.oracle import oracle_extract
+
+    t = generate_pages(80, seed=11)
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(t, path)
+
+    old_max, old_small = ex._WINNER_BROADCAST_MAX, ex._SMALL_INPUT_BYTES
+    ex._WINNER_BROADCAST_MAX, ex._SMALL_INPUT_BYTES = 0, 0
+    try:
+        route = ex._stale_filter(path)
+        assert isinstance(route, ex.BloomRoute)
+        out = ex.extract_pipeline(
+            path, concurrency=(1, 2), _winners_ref=route
+        ).to_pandas()
+    finally:
+        ex._WINNER_BROADCAST_MAX, ex._SMALL_INPUT_BYTES = old_max, old_small
+
+    golden = {d["url"]: d["text"] for d in oracle_extract(t)}
+    assert len(out) == len(golden)
+    for r in out.itertuples(index=False):
+        assert r.text == golden[r.url], r.url
