@@ -61,8 +61,10 @@ def _extract_doc_meta(sf_dir: str):
 
 
 def _extract_spans(sf_dir: str):
+    # nested output: spans ride as Arrow list<struct> and the explode is a
+    # zero-copy flatten (no JSON round trip)
     path = pages_path_for(sf_dir)
-    docs = extract_pipeline(path)
+    docs = extract_pipeline(path, output="nested")
     return spans_dataset(docs).select_columns(
         ["url", "page_no", "label", "reading_order", "region_id"]
     )

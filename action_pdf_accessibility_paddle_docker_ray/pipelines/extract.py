@@ -259,9 +259,18 @@ def extract_pipeline(
     batch_size: int = 8,
     concurrency: Any = None,
     repartition_blocks: int | None = None,
+    output: str = "json",
     _winners_ref: Any = None,
 ) -> ray.data.Dataset:
     """Build the lazy extraction Dataset from a parquet path or a Dataset.
+
+    ``output``: "json" (default) emits the public docs contract
+    (``spans_json``/``formulas_json`` strings, byte-identical per url to
+    ``oracle.docs_to_table``).  "nested" emits native Arrow ``list<struct>``
+    ``spans``/``formulas`` columns instead — downstream explodes
+    (``spans_dataset``/``formulas_dataset``) become zero-copy Arrow
+    flattens.  Honored on the colocate plan; the sort plan always emits the
+    JSON contract (its assembly is the sink).
 
     ``regroup``:
     - "colocate" (default): NO output shuffle.  The fan-out yields
@@ -343,7 +352,7 @@ def extract_pipeline(
         # no intermediate serialization, no output exchange.
         return ds.map_batches(
             DocProcessor,
-            fn_constructor_kwargs=stage_kwargs,
+            fn_constructor_kwargs=dict(stage_kwargs, output=output),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency if concurrency is not None else _default_concurrency(),
@@ -400,16 +409,35 @@ def extract_all_to_parquet(source: str, out_dir: str, **kwargs: Any) -> None:
 def formulas_dataset(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Explode doc rows into the per-url formula table (url, formula_id,
     mathml) — the materialized result of the formula-id ⋈ element join
-    (/root/reference/src/autotag.py:262-295)."""
+    (/root/reference/src/autotag.py:262-295).
+
+    NESTED docs (``output="nested"``): a zero-copy Arrow explode —
+    ``list_parent_indices`` + ``flatten`` + struct-field selects, no JSON.
+    JSON docs (the public parquet contract, e.g. re-read from a written
+    docs table): the legacy per-row parse."""
     import json
 
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     schema = pa.schema(
         [("url", pa.string()), ("formula_id", pa.int64()), ("mathml", pa.string())]
     )
 
-    def explode(batch: pa.Table) -> pa.Table:
+    def explode_nested(batch: pa.Table) -> pa.Table:
+        formulas = batch.column("formulas").combine_chunks()
+        parent = pc.list_parent_indices(formulas)
+        flat = formulas.flatten()
+        return pa.table(
+            {
+                "url": pc.take(batch.column("url"), parent),
+                "formula_id": flat.field("formula_id"),
+                "mathml": flat.field("mathml"),
+            },
+            schema=schema,
+        )
+
+    def explode_json(batch: pa.Table) -> pa.Table:
         rows = []
         for url, fj in zip(
             batch.column("url").to_pylist(), batch.column("formulas_json").to_pylist()
@@ -424,6 +452,13 @@ def formulas_dataset(docs: ray.data.Dataset) -> ray.data.Dataset:
             },
             schema=schema,
         )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        # dispatch on the batch's own schema — calling docs.schema() on a
+        # lazy Dataset would trigger (partial) execution on the driver
+        if "formulas" in batch.column_names:
+            return explode_nested(batch)
+        return explode_json(batch)
 
     return docs.map_batches(explode, batch_format="pyarrow")
 
@@ -454,7 +489,24 @@ def spans_dataset(docs: ray.data.Dataset) -> ray.data.Dataset:
         ]
     )
 
-    def explode(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    def explode_nested(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans").combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = spans.flatten()
+        cols: dict[str, Any] = {"url": pc.take(batch.column("url"), parent)}
+        for f in schema:
+            if f.name == "url":
+                continue
+            col = flat.field(f.name)
+            if f.name == "page_no":
+                # HTML spans carry no page number → 0 (unpaginated)
+                col = pc.fill_null(col, 0)
+            cols[f.name] = col.cast(f.type)
+        return pa.table(cols, schema=schema)
+
+    def explode_json(batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
         for url, spans_json in zip(
             batch.column("url").to_pylist(), batch.column("spans_json").to_pylist()
@@ -466,5 +518,10 @@ def spans_dataset(docs: ray.data.Dataset) -> ray.data.Dataset:
         return pa.table(
             {f.name: [r.get(f.name) for r in rows] for f in schema}, schema=schema
         )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if "spans" in batch.column_names:
+            return explode_nested(batch)
+        return explode_json(batch)
 
     return docs.map_batches(explode, batch_format="pyarrow")

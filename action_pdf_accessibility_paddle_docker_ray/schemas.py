@@ -36,7 +36,11 @@ PAGE_ROWS = pa.schema(
     ]
 )
 
-# per-page processed rows (PageProcessor output)
+# per-page processed rows (PageProcessor output) — spans/formulas ride as
+# native Arrow list<struct> through the sort exchange (round 3); elements
+# stay JSON because template trees are recursive
+from .functions.spans_codec import FORMULA_STRUCT, SPAN_STRUCT  # noqa: E402
+
 PROCESSED_PAGE_ROWS = pa.schema(
     [
         ("url", pa.string()),
@@ -47,8 +51,8 @@ PROCESSED_PAGE_ROWS = pa.schema(
         ("status", pa.string()),
         ("text", pa.string()),
         ("elements_json", pa.string()),
-        ("formulas_json", pa.string()),
-        ("spans_json", pa.string()),
+        ("formulas", pa.list_(FORMULA_STRUCT)),
+        ("spans", pa.list_(SPAN_STRUCT)),
         ("n_regions", pa.int32()),
         ("size_bucket", pa.int32()),
         ("warc_ts_us", pa.int64()),
@@ -67,6 +71,21 @@ DOCS = pa.schema(
         ("template_json", pa.string()),
         ("spans_json", pa.string()),
         ("formulas_json", pa.string()),
+        ("size_bucket", pa.int32()),
+    ]
+)
+
+# docs table in the NESTED in-flight form (extract_pipeline(output="nested"))
+DOCS_NESTED = pa.schema(
+    [
+        ("url", pa.string()),
+        ("text", pa.string()),
+        ("n_pages", pa.int32()),
+        ("n_regions", pa.int32()),
+        ("status", pa.string()),
+        ("template_json", pa.string()),
+        ("spans", pa.list_(SPAN_STRUCT)),
+        ("formulas", pa.list_(FORMULA_STRUCT)),
         ("size_bucket", pa.int32()),
     ]
 )

@@ -27,12 +27,21 @@ import numpy as np
 import pandas as pd
 
 from ..functions.assemble import assemble_document
+from ..functions.spans_codec import restore_span
 
 _COLS = (
     "url", "created", "kind", "page_no", "status", "text", "elements_json",
-    "formulas_json", "spans_json", "n_regions", "size_bucket",
+    "formulas", "spans", "n_regions", "size_bucket",
     "warc_ts_us", "content_key",
 )
+
+
+def _cell_items(v) -> list:
+    """Nested-column pandas cell → list (arrow list<struct> converts to a
+    numpy object array of dicts; nulls convert to None)."""
+    if v is None:
+        return []
+    return list(v)
 
 
 def make_assemble_block(model: str, zoom: float):
@@ -78,9 +87,15 @@ def make_assemble_block(model: str, zoom: float):
                     "page_no": int(col["page_no"][i]),
                     "status": col["status"][i],
                     "text": col["text"][i],
+                    # elements are recursive template JSON (parsed here);
+                    # spans/formulas arrived as native Arrow list<struct> —
+                    # restore the per-arm key sets the JSON contract uses
                     "elements": json.loads(col["elements_json"][i]),
-                    "formulas": json.loads(col["formulas_json"][i]),
-                    "spans": json.loads(col["spans_json"][i]),
+                    "formulas": [
+                        (f["formula_id"], f["mathml"])
+                        for f in _cell_items(col["formulas"][i])
+                    ],
+                    "spans": [restore_span(s) for s in _cell_items(col["spans"][i])],
                     "n_regions": int(col["n_regions"][i]),
                 }
                 for i in idx

@@ -44,6 +44,7 @@ class DocProcessor:
         thresholds: dict[int, float] | None = None,
         process_table: bool = True,
         process_formula: bool = True,
+        output: str = "json",
     ) -> None:
         from ..functions.labels import default_thresholds
 
@@ -52,14 +53,20 @@ class DocProcessor:
         self.thresholds = dict(thresholds) if thresholds else default_thresholds(model)
         self.process_table = process_table
         self.process_formula = process_formula
+        # "json": the public docs contract (spans_json/formulas_json strings,
+        # byte-identical to oracle.docs_to_table).  "nested": native Arrow
+        # list<struct> spans/formulas for downstream zero-copy explodes.
+        self.output = output
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.spans_codec import formulas_to_arrow, spans_to_arrow
         from ..oracle import extract_row
         from .fanout import size_bucket
 
+        nested = self.output == "nested"
         out: dict[str, list] = {
             "url": [], "text": [], "n_pages": [], "n_regions": [], "status": [],
-            "template_json": [], "spans_json": [], "formulas_json": [],
+            "template_json": [], "spans": [], "formulas": [],
             "size_bucket": [],
         }
         for url, ts, html in zip(
@@ -79,9 +86,21 @@ class DocProcessor:
             out["n_regions"].append(doc["n_regions"])
             out["status"].append(doc["status"])
             out["template_json"].append(doc["template_json"])
-            out["spans_json"].append(json.dumps(doc["spans"], sort_keys=True))
-            out["formulas_json"].append(json.dumps(doc["formulas"], sort_keys=True))
+            if nested:
+                out["spans"].append(doc["spans"])
+                out["formulas"].append(doc["formulas"])
+            else:
+                out["spans"].append(json.dumps(doc["spans"], sort_keys=True))
+                out["formulas"].append(json.dumps(doc["formulas"], sort_keys=True))
             out["size_bucket"].append(size_bucket(len(html)))
+        if nested:
+            spans_col = spans_to_arrow(out["spans"])
+            formulas_col = formulas_to_arrow(out["formulas"])
+            span_names = ("spans", "formulas")
+        else:
+            spans_col = pa.array(out["spans"], pa.string())
+            formulas_col = pa.array(out["formulas"], pa.string())
+            span_names = ("spans_json", "formulas_json")
         return pa.table(
             {
                 "url": pa.array(out["url"], pa.string()),
@@ -90,8 +109,8 @@ class DocProcessor:
                 "n_regions": pa.array(out["n_regions"], pa.int32()),
                 "status": pa.array(out["status"], pa.string()),
                 "template_json": pa.array(out["template_json"], pa.string()),
-                "spans_json": pa.array(out["spans_json"], pa.string()),
-                "formulas_json": pa.array(out["formulas_json"], pa.string()),
+                span_names[0]: spans_col,
+                span_names[1]: formulas_col,
                 "size_bucket": pa.array(out["size_bucket"], pa.int32()),
             }
         )
@@ -116,10 +135,12 @@ class PageProcessor:
         self.process_formula = process_formula
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.spans_codec import formulas_to_arrow, spans_to_arrow
+
         out: dict[str, list] = {
             "url": [], "created": [], "kind": [], "page_no": [], "n_pages": [],
-            "status": [], "text": [], "elements_json": [], "formulas_json": [],
-            "spans_json": [], "n_regions": [], "size_bucket": [],
+            "status": [], "text": [], "elements_json": [], "formulas": [],
+            "spans": [], "n_regions": [], "size_bucket": [],
             "warc_ts_us": [], "content_key": [],
         }
         for row in batch.to_pylist():
@@ -160,9 +181,11 @@ class PageProcessor:
             out["n_pages"].append(row["n_pages"])
             out["status"].append(status)
             out["text"].append(text)
+            # elements stay JSON (recursive template trees are not
+            # struct-able); spans/formulas ride as native Arrow list<struct>
             out["elements_json"].append(json.dumps(elements, sort_keys=False))
-            out["formulas_json"].append(json.dumps(formulas))
-            out["spans_json"].append(json.dumps(spans, sort_keys=True))
+            out["formulas"].append(formulas)
+            out["spans"].append(spans)
             out["n_regions"].append(n_regions)
             out["size_bucket"].append(row["size_bucket"])
             out["warc_ts_us"].append(row["warc_ts_us"])
@@ -178,8 +201,8 @@ class PageProcessor:
                 "status": pa.array(out["status"], pa.string()),
                 "text": pa.array(out["text"], pa.string()),
                 "elements_json": pa.array(out["elements_json"], pa.string()),
-                "formulas_json": pa.array(out["formulas_json"], pa.string()),
-                "spans_json": pa.array(out["spans_json"], pa.string()),
+                "formulas": formulas_to_arrow(out["formulas"]),
+                "spans": spans_to_arrow(out["spans"]),
                 "n_regions": pa.array(out["n_regions"], pa.int32()),
                 "size_bucket": pa.array(out["size_bucket"], pa.int32()),
                 "warc_ts_us": pa.array(out["warc_ts_us"], pa.int64()),

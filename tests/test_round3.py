@@ -174,3 +174,67 @@ def test_zero_broadcast_bound_distributed_scan_matches(ray_session, tmp_path):
     assert len(out) == len(golden)
     for r in out.itertuples(index=False):
         assert r.text == golden[r.url], r.url
+
+
+# ---------------------------------------------------------------------------
+# native Arrow nested spans/formulas (VERDICT r2 #2)
+# ---------------------------------------------------------------------------
+
+def test_nested_output_explodes_match_json_path(ray_session, tmp_path):
+    """extract_pipeline(output='nested') + Arrow-flatten explodes must give
+    the same flat spans/formulas tables as the JSON docs contract."""
+    from action_pdf_accessibility_paddle_docker_ray.corpus import generate_pages
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.extract import (
+        extract_pipeline,
+        formulas_dataset,
+        spans_dataset,
+    )
+
+    t = generate_pages(60, seed=5)
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(t, path)
+
+    docs_json = extract_pipeline(path, concurrency=(1, 2))
+    docs_nested = extract_pipeline(path, concurrency=(1, 2), output="nested")
+
+    key = ["url", "page_no", "reading_order"]
+    a = spans_dataset(docs_json).to_pandas().sort_values(key).reset_index(drop=True)
+    b = spans_dataset(docs_nested).to_pandas().sort_values(key).reset_index(drop=True)
+    assert len(a) > 0 and a.equals(b)
+
+    fk = ["url", "formula_id"]
+    fa = formulas_dataset(docs_json).to_pandas().sort_values(fk).reset_index(drop=True)
+    fb = formulas_dataset(docs_nested).to_pandas().sort_values(fk).reset_index(drop=True)
+    assert len(fa) > 0 and fa.equals(fb)
+
+
+def test_nested_docs_scalars_match_json_docs(ray_session, tmp_path):
+    """Scalar doc columns are identical between the two output modes."""
+    from action_pdf_accessibility_paddle_docker_ray.corpus import generate_pages
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.extract import (
+        extract_pipeline,
+    )
+    from action_pdf_accessibility_paddle_docker_ray.schemas import (
+        DOCS_NESTED,
+        check_schema,
+    )
+
+    t = generate_pages(30, seed=13)
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(t, path)
+
+    cols = ["url", "text", "n_pages", "n_regions", "status", "template_json"]
+    a = (
+        extract_pipeline(path, concurrency=(1, 2)).select_columns(cols)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    nested = extract_pipeline(path, concurrency=(1, 2), output="nested")
+    nt = nested.to_arrow_refs()
+    import ray as _ray
+
+    check_schema(_ray.get(nt[0]), DOCS_NESTED, where="nested docs")
+    b = (
+        nested.select_columns(cols)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert a.equals(b)
