@@ -54,10 +54,40 @@ def _extract_docs(sf_dir: str):
 
 
 def _extract_doc_meta(sf_dir: str):
-    """SQL-checkable projection of the flagship extraction: per-url page
-    count after the (warc_ts, content_key) winner dedup."""
+    """SQL-checkable projection of the flagship extraction: per-url page,
+    region and status columns after the (warc_ts, content_key) winner
+    dedup — the oracle replays detect→resolve→nest in DuckDB."""
     path = pages_path_for(sf_dir)
-    return extract_pipeline(path).select_columns(["url", "n_pages"])
+    return extract_pipeline(path).select_columns(
+        ["url", "n_pages", "n_regions", "status"]
+    )
+
+
+def _extract_span_stats(sf_dir: str):
+    """SQL-checkable projection of extract_spans: per-(url, page_no, label)
+    span counts, computed with a per-batch combiner before the one small
+    groupby exchange."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    path = pages_path_for(sf_dir)
+    docs = extract_pipeline(path, output="nested")
+    spans = spans_dataset(docs).select_columns(["url", "page_no", "label"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["url", "page_no", "label"], sort=False).size()
+        return g.rename("p_n").reset_index()
+
+    agg = spans.map_batches(partial, batch_format="pandas").groupby(
+        ["url", "page_no", "label"]
+    ).aggregate(Sum("p_n", alias_name="n_spans"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["page_no"] = df["page_no"].astype("int64")
+        df["n_spans"] = df["n_spans"].astype("int64")
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
 
 
 def _extract_spans(sf_dir: str):
@@ -81,8 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # against the single-process oracle by tests/test_pipeline.py)
         "extract_docs": _extract_docs,
         "extract_spans": _extract_spans,
-        # SQL-checkable projection of the flagship pipeline
+        # SQL-checkable projections of the flagship pipeline
         "extract_doc_meta": _extract_doc_meta,
+        "extract_span_stats": _extract_span_stats,
         # web-corpus composition over the derived pages corpus
         "domain_stats": domain_stats,
         # HTML-arm round-trip with a SQL oracle (byte-exact text recovery)
@@ -157,6 +188,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "image_features": sql_oracles.sql_image_features(),
         "extract_doc_meta": sql_oracles.sql_extract_doc_meta(
+            pages_path_for(SF_ORACLE) + "/*.parquet"
+        ),
+        "extract_span_stats": sql_oracles.sql_extract_span_stats(
             pages_path_for(SF_ORACLE) + "/*.parquet"
         ),
         "domain_stats": (

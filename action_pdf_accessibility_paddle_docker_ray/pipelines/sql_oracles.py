@@ -335,18 +335,167 @@ def sql_image_features() -> str:
     )
 
 
+# --- flagship extraction replayed in SQL -----------------------------------
+#
+# The %SDOC arm recomputes the FULL region pipeline: stub-detect filter
+# (functions/sdoc.py:52-82 — 23-label set + per-class thresholds, >= keeps),
+# overlap resolution (functions/boxes.py:39-122 — closed-rect intersect,
+# <50%/<50% special-case exemption, union-find components via a recursive
+# closure, greedy max-score/min-index elimination via a recursive CTE whose
+# state is a (remaining, survivors) list pair), and the formula-in-text
+# nesting (template.py:154-176 — resolved formulas overlapping a resolved
+# text box are skipped as wrappers and re-emitted as nested spans).
+# Coordinate zoom scaling cancels in every ratio, so boxes stay at BASE
+# zoom.  The HTML arm counts parser blocks by their defining start tags
+# (html_strip.py:118-146: one block per p/li/blockquote/h1-h6/figcaption/
+# caption/pre/img/table outside DROP subtrees; the corpus generators never
+# emit block tags inside DROP subtrees and escape all text).
+
+_SQL_LOW_THRESH = "('paragraph_title','formula','header','seal','header_image')"
+_SQL_LABELS23 = (
+    "('paragraph_title','image','text','number','abstract','content',"
+    "'figure_title','formula','table','table_title','reference','doc_title',"
+    "'footnote','header','algorithm','footer','seal','chart_title','chart',"
+    "'formula_number','header_image','footer_image','aside_text')"
+)
+_SQL_HTML_LABELS = (
+    ("text", "<(p|li|blockquote)[^a-z]"),
+    ("doc_title", "<h1[^a-z]"),
+    ("paragraph_title", "<h[2-6][^a-z]"),
+    ("figure_title", "<figcaption[^a-z]"),
+    ("table_title", "<caption[^a-z]"),
+    ("algorithm", "<pre[^a-z]"),
+    ("image", "<img[^a-z]"),
+    ("table", "<table[^a-z]"),
+)
+
+
+def _sql_extract_prefix(pages_glob: str) -> str:
+    """Shared WITH-chain: winner dedup → %SDOC detect/resolve/nest tables
+    (``wrappers``, ``tf``) + html winner rows (``win``)."""
+    return f"""
+WITH RECURSIVE
+pages_t AS (SELECT url, warc_ts, decode(html) AS body FROM read_parquet('{pages_glob}')),
+ranked AS (SELECT url, body, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, md5(body) DESC) AS rn FROM pages_t),
+win AS (SELECT url, body FROM ranked WHERE rn = 1),
+sd AS (SELECT url, substr(body, 6) AS j FROM win WHERE starts_with(body, '%SDOC')),
+sdp AS (SELECT url, CAST(json_extract(j, '$.pages') AS JSON[]) AS parr FROM sd WHERE json_valid(j)),
+sp AS (SELECT url, unnest([x for x in range(1, len(parr) + 1)]) AS pg, unnest(parr) AS pj FROM sdp),
+spr AS (SELECT url, pg, CAST(coalesce(json_extract(pj, '$.truth_regions'), '[]') AS JSON[]) AS rarr FROM sp),
+rb AS (SELECT url, pg, unnest([x for x in range(0, len(rarr))]) AS ord, unnest(rarr) AS rj FROM spr),
+rbx AS (SELECT url, pg, ord,
+        json_extract_string(rj, '$.label') AS label,
+        CAST(json_extract(rj, '$.score') AS DOUBLE) AS score,
+        CAST(json_extract(rj, '$.coordinate[0]') AS DOUBLE) AS x0,
+        CAST(json_extract(rj, '$.coordinate[1]') AS DOUBLE) AS y0,
+        CAST(json_extract(rj, '$.coordinate[2]') AS DOUBLE) AS x1,
+        CAST(json_extract(rj, '$.coordinate[3]') AS DOUBLE) AS y1
+       FROM rb),
+det AS (SELECT url, pg, row_number() OVER (PARTITION BY url, pg ORDER BY ord) - 1 AS i,
+               label, score, x0, y0, x1, y1
+        FROM rbx
+        WHERE label IN {_SQL_LABELS23}
+          AND score >= (CASE WHEN label IN {_SQL_LOW_THRESH} THEN 0.3 ELSE 0.5 END)),
+pairs AS (
+  SELECT a.url, a.pg, a.i AS ia, b.i AS ib
+  FROM det a JOIN det b ON a.url = b.url AND a.pg = b.pg AND a.i < b.i
+  WHERE NOT (a.x1 < b.x0 OR a.x0 > b.x1 OR a.y1 < b.y0 OR a.y0 > b.y1)
+    AND NOT (
+      (CASE WHEN greatest(a.x1-a.x0,0)*greatest(a.y1-a.y0,0) > 0
+            THEN (greatest(least(a.x1,b.x1)-greatest(a.x0,b.x0),0)*greatest(least(a.y1,b.y1)-greatest(a.y0,b.y0),0))
+                 / (greatest(a.x1-a.x0,0)*greatest(a.y1-a.y0,0)) * 100.0 ELSE 0 END) < 50.0
+      AND
+      (CASE WHEN greatest(b.x1-b.x0,0)*greatest(b.y1-b.y0,0) > 0
+            THEN (greatest(least(a.x1,b.x1)-greatest(a.x0,b.x0),0)*greatest(least(a.y1,b.y1)-greatest(a.y0,b.y0),0))
+                 / (greatest(b.x1-b.x0,0)*greatest(b.y1-b.y0,0)) * 100.0 ELSE 0 END) < 50.0
+    )),
+und AS (SELECT url, pg, ia AS a, ib AS b FROM pairs UNION ALL SELECT url, pg, ib, ia FROM pairs),
+reach AS (
+  SELECT url, pg, a AS src, a AS dst FROM und
+  UNION
+  SELECT r.url, r.pg, r.src, u.b FROM reach r JOIN und u ON u.url = r.url AND u.pg = r.pg AND u.a = r.dst),
+comp AS (SELECT url, pg, src AS i, MIN(dst) AS rep FROM reach GROUP BY url, pg, src),
+comp_pairs AS (
+  SELECT p.url, p.pg, c.rep, list(struct_pack(a := p.ia, b := p.ib)) AS pairlist
+  FROM pairs p JOIN comp c ON c.url = p.url AND c.pg = p.pg AND c.i = p.ia
+  GROUP BY p.url, p.pg, c.rep),
+gstate AS (
+  SELECT c.url, c.pg, c.rep,
+         list_sort(list(struct_pack(ns := -d.score, i := d.i))) AS remaining,
+         CAST([] AS BIGINT[]) AS survivors,
+         any_value(cp.pairlist) AS pairlist
+  FROM comp c
+  JOIN det d ON d.url = c.url AND d.pg = c.pg AND d.i = c.i
+  JOIN comp_pairs cp ON cp.url = c.url AND cp.pg = c.pg AND cp.rep = c.rep
+  GROUP BY c.url, c.pg, c.rep
+  UNION ALL
+  SELECT url, pg, rep,
+         [m for m in remaining IF m.i != remaining[1].i AND NOT list_contains(pairlist, struct_pack(a := least(remaining[1].i, m.i), b := greatest(remaining[1].i, m.i)))],
+         list_append(survivors, remaining[1].i),
+         pairlist
+  FROM gstate WHERE len(remaining) > 0),
+surv AS (SELECT url, pg, unnest(survivors) AS i FROM gstate WHERE len(remaining) = 0),
+involved AS (SELECT DISTINCT url, pg, a AS i FROM und),
+resolved AS (
+  SELECT d.url, d.pg, d.i, d.label, d.x0, d.y0, d.x1, d.y1 FROM det d
+  LEFT JOIN involved v ON v.url = d.url AND v.pg = d.pg AND v.i = d.i
+  WHERE v.i IS NULL
+  UNION ALL
+  SELECT d.url, d.pg, d.i, d.label, d.x0, d.y0, d.x1, d.y1
+  FROM surv s JOIN det d ON d.url = s.url AND d.pg = s.pg AND d.i = s.i),
+tf AS (
+  SELECT t.url, t.pg, t.i AS ti, f.i AS fi
+  FROM resolved t JOIN resolved f ON t.url = f.url AND t.pg = f.pg AND t.i != f.i
+  WHERE t.label = 'text' AND f.label = 'formula'
+    AND NOT (t.x1 < f.x0 OR t.x0 > f.x1 OR t.y1 < f.y0 OR t.y0 > f.y1)),
+skipped AS (SELECT DISTINCT url, pg, fi AS i FROM tf),
+wrappers AS (
+  SELECT r.url, r.pg, r.i, r.label FROM resolved r
+  LEFT JOIN skipped k ON k.url = r.url AND k.pg = r.pg AND k.i = r.i
+  WHERE k.i IS NULL)
+"""
+
+
 def sql_extract_doc_meta(pages_glob: str) -> str:
-    """Per-url page count of the flagship extraction over the derived pages
-    corpus: winner crawl = max (warc_ts, md5 content key) — the unified
-    dedup tie-break — then n_pages from the %SDOC JSON container (html
-    docs count as one page)."""
-    return (
-        f"WITH pages AS (SELECT url, warc_ts, decode(html) AS body "
-        f"FROM read_parquet('{pages_glob}')), "
-        "ranked AS (SELECT url, body, row_number() OVER (PARTITION BY url "
-        "ORDER BY warc_ts DESC, md5(body) DESC) AS rn FROM pages), "
-        "win AS (SELECT url, body FROM ranked WHERE rn = 1) "
-        "SELECT url, CAST(CASE WHEN starts_with(body, '%SDOC') "
-        "THEN json_array_length(json_extract(substr(body, 6), '$.pages')) "
-        "ELSE 1 END AS BIGINT) AS n_pages FROM win"
+    """Per-url (n_pages, n_regions, status) of the flagship extraction:
+    winner crawl = max (warc_ts, md5 content key), then the full
+    detect→resolve replay for region counts (see ``_sql_extract_prefix``)."""
+    html_regions = " + ".join(
+        f"len(regexp_extract_all(body, '{pat}'))" for _, pat in _SQL_HTML_LABELS
     )
+    return _sql_extract_prefix(pages_glob) + f"""
+, sdoc_regions AS (SELECT url, count(*)::BIGINT AS n_regions FROM wrappers GROUP BY url)
+SELECT w.url,
+       CAST(CASE WHEN starts_with(w.body, '%SDOC')
+                 THEN CASE WHEN json_valid(substr(w.body, 6))
+                           THEN json_array_length(json_extract(substr(w.body, 6), '$.pages'))
+                           ELSE 1 END
+                 ELSE 1 END AS BIGINT) AS n_pages,
+       CAST(CASE WHEN starts_with(w.body, '%SDOC') THEN coalesce(sr.n_regions, 0)
+                 ELSE {html_regions} END AS BIGINT) AS n_regions,
+       CASE WHEN starts_with(w.body, '%SDOC') AND NOT json_valid(substr(w.body, 6))
+            THEN 'parse_error:JSONDecodeError' ELSE 'ok' END AS status
+FROM win w LEFT JOIN sdoc_regions sr ON sr.url = w.url
+"""
+
+
+def sql_extract_span_stats(pages_glob: str) -> str:
+    """Per-(url, page_no, label) span counts of the flagship extraction —
+    the driver-checkable projection of ``extract_spans`` (html pages are
+    page_no 0; %SDOC pages 1-based; nested formula spans counted)."""
+    vals = ", ".join(f"('{label}', '{pat}')" for label, pat in _SQL_HTML_LABELS)
+    return _sql_extract_prefix(pages_glob) + f"""
+, sdoc_lab AS (
+  SELECT url, pg AS page_no, label, count(*)::BIGINT AS n_spans FROM wrappers GROUP BY url, pg, label
+  UNION ALL
+  SELECT url, pg AS page_no, 'formula' AS label, count(*)::BIGINT AS n_spans FROM tf GROUP BY url, pg),
+hl(label, pat) AS (VALUES {vals}),
+html_lab AS (
+  SELECT url, 0 AS page_no, hl.label AS label,
+         len(regexp_extract_all(body, hl.pat))::BIGINT AS n_spans
+  FROM win, hl
+  WHERE NOT starts_with(body, '%SDOC') AND len(regexp_extract_all(body, hl.pat)) > 0)
+SELECT url, CAST(page_no AS BIGINT) AS page_no, label, SUM(n_spans)::BIGINT AS n_spans
+FROM (SELECT * FROM sdoc_lab UNION ALL SELECT * FROM html_lab)
+GROUP BY url, page_no, label
+"""

@@ -219,61 +219,147 @@ def repetition_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def unigram_logprob(sf_dir: str) -> ray.data.Dataset:
+# above this many distinct tokens the per-worker vocabulary dict stops
+# being "small side"; the op switches to the bucketed token⋈logprob join
+# (no driver-side vocabulary, all-exchange, unbounded-safe)
+_VOCAB_BROADCAST_MAX = 1_000_000
+_LP_JOIN_BUCKETS = 64
+
+
+def unigram_logprob(
+    sf_dir: str, *, vocab_broadcast_max: int | None = None
+) -> ray.data.Dataset:
     """Unigram language-model scoring — the classic cheap quality signal.
 
-    Two-phase: (1) global token counts via per-batch combiners + one small
-    groupby (the vocabulary build); (2) the vocabulary's per-token
-    micro-logprobs broadcast once (``ray.put``), each batch scores its
-    docs by an exact INTEGER sum of per-token values — integer sums are
-    order-free, so the result is bit-identical at any parallelism and in
-    the SQL oracle (per-token rounding happens on identical doubles in
-    both engines).
+    Phase 1 (both paths): global token counts via per-batch combiners + one
+    grouped exchange — the DISTRIBUTED vocabulary.  The driver then learns
+    only the vocabulary SIZE and the total token count (scalar aggregates):
 
-    Scale note: the driver holds the vocabulary table (distinct tokens).
-    At open-web scale that broadcast becomes either a top-K vocabulary +
-    OOV-smoothing bucket (the standard LM-scoring shape) or a bucketed
-    token⋈logprob join — the two-phase topology is unchanged."""
+    - vocabulary ≤ ``vocab_broadcast_max``: materialize it (proven
+      bounded), broadcast the {token: micro-logprob} dict once
+      (``ray.put``), score each batch in place — zero further exchanges.
+    - larger: the open-web path.  Per-token logprobs stay a DATASET;
+      (doc_id, token, count) rows co-partition with (token, lp) rows by a
+      token-hash bucket (one grouped exchange), per-bucket partial sums
+      flow into a tiny groupby(doc_id) — nothing token-shaped ever reaches
+      the driver.
+
+    Integer micro-logprob sums are order-free, so both paths are
+    bit-identical to each other and to the SQL oracle at any parallelism.
+    """
     ensure_picklable()
     import numpy as np
     import ray
 
     from ray.data.aggregate import Sum
 
+    max_b = _VOCAB_BROADCAST_MAX if vocab_broadcast_max is None else vocab_broadcast_max
+
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.findall(_TOKEN_RE).explode().dropna()
         counts = toks.value_counts()
         return pd.DataFrame({"token": counts.index, "part_n": counts.to_numpy().astype("int64")})
 
-    vocab = (
+    vocab_ds = (
         read_table(sf_dir, "documents", columns=["text"])
         .map_batches(partial_counts, batch_format="pandas")
         .groupby("token")
         .aggregate(Sum("part_n", alias_name="n"))
-        .to_pandas()
+        .materialize()  # consumed 2-3 times; object-store resident
     )
-    total = int(vocab["n"].sum())
-    lp_micro = np.round(np.log2(vocab["n"].to_numpy() / total) * 1e6).astype("int64")
-    lp_ref = ray.put(dict(zip(vocab["token"], lp_micro)))
+    total = int(vocab_ds.sum("n"))
+    n_vocab = vocab_ds.count()
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        lp = ray.get(lp_ref)
-        out_lp, out_n = [], []
-        for text in df["text"]:
-            toks = re.findall(_TOKEN_RE, text)
-            out_lp.append(int(sum(lp[t] for t in toks)))
-            out_n.append(len(toks))
+    if n_vocab <= max_b:
+        vocab = vocab_ds.to_pandas()  # proven bounded before materializing
+        lp_micro = np.round(np.log2(vocab["n"].to_numpy() / total) * 1e6).astype("int64")
+        lp_ref = ray.put(dict(zip(vocab["token"], lp_micro)))
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            lp = ray.get(lp_ref)
+            out_lp, out_n = [], []
+            for text in df["text"]:
+                toks = re.findall(_TOKEN_RE, text)
+                out_lp.append(int(sum(lp[t] for t in toks)))
+                out_n.append(len(toks))
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "logprob_micro": pd.Series(out_lp, dtype="int64"),
+                    "n_tokens": pd.Series(out_n, dtype="int64"),
+                }
+            )
+
+        return docs.map_batches(score, batch_format="pandas")
+
+    # ---- bucketed join path (vocabulary too large to broadcast) ----------
+    def _bucket(tokens: pd.Series) -> np.ndarray:
+        return (pd.util.hash_array(tokens.to_numpy(object)) % _LP_JOIN_BUCKETS).astype("int64")
+
+    def lp_rows(df: pd.DataFrame) -> pd.DataFrame:
+        lp = np.round(np.log2(df["n"].to_numpy() / total) * 1e6).astype("int64")
         return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "logprob_micro": pd.Series(out_lp, dtype="int64"),
-                "n_tokens": pd.Series(out_n, dtype="int64"),
-            }
+            {"bucket": _bucket(df["token"]), "side": "l", "doc_id": np.int64(-1),
+             "token": df["token"], "cnt": np.int64(0), "lp": lp}
         )
 
-    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        score, batch_format="pandas"
+    def doc_token_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.set_index("doc_id")["text"].str.findall(_TOKEN_RE).explode().dropna()
+        g = toks.groupby([toks.index, toks.to_numpy()]).size()
+        idx = g.index
+        tokens = pd.Series(idx.get_level_values(1))
+        return pd.DataFrame(
+            {"bucket": _bucket(tokens), "side": "d",
+             "doc_id": idx.get_level_values(0).to_numpy().astype("int64"),
+             "token": tokens.to_numpy(), "cnt": g.to_numpy().astype("int64"),
+             "lp": np.int64(0)}
+        )
+
+    both = vocab_ds.map_batches(lp_rows, batch_format="pandas").union(
+        docs.map_batches(doc_token_rows, batch_format="pandas")
     )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["side"] == "d"]
+        if len(d) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "lp_part": pd.Series([], dtype="int64"),
+                                 "n_part": pd.Series([], dtype="int64")})
+        lut = df[df["side"] == "l"]
+        lp = d["token"].map(dict(zip(lut["token"], lut["lp"]))).astype("int64")
+        part = pd.DataFrame(
+            {"doc_id": d["doc_id"].to_numpy(),
+             "lp_part": (lp * d["cnt"]).to_numpy(),
+             "n_part": d["cnt"].to_numpy()}
+        )
+        g = part.groupby("doc_id", sort=False).sum()
+        return g.reset_index()
+
+    from .util import grouped_block_map
+
+    partials = grouped_block_map(both, ["bucket"], join_bucket)
+    # zero-token docs still get a row (seed 0-partials per doc)
+    seeds = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "lp_part": np.int64(0), "n_part": np.int64(0)}
+        ),
+        batch_format="pandas",
+    )
+    agg = partials.union(seeds).groupby("doc_id").aggregate(
+        Sum("lp_part", alias_name="logprob_micro"),
+        Sum("n_part", alias_name="n_tokens"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "logprob_micro": df["logprob_micro"].astype("int64"),
+             "n_tokens": df["n_tokens"].astype("int64")}
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -238,3 +238,94 @@ def test_nested_docs_scalars_match_json_docs(ray_session, tmp_path):
         .to_pandas().sort_values("url").reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# bounded unigram_logprob (VERDICT r2 #3)
+# ---------------------------------------------------------------------------
+
+def test_unigram_logprob_join_path_matches_broadcast(ray_session):
+    """vocab_broadcast_max=0 forces the bucketed token⋈logprob join; the
+    output must be bit-identical to the broadcast-dict path."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.text_ops import (
+        unigram_logprob,
+    )
+
+    a = unigram_logprob(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        unigram_logprob(SF, vocab_broadcast_max=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(a) == 500
+    assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# extraction SQL projections (VERDICT r2 #4)
+# ---------------------------------------------------------------------------
+
+def test_extract_meta_sql_handles_parse_error_and_counts(ray_session, tmp_path):
+    """The doc-meta oracle replay must agree with the Ray pipeline on a
+    corpus containing a corrupt %SDOC payload (status/parse semantics)."""
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.corpus import generate_pages
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.extract import (
+        extract_pipeline,
+    )
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.sql_oracles import (
+        sql_extract_doc_meta,
+        sql_extract_span_stats,
+    )
+
+    t = generate_pages(50, seed=21)
+    bad = pa.table(
+        {
+            "url": ["https://bad.example/1"],
+            "warc_ts": pa.array([dt.datetime(2026, 2, 1)], pa.timestamp("us")),
+            "html": [b"%SDOC{not json"],
+            "text": [""],
+            "lang": ["en"],
+        }
+    )
+    full = pa.concat_tables(
+        [t.select(bad.column_names), bad], promote_options="default"
+    )
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(full, path)
+
+    got = (
+        extract_pipeline(path, concurrency=(1, 2))
+        .select_columns(["url", "n_pages", "n_regions", "status"])
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = (
+        con.execute(sql_extract_doc_meta(path)).df()
+        .sort_values("url").reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 51
+    assert got.loc[got["url"] == "https://bad.example/1", "status"].iloc[0] \
+        == "parse_error:JSONDecodeError"
+    for c in ("n_pages", "n_regions"):
+        assert got[c].astype("int64").equals(want[c].astype("int64")), c
+    assert got["status"].equals(want["status"])
+
+    # span stats: SQL replay vs a pandas recount of the Ray spans
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.extract import (
+        spans_dataset,
+    )
+
+    spans = spans_dataset(
+        extract_pipeline(path, concurrency=(1, 2), output="nested")
+    ).to_pandas()
+    truth = (
+        spans.groupby(["url", "page_no", "label"]).size().rename("n_spans")
+        .reset_index()
+    )
+    sql_stats = con.execute(sql_extract_span_stats(path)).df()
+    key = ["url", "page_no", "label"]
+    truth = truth.sort_values(key).reset_index(drop=True)
+    sql_stats = sql_stats.sort_values(key).reset_index(drop=True)
+    assert len(truth) == len(sql_stats)
+    assert truth["n_spans"].astype("int64").equals(sql_stats["n_spans"].astype("int64"))
