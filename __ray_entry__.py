@@ -134,7 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join": joins.orders_lineitem_join,
         "orders_lineitem_join_salted": joins.orders_lineitem_join_salted,
         "events_asof_order": joins.events_asof_order,
+        "events_asof_order_salted": lambda sf: joins.events_asof_order(sf, salt=4),
         "events_orders_range_join": joins.events_orders_range_join,
+        "events_orders_range_join_salted": lambda sf: joins.events_orders_range_join(sf, salt=4),
         # text analysis (SQL-checked)
         "exact_dedup": text_ops.exact_dedup,
         "token_count": text_ops.token_count,
@@ -308,6 +310,20 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o.o_orderpriority"
         ),
         "events_orders_range_join": (
+            "SELECT e.event_id, CAST(COUNT(o.o_orderdate) AS BIGINT) AS n_orders_7d, "
+            "COALESCE(MAX(epoch_us(o.o_orderdate)), -1) AS last_order_ts_us "
+            "FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id + 1 "
+            "AND o.o_orderdate <= e.ts "
+            "AND epoch_us(o.o_orderdate) >= epoch_us(e.ts) - 604800000000 "
+            "GROUP BY e.event_id"
+        ),
+        # hot-key-salted physical plans: identical logical results
+        "events_asof_order_salted": (
+            "SELECT e.event_id, epoch_us(o.o_orderdate) AS order_ts_us "
+            "FROM events e ASOF LEFT JOIN orders o "
+            "ON o.o_custkey = e.user_id + 1 AND e.ts >= o.o_orderdate"
+        ),
+        "events_orders_range_join_salted": (
             "SELECT e.event_id, CAST(COUNT(o.o_orderdate) AS BIGINT) AS n_orders_7d, "
             "COALESCE(MAX(epoch_us(o.o_orderdate)), -1) AS last_order_ts_us "
             "FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id + 1 "

@@ -27,20 +27,29 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from typing import Optional
 
 from . import __version__
 from .functions.labels import LAYOUT_CLASS_NAMES, SUPPORTED_MODELS, clamp
 
-# error-code taxonomy (reference exceptions.py:3-17; PDFix-specific codes
-# map onto the analogous engine failures)
+# error-code taxonomy (reference exceptions.py:3-17; the full code range
+# 10-28 is mapped onto the analogous engine failures.  Codes 21/22 — PDFix
+# license activation/authorization — have no analog in a licensing-free
+# engine and are deliberately excluded, documented in SURVEY §2.2)
 EC_ARG_GENERAL = 10
 EC_ARG_ZOOM = 11
+EC_ARG_INPUT_PAGES_OUTPUT_JSON = 12   # template: input pages / output json
+EC_ARG_INPUT_PAGES_OUTPUT_PAGES = 13  # tag: both sides parquet
 EC_ARG_INPUT_OUTPUT_NOT_ALLOWED = 14
+EC_ENGINE_INITIALIZE = 20             # ref: PDFix SDK init → Ray session init
 EC_ENGINE_RENDER = 23
 EC_ENGINE_FAILED_TO_OPEN = 24
 EC_ENGINE_FAILED_TO_SAVE = 25
+EC_ENGINE_FAILED_TO_TAG = 26          # extraction pipeline failure
+EC_ENGINE_FAILED_TO_CREATE_TEMPLATE = 27
+EC_ENGINE_NO_TAGS = 28                # template over an input with no docs
 
 # error texts keyed by code, mirroring the reference's integration
 # descriptor (/root/reference/config.json "errors" maps; engine-specific
@@ -48,11 +57,27 @@ EC_ENGINE_FAILED_TO_SAVE = 25
 ERROR_TEXTS = {
     EC_ARG_GENERAL: "Failed to parse arguments. Please check the usage and try again.",
     EC_ARG_ZOOM: "Zoom level must between 1.0 and 10.0.",
+    EC_ARG_INPUT_PAGES_OUTPUT_JSON: "Input file must be pages parquet and output must be a parquet/JSON path.",
+    EC_ARG_INPUT_PAGES_OUTPUT_PAGES: "Input and output must be pages parquet paths.",
     EC_ARG_INPUT_OUTPUT_NOT_ALLOWED: "Not allowed input output file combination. Please see --help.",
+    EC_ENGINE_INITIALIZE: "Failed to initialize the Ray engine.",
     EC_ENGINE_RENDER: "Failed to decode the formula image (codec/model unavailable).",
     EC_ENGINE_FAILED_TO_OPEN: "Failed to open the input pages table.",
     EC_ENGINE_FAILED_TO_SAVE: "Failed to save the output table.",
+    EC_ENGINE_FAILED_TO_TAG: "Failed to run the extraction over the pages table.",
+    EC_ENGINE_FAILED_TO_CREATE_TEMPLATE: "Failed to create template JSON.",
+    EC_ENGINE_NO_TAGS: "Input pages table produced no documents.",
 }
+
+
+def _is_pages_input(path: str) -> bool:
+    """Plausibly a pages source (.parquet file or shard directory).  Only a
+    clearly-wrong extension is an ARG error — a missing-but-plausible path
+    stays an engine open failure (EC 24), matching the reference's split
+    between argument checks and runtime opens."""
+    return not path.lower().endswith(
+        (".json", ".xml", ".tex", ".pdf", ".txt", ".html", ".jpg", ".jpeg", ".png")
+    )
 
 # threshold knob order = class-id order (reference main.py:429-453)
 _THRESHOLD_ARGS = [f"threshold_{name}" for name in LAYOUT_CLASS_NAMES]
@@ -241,7 +266,17 @@ def run_tag(args) -> int:
     if args.zoom < 1.0 or args.zoom > 10.0:
         print("Zoom level must between 1.0 and 10.0.", file=sys.stderr)
         return EC_ARG_ZOOM
-    _init_ray(args.cpus)
+    if not _is_pages_input(args.input) or args.output.lower().endswith(
+        (".json", ".xml", ".tex")
+    ):
+        # reference EC 13: tag needs pdf→pdf; here pages-parquet→parquet
+        print(ERROR_TEXTS[EC_ARG_INPUT_PAGES_OUTPUT_PAGES], file=sys.stderr)
+        return EC_ARG_INPUT_PAGES_OUTPUT_PAGES
+    try:
+        _init_ray(args.cpus)
+    except Exception as exc:  # noqa: BLE001 - engine init boundary
+        print(f"{ERROR_TEXTS[EC_ENGINE_INITIALIZE]} {exc}", file=sys.stderr)
+        return EC_ENGINE_INITIALIZE
     thresholds = create_threshold_dictionary(args)
     try:
         if args.resume:
@@ -264,6 +299,9 @@ def run_tag(args) -> int:
     except FileNotFoundError as exc:
         print(f"Failed to open input: {exc}", file=sys.stderr)
         return EC_ENGINE_FAILED_TO_OPEN
+    except Exception as exc:  # noqa: BLE001 - reference EC 26 analog
+        print(f"{ERROR_TEXTS[EC_ENGINE_FAILED_TO_TAG]} {exc}", file=sys.stderr)
+        return EC_ENGINE_FAILED_TO_TAG
     return 0
 
 
@@ -272,7 +310,15 @@ def run_template(args) -> int:
     if args.zoom < 1.0 or args.zoom > 10.0:
         print("Zoom level must between 1.0 and 10.0.", file=sys.stderr)
         return EC_ARG_ZOOM
-    _init_ray(args.cpus)
+    if not _is_pages_input(args.input):
+        # reference EC 12: template needs pdf→json; here pages-parquet input
+        print(ERROR_TEXTS[EC_ARG_INPUT_PAGES_OUTPUT_JSON], file=sys.stderr)
+        return EC_ARG_INPUT_PAGES_OUTPUT_JSON
+    try:
+        _init_ray(args.cpus)
+    except Exception as exc:  # noqa: BLE001 - engine init boundary
+        print(f"{ERROR_TEXTS[EC_ENGINE_INITIALIZE]} {exc}", file=sys.stderr)
+        return EC_ENGINE_INITIALIZE
     from .pipelines.extract import extract_pipeline
 
     thresholds = create_threshold_dictionary(args)
@@ -285,6 +331,19 @@ def run_template(args) -> int:
     except FileNotFoundError as exc:
         print(f"Failed to open input: {exc}", file=sys.stderr)
         return EC_ENGINE_FAILED_TO_OPEN
+    except Exception as exc:  # noqa: BLE001 - reference EC 27 analog
+        print(f"{ERROR_TEXTS[EC_ENGINE_FAILED_TO_CREATE_TEMPLATE]} {exc}", file=sys.stderr)
+        return EC_ENGINE_FAILED_TO_CREATE_TEMPLATE
+    import pyarrow.dataset as pads
+
+    try:
+        n_out = pads.dataset(args.output).count_rows()
+    except FileNotFoundError:
+        n_out = 0  # an all-empty write creates no files at all
+    if n_out == 0:
+        # reference EC 28 analog: nothing to template
+        print(ERROR_TEXTS[EC_ENGINE_NO_TAGS], file=sys.stderr)
+        return EC_ENGINE_NO_TAGS
     return 0
 
 

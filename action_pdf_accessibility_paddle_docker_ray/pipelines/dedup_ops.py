@@ -772,6 +772,13 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return x.astype(np.int64)
 
 
+# row-chunk size for in-bucket pairwise verify matrices: bounds any one
+# task's allocation at CHUNK×bucket_rows regardless of bucket degeneracy
+# (the PAIR OUTPUT of a truly all-duplicate bucket is inherently O(m²) —
+# the guard bounds memory, not the output)
+_VERIFY_CHUNK = 2048
+
+
 def simhash_pairs(sf_dir: str, *, max_hamming: int = 3) -> pd.DataFrame:
     """SimHash near-dup candidate pairs: 64-bit token-weighted simhash,
     4×16-bit band LSH, vectorized hamming verify ≤ ``max_hamming``.
@@ -841,14 +848,25 @@ def simhash_pairs(sf_dir: str, *, max_hamming: int = 3) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy()
         lo = df["h_lo"].to_numpy().astype(np.uint64)
         hi = df["h_hi"].to_numpy().astype(np.uint64)
-        # vectorized hamming matrix: XOR + SWAR popcount, no Python pair loop
-        d = _popcount64(lo[:, None] ^ lo[None, :]) + _popcount64(hi[:, None] ^ hi[None, :])
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = d[iu, ju] <= max_hamming
-        if not keep.any():
+        n = len(ids)
+        # chunked pairwise hamming (XOR + SWAR popcount): a degenerate
+        # bucket (thousands of docs sharing one simhash) must never
+        # allocate an n×n matrix in one task — peak is CHUNK×n
+        out_a, out_b, out_d = [], [], []
+        for s in range(0, n - 1, _VERIFY_CHUNK):
+            e = min(s + _VERIFY_CHUNK, n - 1)
+            d = (_popcount64(lo[s:e, None] ^ lo[None, :])
+                 + _popcount64(hi[s:e, None] ^ hi[None, :]))
+            ii, jj = np.nonzero(d <= max_hamming)
+            keep = jj > ii + s  # upper triangle only (i < j globally)
+            out_a.append(ids[ii[keep] + s])
+            out_b.append(ids[jj[keep]])
+            out_d.append(d[ii[keep], jj[keep]])
+        if not out_a or not sum(len(x) for x in out_a):
             return empty
         return pd.DataFrame(
-            {"a": ids[iu[keep]], "b": ids[ju[keep]], "hamming": d[iu[keep], ju[keep]]}
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b),
+             "hamming": np.concatenate(out_d)}
         ).astype("int64")
 
     pair_ds = grouped_block_map(banded, ["band", "chunk"], verify,
@@ -954,16 +972,25 @@ def embedding_dedup(
         ids = df["vec_id"].to_numpy()
         mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
         norms = np.linalg.norm(mat, axis=1)
-        sims = (mat @ mat.T) / np.outer(norms, norms)
-        iu, ju = np.triu_indices(len(ids), k=1)  # vectorized, no pair loop
-        keep = sims[iu, ju] >= threshold
-        if not keep.any():
+        n = len(ids)
+        # chunked pairwise cosine — a degenerate bucket must never allocate
+        # an n×n similarity matrix in one task; peak is CHUNK×n
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n - 1, _VERIFY_CHUNK):
+            e = min(s + _VERIFY_CHUNK, n - 1)
+            sims = (mat[s:e] @ mat.T) / np.outer(norms[s:e], norms)
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = jj > ii + s  # i < j globally
+            out_a.append(ids[ii[keep] + s])
+            out_b.append(ids[jj[keep]])
+            out_c.append(np.round(sims[ii[keep], jj[keep]] * 1000))
+        if not out_a or not sum(len(x) for x in out_a):
             return empty
         return pd.DataFrame(
             {
-                "a": ids[iu[keep]].astype("int64"),
-                "b": ids[ju[keep]].astype("int64"),
-                "cos_milli": np.round(sims[iu[keep], ju[keep]] * 1000).astype("int64"),
+                "a": np.concatenate(out_a).astype("int64"),
+                "b": np.concatenate(out_b).astype("int64"),
+                "cos_milli": np.concatenate(out_c).astype("int64"),
             }
         )
 

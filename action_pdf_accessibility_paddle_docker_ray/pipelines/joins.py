@@ -175,7 +175,7 @@ def orders_lineitem_join_salted(sf_dir: str, *, salt: int = 4) -> ray.data.Datas
 RANGE_JOIN_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7 days
 
 
-def events_orders_range_join(sf_dir: str) -> ray.data.Dataset:
+def events_orders_range_join(sf_dir: str, *, salt: int = 1) -> ray.data.Dataset:
     """RANGE JOIN: for every event, the count and latest timestamp of the
     same customer's orders inside the trailing 7-day window
     (o_orderdate ∈ [ts − 7d, ts]).
@@ -185,7 +185,14 @@ def events_orders_range_join(sf_dir: str) -> ray.data.Dataset:
     ``searchsorted`` probes — O((E+O)·log O) per bucket, never the E×O
     interval cross product.  Inequality-bounded joins are not expressible
     as a plain hash join; this is the composition pattern (equality
-    co-partition + per-bucket interval scan) the engine uses for them."""
+    co-partition + per-bucket interval scan) the engine uses for them.
+
+    ``salt > 1``: HOT-KEY mode (same composition as
+    ``orders_lineitem_join_salted``) — events spread over ``salt``
+    sub-buckets of their key by a deterministic row hash; each key's
+    orders replicate into every sub-bucket, so every sub-bucket still
+    holds the key's FULL order state and per-event answers are unchanged.
+    A customer with 100× the events no longer pins one group."""
     ensure_picklable()
     import numpy as np
 
@@ -193,9 +200,11 @@ def events_orders_range_join(sf_dir: str) -> ray.data.Dataset:
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
 
     def tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        key = (df["user_id"] + 1).astype("int64")
+        sub = (df["event_id"].astype("int64") * 2654435761) % salt
         return pd.DataFrame(
             {
-                "key": (df["user_id"] + 1).astype("int64"),
+                "key": key * salt + sub,
                 "side": "e",
                 "event_id": df["event_id"].astype("int64"),
                 "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
@@ -203,12 +212,18 @@ def events_orders_range_join(sf_dir: str) -> ray.data.Dataset:
         )
 
     def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        key = np.repeat(df["o_custkey"].to_numpy().astype("int64"), salt)
+        sub = np.tile(np.arange(salt, dtype=np.int64), n)
+        ts = np.repeat(
+            df["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy(), salt
+        )
         return pd.DataFrame(
             {
-                "key": df["o_custkey"].astype("int64"),
+                "key": key * salt + sub,
                 "side": "o",
-                "event_id": -1,
-                "ts_us": df["o_orderdate"].astype("datetime64[us]").astype("int64"),
+                "event_id": np.int64(-1),
+                "ts_us": ts,
             }
         )
 
@@ -246,21 +261,30 @@ def events_orders_range_join(sf_dir: str) -> ray.data.Dataset:
     return grouped_block_map(both, ["key"], range_key)
 
 
-def events_asof_order(sf_dir: str) -> ray.data.Dataset:
+def events_asof_order(sf_dir: str, *, salt: int = 1) -> ray.data.Dataset:
     """AS-OF join: each event → most recent order at-or-before its ts for
     customer ``user_id + 1`` (events.user_id is 0-based, customers 1-based).
 
     Output (event_id, order_ts_us BIGINT nullable) — epoch integers so the
     DuckDB ``ASOF JOIN`` oracle matches exactly.
+
+    ``salt > 1``: HOT-KEY mode — events salted over sub-buckets, each
+    key's orders replicated per sub-bucket (the as-of answer depends only
+    on the key's full time-sorted order set, which every sub-bucket
+    carries, so results are identical).
     """
     ensure_picklable()
+    import numpy as np
+
     events = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
 
     def tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        key = (df["user_id"] + 1).astype("int64")
+        sub = (df["event_id"].astype("int64") * 2654435761) % salt
         return pd.DataFrame(
             {
-                "key": (df["user_id"] + 1).astype("int64"),
+                "key": key * salt + sub,
                 "side": "e",
                 "event_id": df["event_id"].astype("int64"),
                 "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
@@ -268,12 +292,18 @@ def events_asof_order(sf_dir: str) -> ray.data.Dataset:
         )
 
     def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        key = np.repeat(df["o_custkey"].to_numpy().astype("int64"), salt)
+        sub = np.tile(np.arange(salt, dtype=np.int64), n)
+        ts = np.repeat(
+            df["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy(), salt
+        )
         return pd.DataFrame(
             {
-                "key": df["o_custkey"].astype("int64"),
+                "key": key * salt + sub,
                 "side": "o",
-                "event_id": -1,
-                "ts_us": df["o_orderdate"].astype("datetime64[us]").astype("int64"),
+                "event_id": np.int64(-1),
+                "ts_us": ts,
             }
         )
 

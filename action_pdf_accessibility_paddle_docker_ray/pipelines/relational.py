@@ -223,15 +223,89 @@ def events_sliding(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pandas")
 
 
-def distinct_stats(sf_dir: str) -> "pd.DataFrame":
-    """Exact distinct counts, fully distributed: per-batch distinct
-    (kind, value) combiner → one grouped exchange that dedups globally →
-    per-block per-kind partial counts.  The driver only sums the
-    (blocks × 2) tiny count partials — never a key set (round 1 merged
-    every distinct key into a driver-side Python set, unbounded at 10^12
-    keys).  With truly unbounded key cardinality the (kind, value) rows
-    become a sketch (HLL) but the merge topology is identical."""
+_HLL_P = 12  # 4096 registers per sketch → ~1.6% standard error
+
+
+def _hll_registers(values, p: int) -> "np.ndarray":
+    """Vectorized HyperLogLog register array for one batch of values
+    (Flajolet et al. 2007, public method).  Hash = splitmix64 over the
+    stable pandas string hash; register = top p bits; rank = leading-zero
+    count of the rest + 1."""
+    import numpy as np
+
+    from ..functions.bloom import _splitmix64, hash_urls
+
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int8)
+    if len(values) == 0:
+        return regs
+    h = _splitmix64(hash_urls(np.asarray(values, dtype=object)))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)  # remaining 64-p bits at the top of a 64-bit word
+    # rank = leading zeros of w within 64-p bits, +1; w == 0 → max rank
+    with np.errstate(divide="ignore"):
+        lz = np.where(
+            w > 0, np.uint64(63) - np.floor(np.log2(w.astype(np.float64))).astype(np.uint64),
+            np.uint64(64 - p),
+        ).astype(np.int64)
+    rank = np.minimum(lz + 1, 64 - p + 1).astype(np.int8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: "np.ndarray") -> int:
+    """Bias-corrected HLL estimate with the small-range linear-counting
+    correction (the standard published estimator)."""
+    import math
+
+    import numpy as np
+
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return int(round(est))
+
+
+def distinct_stats(sf_dir: str, *, exact: bool = True) -> "pd.DataFrame":
+    """Distinct counts over events (n_users, n_event_types).
+
+    ``exact=True`` (default, SQL-oracled): per-batch distinct (kind, value)
+    combiner → one grouped exchange that dedups globally → per-block
+    per-kind partial counts.  The driver only sums the (blocks × 2) tiny
+    count partials — never a key set (round 1 merged every distinct key
+    into a driver-side Python set, unbounded at 10^12 keys).
+
+    ``exact=False``: HyperLogLog sketch — each batch emits two fixed-size
+    (2^p-register) partials, the driver folds them with an elementwise
+    max (mergeable, order-free), and nothing key-shaped ever exchanges or
+    reaches the driver.  The path for 10^12-key cardinalities where even
+    the deduped (kind, value) exchange is too wide; ~1.6% standard error
+    at p=12 (documented, tested on sf0.1)."""
     ensure_picklable()
+    import numpy as np
+
+    if not exact:
+        def sketch(df: pd.DataFrame) -> pd.DataFrame:
+            u = _hll_registers(df["user_id"].astype("int64").astype(str).to_numpy(object), _HLL_P)
+            t = _hll_registers(df["event_type"].astype(str).to_numpy(object), _HLL_P)
+            return pd.DataFrame({"kind": ["u", "t"], "regs": [u.tobytes(), t.tobytes()]})
+
+        ds_s = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+        folded = {"u": np.zeros(1 << _HLL_P, dtype=np.int8),
+                  "t": np.zeros(1 << _HLL_P, dtype=np.int8)}
+        parts = ds_s.map_batches(sketch, batch_format="pandas")
+        for batch in parts.iter_batches(batch_format="pandas"):
+            for kind, blob in zip(batch["kind"], batch["regs"]):
+                np.maximum(
+                    folded[kind], np.frombuffer(blob, dtype=np.int8), out=folded[kind]
+                )
+        return pd.DataFrame(
+            {"n_users": pd.Series([_hll_estimate(folded["u"])], dtype="int64"),
+             "n_event_types": pd.Series([_hll_estimate(folded["t"])], dtype="int64")}
+        )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         u = df["user_id"].unique()

@@ -329,3 +329,232 @@ def test_extract_meta_sql_handles_parse_error_and_counts(ray_session, tmp_path):
     sql_stats = sql_stats.sort_values(key).reset_index(drop=True)
     assert len(truth) == len(sql_stats)
     assert truth["n_spans"].astype("int64").equals(sql_stats["n_spans"].astype("int64"))
+
+
+# ---------------------------------------------------------------------------
+# chunked O(m²) verifies (VERDICT r2 #5)
+# ---------------------------------------------------------------------------
+
+def test_chunked_verifies_match_unchunked(ray_session, tmp_path, monkeypatch):
+    """Force tiny verify chunks: simhash and embedding pair sets must be
+    identical to the single-matrix computation (chunk ≫ bucket)."""
+    import action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops as dd
+
+    # documents: clusters of identical texts → degenerate simhash buckets
+    texts = []
+    for c in range(6):
+        texts.extend([f"cluster {c} common text payload repeated words"] * 25)
+    texts.extend(f"unique document number {i} with distinct content" for i in range(50))
+    docs = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string()),
+         "lang": pa.array(["en"] * len(texts), pa.string())}
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((8, 16))
+    embs = np.repeat(base, 20, axis=0) + rng.standard_normal((160, 16)) * 0.01
+    emb_t = pa.table(
+        {"vec_id": pa.array(range(len(embs)), pa.int64()),
+         "embedding": pa.array([list(map(float, e)) for e in embs],
+                                pa.list_(pa.float64()))}
+    )
+    pq.write_table(emb_t, str(tmp_path / "embeddings.parquet"))
+
+    sf = str(tmp_path)
+    big = dd.simhash_pairs(sf)
+    monkeypatch.setattr(dd, "_VERIFY_CHUNK", 16)
+    small = dd.simhash_pairs(sf)
+    assert len(big) > 100  # degenerate buckets actually produced pair volume
+    assert big.reset_index(drop=True).equals(small.reset_index(drop=True))
+
+    monkeypatch.setattr(dd, "_VERIFY_CHUNK", 2048)
+    eb = dd.embedding_dedup(sf, threshold=0.9)
+    monkeypatch.setattr(dd, "_VERIFY_CHUNK", 16)
+    es = dd.embedding_dedup(sf, threshold=0.9)
+    assert len(eb) > 100
+    assert eb.reset_index(drop=True).equals(es.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# hot-key-salted as-of / range joins (VERDICT r2 #6)
+# ---------------------------------------------------------------------------
+
+def _hot_key_tables(tmp_path):
+    """Synthetic events/orders with one customer at 100x event skew."""
+    rng = np.random.RandomState(3)
+    base = dt.datetime(2026, 1, 1)
+    ev_user, ev_ts = [], []
+    for i in range(1000):
+        ev_user.append(0)  # hot user 0 → custkey 1
+        ev_ts.append(base + dt.timedelta(hours=int(rng.randint(0, 2000))))
+    for u in range(1, 11):
+        for _ in range(10):
+            ev_user.append(u)
+            ev_ts.append(base + dt.timedelta(hours=int(rng.randint(0, 2000))))
+    events = pa.table(
+        {"event_id": pa.array(range(len(ev_user)), pa.int64()),
+         "user_id": pa.array(ev_user, pa.int64()),
+         "ts": pa.array(ev_ts, pa.timestamp("us"))}
+    )
+    od_cust, od_ts = [], []
+    for c in range(1, 12):
+        for _ in range(8):
+            od_cust.append(c)
+            od_ts.append(base + dt.timedelta(hours=int(rng.randint(0, 2000))))
+    orders = pa.table(
+        {"o_custkey": pa.array(od_cust, pa.int64()),
+         "o_orderdate": pa.array(od_ts, pa.timestamp("us"))}
+    )
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_salted_asof_and_range_joins_match_on_hot_key(ray_session, tmp_path):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.joins import (
+        events_asof_order,
+        events_orders_range_join,
+    )
+
+    sf = _hot_key_tables(tmp_path)
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    a1 = events_asof_order(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+    a8 = events_asof_order(sf, salt=8).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert a1.equals(a8)
+    want = con.execute(
+        "SELECT e.event_id, epoch_us(o.o_orderdate) AS order_ts_us "
+        "FROM events e ASOF LEFT JOIN orders o "
+        "ON o.o_custkey = e.user_id + 1 AND e.ts >= o.o_orderdate "
+        "ORDER BY e.event_id"
+    ).df().reset_index(drop=True)
+    assert a8["order_ts_us"].astype("float64").equals(want["order_ts_us"].astype("float64"))
+
+    r1 = events_orders_range_join(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+    r8 = events_orders_range_join(sf, salt=8).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert r1.equals(r8)
+    want_r = con.execute(
+        "SELECT e.event_id, CAST(COUNT(o.o_orderdate) AS BIGINT) AS n_orders_7d, "
+        "COALESCE(MAX(epoch_us(o.o_orderdate)), -1) AS last_order_ts_us "
+        "FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id + 1 "
+        "AND o.o_orderdate <= e.ts "
+        "AND epoch_us(o.o_orderdate) >= epoch_us(e.ts) - 604800000000 "
+        "GROUP BY e.event_id ORDER BY e.event_id"
+    ).df().reset_index(drop=True)
+    assert r8["n_orders_7d"].astype("int64").equals(want_r["n_orders_7d"].astype("int64"))
+    assert r8["last_order_ts_us"].astype("int64").equals(want_r["last_order_ts_us"].astype("int64"))
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch mode for distinct_stats (VERDICT r2 #7)
+# ---------------------------------------------------------------------------
+
+def test_distinct_stats_hll_within_documented_error(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        distinct_stats,
+    )
+
+    exact = distinct_stats(SF)
+    sketch = distinct_stats(SF, exact=False)
+    for col in ("n_users", "n_event_types"):
+        e, s = int(exact[col].iloc[0]), int(sketch[col].iloc[0])
+        # ~1.6% standard error at p=12; allow 5% (3σ) plus slack for tiny counts
+        assert abs(s - e) <= max(2, int(0.05 * e)), (col, e, s)
+
+
+def test_hll_estimator_accuracy_range():
+    import numpy as np
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        _HLL_P,
+        _hll_estimate,
+        _hll_registers,
+    )
+
+    for true_n in (10, 1000, 100_000):
+        vals = np.array([f"key-{i}" for i in range(true_n)], dtype=object)
+        # merge two halves (mergeability) and estimate
+        a = _hll_registers(vals[: true_n // 2], _HLL_P)
+        b = _hll_registers(vals[true_n // 2 :], _HLL_P)
+        est = _hll_estimate(np.maximum(a, b))
+        assert abs(est - true_n) <= max(3, int(0.06 * true_n)), (true_n, est)
+
+
+# ---------------------------------------------------------------------------
+# error-code taxonomy completeness (VERDICT r2 #8)
+# ---------------------------------------------------------------------------
+
+def test_error_codes_cover_reference_taxonomy():
+    """Every applicable reference code (exceptions.py:3-17) is mapped; the
+    two license codes (21/22) are the only deliberate exclusions."""
+    from action_pdf_accessibility_paddle_docker_ray import cli
+
+    assert sorted(cli.ERROR_TEXTS) == [10, 11, 12, 13, 14, 20, 23, 24, 25, 26, 27, 28]
+    cfg = cli.integration_config()
+    for action in cfg["actions"]:
+        assert set(action["errors"]) == {str(c) for c in cli.ERROR_TEXTS}
+
+
+def test_tag_rejects_non_parquet_io(ray_session, tmp_path):
+    from action_pdf_accessibility_paddle_docker_ray import cli
+
+    rc = cli.main(["tag", "-i", "input.pdf", "-o", str(tmp_path / "out")])
+    assert rc == cli.EC_ARG_INPUT_PAGES_OUTPUT_PAGES
+    rc = cli.main(["tag", "-i", str(tmp_path), "-o", "out.json"])
+    assert rc == cli.EC_ARG_INPUT_PAGES_OUTPUT_PAGES
+
+
+def test_template_rejects_non_parquet_input(ray_session, tmp_path):
+    from action_pdf_accessibility_paddle_docker_ray import cli
+
+    rc = cli.main(["template", "-i", "input.pdf", "-o", str(tmp_path / "out")])
+    assert rc == cli.EC_ARG_INPUT_PAGES_OUTPUT_JSON
+
+
+def test_engine_init_failure_maps_to_20(tmp_path, monkeypatch):
+    from action_pdf_accessibility_paddle_docker_ray import cli
+
+    def boom(cpus):
+        raise RuntimeError("no cluster")
+
+    monkeypatch.setattr(cli, "_init_ray", boom)
+    pq.write_table(pa.table({"url": pa.array([], pa.string())}),
+                   str(tmp_path / "pages.parquet"))
+    rc = cli.main(["tag", "-i", str(tmp_path / "pages.parquet"),
+                   "-o", str(tmp_path / "out")])
+    assert rc == cli.EC_ENGINE_INITIALIZE
+
+
+def test_pipeline_failure_maps_to_26_and_27(ray_session, tmp_path, monkeypatch):
+    from action_pdf_accessibility_paddle_docker_ray import cli
+
+    def boom(*a, **k):
+        raise RuntimeError("stage blew up")
+
+    import action_pdf_accessibility_paddle_docker_ray.pipelines.extract as ex
+    monkeypatch.setattr(ex, "extract_pipeline", boom)
+    pq.write_table(pa.table({"url": pa.array([], pa.string())}),
+                   str(tmp_path / "pages.parquet"))
+    rc = cli.main(["tag", "-i", str(tmp_path / "pages.parquet"),
+                   "-o", str(tmp_path / "out")])
+    assert rc == cli.EC_ENGINE_FAILED_TO_TAG
+    rc = cli.main(["template", "-i", str(tmp_path / "pages.parquet"),
+                   "-o", str(tmp_path / "out2")])
+    assert rc == cli.EC_ENGINE_FAILED_TO_CREATE_TEMPLATE
+
+
+def test_template_empty_input_maps_to_28(ray_session, tmp_path):
+    from action_pdf_accessibility_paddle_docker_ray import cli
+    from action_pdf_accessibility_paddle_docker_ray.corpus import generate_pages
+
+    empty = generate_pages(5, seed=1).slice(0, 0)
+    pq.write_table(empty, str(tmp_path / "pages.parquet"))
+    rc = cli.main(["template", "-i", str(tmp_path / "pages.parquet"),
+                   "-o", str(tmp_path / "out")])
+    assert rc == cli.EC_ENGINE_NO_TAGS
