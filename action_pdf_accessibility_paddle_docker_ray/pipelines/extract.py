@@ -52,18 +52,21 @@ DOC_COLUMNS = [
 ]
 
 
-def _default_concurrency() -> tuple[int, int]:
+def _default_concurrency(reserve_div: int = 8) -> tuple[int, int]:
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # pragma: no cover - cluster not yet up
         cpus = 8
-    # fixed pool at cpus - max(1, cpus/8): measured best — the default
-    # autoscaler (upscale only at 2x queue pressure) wastes the whole ramp
-    # on short jobs, and a pool reserving EVERY cpu starves the read/write
-    # stages (33s vs 7s at 32 cpus for the same job).  The reserve covers
-    # read, write and the driver; never reserve every CPU (read tasks
-    # would never schedule → deadlock on tiny sessions).
-    size = max(1, min(cpus - 1, cpus - max(1, cpus // 8)))
+    # fixed pool at cpus - max(1, cpus/reserve_div): measured best — the
+    # default autoscaler (upscale only at 2x queue pressure) wastes the
+    # whole ramp on short jobs, and a pool reserving EVERY cpu starves the
+    # read/write stages (33s vs 7s at 32 cpus for the same job).  The
+    # reserve covers read, write and the driver; never reserve every CPU
+    # (read tasks would never schedule → deadlock on tiny sessions).
+    # The Bloom route passes reserve_div=4: its two read passes + the
+    # maybe-dup exchange need real CPU share, and a 7/8 pool starves them
+    # (measured 123 s vs 87 s on the 149k-row 25%-dup corpus at 32 cpus).
+    size = max(1, min(cpus - 1, cpus - max(1, cpus // reserve_div)))
     return (size, size)
 
 
@@ -307,6 +310,7 @@ def extract_pipeline(
     if dedup == "early" or dedup is True:
         ds = dedup_latest(ds)
 
+    bloom_active = False
     if regroup == "colocate" and dedup == "late":
         winners_ref = _winners_ref
         if winners_ref is None and is_path:
@@ -338,6 +342,7 @@ def extract_pipeline(
                 lambda t: t, batch_format="pyarrow", num_cpus=0.5
             )
             ds = unique.union(resolved)
+            bloom_active = True
         elif winners_ref is not None:
             # num_cpus=0.5 keeps this a TASK stage (no fusion into the actor
             # pool): an ObjectRef captured in actor-constructor args breaks
@@ -355,7 +360,9 @@ def extract_pipeline(
             fn_constructor_kwargs=dict(stage_kwargs, output=output),
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency if concurrency is not None else _default_concurrency(),
+            concurrency=concurrency
+            if concurrency is not None
+            else _default_concurrency(4 if bloom_active else 8),
             num_cpus=1,
         )
 

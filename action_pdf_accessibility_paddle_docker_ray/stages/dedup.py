@@ -3,9 +3,10 @@
 Two-level design so the all-to-all shuffle moves as little as possible:
 1. a per-batch combiner (stateless ``map_batches``) drops stale duplicates
    that happen to share a batch — zero shuffle;
-2. ``groupby("url").map_groups`` resolves the rest — the one unavoidable
-   hash exchange, carrying only the already-pruned (url, warc_ts, html)
-   columns.
+2. ``sort("url")`` + a block-level resolve pass handles the rest — the one
+   unavoidable range exchange, carrying only the already-pruned
+   (url, warc_ts, html) columns (same co-location guarantee as
+   ``groupby().map_groups``, minus its ~10 ms/group dispatch).
 
 Winner = max ``(warc_ts, content_key)`` — the SAME tie-break key the late
 (assembly) dedup and the golden oracle use (``stages/fanout.content_key``),
@@ -43,4 +44,11 @@ def best_per_url(df: pd.DataFrame) -> pd.DataFrame:
 
 def dedup_latest(ds: ray.data.Dataset) -> ray.data.Dataset:
     ds = ds.map_batches(best_per_url, batch_format="pandas")  # combiner, no shuffle
-    return ds.groupby("url").map_groups(best_per_url, batch_format="pandas")
+    # sort + BLOCK-level resolve instead of groupby().map_groups: the sort
+    # gives the same equal-keys-co-located guarantee map_groups relies on,
+    # and best_per_url already resolves every url inside a mixed frame —
+    # this removes map_groups' ~10 ms/group dispatch, which dominated at
+    # 30k+ duplicated urls (measured on the Bloom-route dup corpus)
+    return ds.sort("url").map_batches(
+        best_per_url, batch_format="pandas", batch_size=None
+    )

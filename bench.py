@@ -44,7 +44,10 @@ BENCH_QUERIES = [
     "orders_lineitem_join",
     "orders_lineitem_join_salted",
     "events_asof_order",
+    "events_asof_order_salted",
     "events_orders_range_join",
+    "events_orders_range_join_salted",
+    "extract_span_stats",
     "html_extract",
     "langid",
     "fingerprint",
