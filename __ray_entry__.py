@@ -146,6 +146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": text_ops.fingerprint,
         "repetition_stats": text_ops.repetition_stats,
         "unigram_logprob": text_ops.unigram_logprob,
+        "pii_redact": text_ops.pii_redact,
+        "paragraph_dedup": text_ops.paragraph_dedup,
+        "ngram_decontaminate": text_ops.ngram_decontaminate,
         "events_top3_per_user": relational.events_top3_per_user,
         # dedup family (rows-only: LSH/minhash not SQL-expressible)
         "minhash_dedup": dedup_ops.minhash_dedup,
@@ -358,6 +361,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok.doc_id, CAST(SUM(lp.l) AS BIGINT) AS logprob_micro, "
             "COUNT(*) AS n_tokens FROM tok JOIN lp ON tok.t = lp.t GROUP BY tok.doc_id"
         ),
+        "pii_redact": (
+            "WITH a AS (SELECT doc_id, "
+            + text_ops.pii_augment_expr_sql()
+            + " AS aug FROM documents) "
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(aug, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+            "'\\b555-\\d{4}\\b', '<PHONE>', 'g') AS text_redacted, "
+            "CAST(length(regexp_extract_all(aug, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "+ length(regexp_extract_all(aug, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) "
+            "+ length(regexp_extract_all(aug, '\\b555-\\d{4}\\b')) AS BIGINT) "
+            "AS n_pii FROM a"
+        ),
+        "paragraph_dedup": text_ops.sql_paragraph_dedup(),
+        "ngram_decontaminate": text_ops.sql_ngram_decontaminate(),
         "events_top3_per_user": (
             "SELECT user_id, event_id, rk FROM ("
             "SELECT user_id, event_id, row_number() OVER ("

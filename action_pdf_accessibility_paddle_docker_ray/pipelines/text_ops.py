@@ -363,6 +363,265 @@ def unigram_logprob(
 
 
 # ---------------------------------------------------------------------------
+# PII redaction: the standard pre-training scrub pass (emails / IPv4 /
+# phone patterns → typed placeholders).  The synthetic corpus carries no
+# PII, so — like ``html_extract`` below — the op derives a deterministic
+# augmented text (doc_id-seeded contact line appended) on BOTH sides, then
+# redacts; the SQL oracle rebuilds the same augmentation with string
+# concatenation and replays the redaction with RE2 ``regexp_replace``.
+# ---------------------------------------------------------------------------
+
+# RE2-compatible (no lookaround/backrefs) so Python re and DuckDB agree.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b555-\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_augment_expr_sql() -> str:
+    """The doc_id-seeded contact line, as a DuckDB expression over documents."""
+    return (
+        "text || ' Contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.org from 10.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.0.1 or call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' now.'"
+    )
+
+
+def _pii_augment(doc_id: int, text: str) -> str:
+    return (
+        f"{text} Contact user{doc_id}@example.org from 10.{doc_id % 256}.0.1 "
+        f"or call 555-{1000 + doc_id % 9000} now."
+    )
+
+
+def pii_redact(sf_dir: str) -> ray.data.Dataset:
+    """Redact emails/IPv4/phone patterns → placeholders; count matches.
+
+    Embarrassingly parallel: one vectorized ``str.count`` + ``str.replace``
+    per pattern per batch, no exchange.  ``n_pii`` counts matches on the
+    ORIGINAL text (before any replacement) so the three counters are
+    independent of replacement order; replacements apply in the fixed
+    PII_PATTERNS order on both sides."""
+    ensure_picklable()
+
+    def redact(df: pd.DataFrame) -> pd.DataFrame:
+        aug = pd.Series(
+            [_pii_augment(int(d), t) for d, t in zip(df["doc_id"], df["text"])],
+            index=df.index,
+        )
+        n = pd.Series(0, index=df.index, dtype="int64")
+        red = aug
+        for pat, repl in PII_PATTERNS:
+            n = n + aug.str.count(pat).astype("int64")
+            red = red.str.replace(pat, repl, regex=True)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "text_redacted": red, "n_pii": n}
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        redact, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (ccnet-style): drop every repeated paragraph
+# corpus-wide, keeping only its first occurrence (min (doc_id, position)).
+# The raw synthetic docs are single-line, so the op derives paragraphs
+# deterministically as consecutive 10-token chunks — the same
+# derive-on-both-sides pattern as ``html_extract``/``pii_redact``.
+# ---------------------------------------------------------------------------
+
+_PARA_TOKENS = 10
+# occurrence key = doc_id * 1e6 + 1-based chunk start; assumes documents
+# under 10M tokens and doc_id < 9.2e12 (int64).  At web scale both hold.
+_PARA_KEY_MUL = 1_000_000
+
+
+def paragraph_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide exact paragraph dedup with per-doc reassembly.
+
+    Fully distributed — nothing paragraph-shaped touches the driver:
+    1. explode docs into (para, doc_id, i, key) occurrence rows, plus one
+       seed row per doc carrying its total chunk count (so fully-deduped
+       and empty docs still get an output row);
+    2. per-batch combiner keeps only the batch-local min-key occurrence of
+       each para (drops most duplicates before the exchange);
+    3. one grouped exchange on ``para`` picks the global min-key winner;
+    4. one grouped exchange on ``doc_id`` reassembles winners in position
+       order → (doc_id, text_dedup, n_paras, n_kept).
+    """
+    ensure_picklable()
+    import numpy as np
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        paras, doc_ids, idxs = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = re.findall(_TOKEN_RE, text)
+            for i in range(1, len(toks) + 1, _PARA_TOKENS):
+                paras.append(" ".join(toks[i - 1 : i - 1 + _PARA_TOKENS]))
+                doc_ids.append(int(doc_id))
+                idxs.append(i)
+        return pd.DataFrame(
+            {
+                "para": paras,
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "i": pd.Series(idxs, dtype="int64"),
+                "n_paras": pd.Series([0] * len(paras), dtype="int64"),
+            }
+        )
+
+    def seeds(df: pd.DataFrame) -> pd.DataFrame:
+        # one row per doc (i = -1) carrying its total chunk count, so
+        # fully-deduped and empty docs still get an output row.  Seeds skip
+        # the para exchange entirely — routing them through it would pile
+        # every doc into one degenerate "" group (hot key).
+        counts = [
+            -(-len(re.findall(_TOKEN_RE, t)) // _PARA_TOKENS) for t in df["text"]
+        ]
+        return pd.DataFrame(
+            {
+                "para": [""] * len(df),
+                "doc_id": df["doc_id"].astype("int64").to_numpy(),
+                "i": pd.Series([-1] * len(df), dtype="int64"),
+                "n_paras": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        key = df["doc_id"].to_numpy() * _PARA_KEY_MUL + df["i"].to_numpy()
+        out = df.assign(_k=key).sort_values("_k", kind="mergesort")
+        return out.groupby("para", sort=False).head(1).drop(columns="_k")
+
+    def para_winner(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["doc_id"].to_numpy() * _PARA_KEY_MUL + g["i"].to_numpy()
+        return g.iloc[[int(np.argmin(key))]]
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        kept = g[g["i"] >= 0].sort_values("i", kind="mergesort")
+        seed = g[g["i"] < 0]
+        return pd.DataFrame(
+            {
+                "doc_id": [int(g["doc_id"].iloc[0])],
+                "text_dedup": [" ".join(kept["para"])],
+                "n_paras": [int(seed["n_paras"].iloc[0]) if len(seed) else 0],
+                "n_kept": [len(kept)],
+            }
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    occ = docs.map_batches(explode, batch_format="pandas")
+    occ = occ.map_batches(combiner, batch_format="pandas")
+    winners = grouped_block_map(occ, ["para"], para_winner)
+    seed_ds = docs.map_batches(seeds, batch_format="pandas")
+    return grouped_block_map(winners.union(seed_ds), ["doc_id"], assemble)
+
+
+def sql_paragraph_dedup() -> str:
+    k = _PARA_TOKENS
+    return (
+        r"WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks "
+        "FROM documents), "
+        f"c AS (SELECT doc_id, i, array_to_string(toks[i:i+{k - 1}], ' ') AS para "
+        f"FROM t, UNNEST(range(1, len(toks) + 1, {k})) AS r(i) "
+        "WHERE len(toks) > 0), "
+        "w AS (SELECT doc_id, i, para, "
+        f"MIN(doc_id * {_PARA_KEY_MUL} + i) OVER (PARTITION BY para) AS wk FROM c), "
+        "k AS (SELECT doc_id, string_agg(para, ' ' ORDER BY i) AS text_dedup, "
+        "CAST(COUNT(*) AS BIGINT) AS n_kept FROM w "
+        f"WHERE doc_id * {_PARA_KEY_MUL} + i = wk GROUP BY doc_id), "
+        "np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras FROM c "
+        "GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(k.text_dedup, '') AS text_dedup, "
+        "COALESCE(np.n_paras, 0) AS n_paras, COALESCE(k.n_kept, 0) AS n_kept "
+        "FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id "
+        "LEFT JOIN np ON d.doc_id = np.doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag documents sharing any full 4-token-gram
+# with the "benchmark" subset (doc_id % 50 == 0 — the small held-out side,
+# standard decontamination setting).  The benchmark gram set is the
+# broadcast small side (ray.put once, read per batch); corpus docs stream.
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4
+_DECON_BENCH_MOD = 50
+
+
+def _doc_grams(text: str) -> set:
+    toks = re.findall(_TOKEN_RE, text)
+    n = _DECON_N
+    return {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+
+
+def ngram_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc contamination flag + distinct-hit count vs the benchmark set.
+
+    The benchmark gram set is bounded by the benchmark corpus (tiny by
+    definition); it is collected once (distinct per batch first) and
+    broadcast.  The full-corpus scan is a single embarrassingly-parallel
+    pass — no exchange."""
+    ensure_picklable()
+    import ray as _ray
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"] % _DECON_BENCH_MOD == 0]
+        grams: set = set()
+        for text in sub["text"]:
+            grams |= _doc_grams(text)
+        return pd.DataFrame({"gram": sorted(grams)})
+
+    # distinct-per-batch partials → tiny driver-side union (benchmark-sized)
+    bench = set()
+    for batch in (
+        docs.map_batches(bench_grams, batch_format="pandas")
+        .iter_batches(batch_format="pandas")
+    ):
+        bench.update(batch["gram"])
+    bench_ref = _ray.put(frozenset(bench))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        bset = _ray.get(bench_ref)
+        hits = [len(_doc_grams(t) & bset) for t in df["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "contaminated": pd.Series(
+                    [1 if h else 0 for h in hits], dtype="int64"
+                ),
+                "n_hits": pd.Series(hits, dtype="int64"),
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pandas")
+
+
+def sql_ngram_decontaminate() -> str:
+    n = _DECON_N
+    return (
+        r"WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks "
+        "FROM documents), "
+        f"g AS (SELECT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS gram "
+        f"FROM t, UNNEST(range(1, len(toks) - {n - 2})) AS r(i) "
+        f"WHERE len(toks) >= {n}), "
+        "bench AS (SELECT DISTINCT gram FROM g "
+        f"WHERE doc_id % {_DECON_BENCH_MOD} = 0), "
+        "h AS (SELECT doc_id, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_hits "
+        "FROM g WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 "
+        "ELSE 0 END AS BIGINT) AS contaminated, "
+        "COALESCE(h.n_hits, 0) AS n_hits "
+        "FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # documents-derived HTML round-trip: wrap text in deterministic boilerplate,
 # extract with the HTML arm, recover the text byte-exactly (SQL oracle =
 # plain SELECT of the original text).

@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "fingerprint",
     "repetition_stats",
     "unigram_logprob",
+    "pii_redact",
+    "paragraph_dedup",
+    "ngram_decontaminate",
     "events_top3_per_user",
 ]
 

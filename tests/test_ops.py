@@ -41,7 +41,8 @@ def run_pair(ray_session, con, name):
 @pytest.mark.parametrize(
     "name",
     ["html_extract", "lineitem_agg", "segment_revenue", "exact_dedup",
-     "token_count", "events_sessionize", "knn_search", "token_histogram"],
+     "token_count", "events_sessionize", "knn_search", "token_histogram",
+     "pii_redact", "paragraph_dedup", "ngram_decontaminate"],
 )
 def test_sql_checked_op(ray_session, con, name):
     run_pair(ray_session, con, name)
