@@ -38,6 +38,8 @@ from action_pdf_accessibility_paddle_docker_ray.pipelines.flagship import (  # n
 )
 from action_pdf_accessibility_paddle_docker_ray.stages.multimodal import (  # noqa: E402
     image_features,
+    sql_video_frame_sample,
+    video_frame_sample,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -162,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_search_ivf": similarity.knn_search_ivf,
         # multimodal stub stage (actor pool over binary payloads)
         "image_features": image_features,
+        "video_frame_sample": video_frame_sample,
     }
 
 
@@ -192,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
             dim, k=5, n_queries=10, n_clusters=16, n_probe=4
         ),
         "image_features": sql_oracles.sql_image_features(),
+        "video_frame_sample": sql_video_frame_sample(),
         "extract_doc_meta": sql_oracles.sql_extract_doc_meta(
             pages_path_for(SF_ORACLE) + "/*.parquet"
         ),

@@ -106,6 +106,105 @@ class ImageFeatureStage:
         )
 
 
+class VideoFrameSampleStage:
+    """Actor-pool stage: opaque video payloads → sampled per-frame rows.
+
+    The real decoder (ffmpeg/cv2 VideoCapture) would load ONCE per actor in
+    ``__init__`` and yield frames in ``__call__``; this container has no
+    codec, so decode is a deterministic fake at exactly that boundary: the
+    payload "decodes" to its utf-8 text, each consecutive run of
+    ``frame_chars`` characters is one frame, and every ``sample_rate``-th
+    frame is emitted as (doc_id, frame_idx, n_frames, frame_md5) — md5 of
+    the frame's utf-8 bytes, so the DuckDB oracle replays it with
+    ``md5(substring(text, ...))``.  Trailing partial frames are dropped
+    (a real sampler emits whole frames only).
+
+    1 row in → k rows out: the flat-map shape of real frame sampling, so
+    downstream batch sizing sees the true output fan-out.
+    """
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id",
+                 frame_chars: int = 32, sample_rate: int = 4,
+                 decode: bool = False) -> None:
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.frame_chars = frame_chars
+        self.sample_rate = sample_rate
+        if decode:
+            try:
+                import cv2  # noqa: F401
+            except ImportError as exc:  # pragma: no cover - no cv2 in sandbox
+                raise NotImplementedError(
+                    "real video decoding requires cv2/ffmpeg, which this "
+                    "container lacks — run with decode=False for the "
+                    "deterministic fake decode"
+                ) from exc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        payloads = batch.column(self.payload_col).to_pylist()
+        out_ids, out_idx, out_n, out_md5 = [], [], [], []
+        fc, sr = self.frame_chars, self.sample_rate
+        for doc_id, p in zip(ids, payloads):
+            data = p if isinstance(p, (bytes, bytearray)) else str(p).encode()
+            text = bytes(data).decode("utf-8")  # the stubbed decode boundary
+            n_frames = len(text) // fc
+            for i in range(0, n_frames, sr):
+                frame = text[i * fc : (i + 1) * fc]
+                out_ids.append(doc_id)
+                out_idx.append(i)
+                out_n.append(n_frames)
+                # md5: content digest recomputable by DuckDB's md5(), not a
+                # crypto use
+                out_md5.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                self.id_col: pa.array(out_ids, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int64()),
+                "n_frames": pa.array(out_n, pa.int64()),
+                "frame_md5": pa.array(out_md5, pa.string()),
+            }
+        )
+
+
+def video_frame_sample(sf_dir: str):
+    """Demo query: documents' utf-8 bytes as fake video containers through
+    the frame-sampling actor pool (small batches — payload-heavy rows)."""
+    import pandas as pd
+    import ray.data
+
+    from .. import ensure_picklable
+    from ..sources.pages import read_table
+
+    ensure_picklable()
+
+    def to_payload(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "payload": [t.encode("utf-8") for t in df["text"]]}
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(to_payload, batch_format="pandas")
+    return ds.map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs=dict(payload_col="payload", id_col="doc_id"),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 2),
+    )
+
+
+def sql_video_frame_sample() -> str:
+    """DuckDB replay of the fake decode: 32-char frames, every 4th."""
+    return (
+        "WITH m AS (SELECT doc_id, text, "
+        "CAST(length(text) // 32 AS BIGINT) AS n_frames FROM documents) "
+        "SELECT doc_id, i AS frame_idx, n_frames, "
+        "md5(substring(text, CAST(1 + i * 32 AS BIGINT), 32)) AS frame_md5 "
+        "FROM m, UNNEST(range(0, n_frames, 4)) AS r(i)"
+    )
+
+
 def image_features(sf_dir: str):
     """Demo query: documents' utf-8 bytes as the opaque payload through the
     actor-pool feature stage."""

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "paragraph_dedup",
     "ngram_decontaminate",
+    "video_frame_sample",
     "events_top3_per_user",
 ]
 

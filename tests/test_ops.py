@@ -42,7 +42,7 @@ def run_pair(ray_session, con, name):
     "name",
     ["html_extract", "lineitem_agg", "segment_revenue", "exact_dedup",
      "token_count", "events_sessionize", "knn_search", "token_histogram",
-     "pii_redact", "paragraph_dedup", "ngram_decontaminate"],
+     "pii_redact", "paragraph_dedup", "ngram_decontaminate", "video_frame_sample"],
 )
 def test_sql_checked_op(ray_session, con, name):
     run_pair(ray_session, con, name)
@@ -95,6 +95,29 @@ def test_knn_lsh_mostly_agrees_with_exact(ray_session):
     # because same-side hyperplane signs correlate with high cosine.  Assert
     # we beat random coverage by a clear margin.
     assert recall > 0.08, recall
+
+
+def test_video_frame_sample_stage():
+    import hashlib
+
+    import pyarrow as pa
+
+    from action_pdf_accessibility_paddle_docker_ray.stages.multimodal import (
+        VideoFrameSampleStage,
+    )
+
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(decode=True)
+    # 5 frames of 4 chars, sample every 2nd → frames 0, 2, 4; partial tail
+    # dropped; non-ASCII chars hash via their utf-8 bytes
+    text = "aaaabbbbccccddddéééé" + "xx"
+    stage = VideoFrameSampleStage(frame_chars=4, sample_rate=2)
+    out = stage(pa.table({"doc_id": [7], "payload": [text.encode("utf-8")]}))
+    assert out.column("frame_idx").to_pylist() == [0, 2, 4]
+    assert out.column("n_frames").to_pylist() == [5, 5, 5]
+    assert out.column("frame_md5").to_pylist()[2] == hashlib.md5(
+        "éééé".encode("utf-8")
+    ).hexdigest()
 
 
 def test_image_feature_stage_decode_stub():
