@@ -37,7 +37,9 @@ from action_pdf_accessibility_paddle_docker_ray.pipelines.flagship import (  # n
     pages_path_for,
 )
 from action_pdf_accessibility_paddle_docker_ray.stages.multimodal import (  # noqa: E402
+    audio_window_features,
     image_features,
+    sql_audio_window_features,
     sql_video_frame_sample,
     video_frame_sample,
 )
@@ -165,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal stub stage (actor pool over binary payloads)
         "image_features": image_features,
         "video_frame_sample": video_frame_sample,
+        "audio_window_features": audio_window_features,
     }
 
 
@@ -196,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "image_features": sql_oracles.sql_image_features(),
         "video_frame_sample": sql_video_frame_sample(),
+        "audio_window_features": sql_audio_window_features(),
         "extract_doc_meta": sql_oracles.sql_extract_doc_meta(
             pages_path_for(SF_ORACLE) + "/*.parquet"
         ),

@@ -205,6 +205,109 @@ def sql_video_frame_sample() -> str:
     )
 
 
+class AudioWindowFeatureStage:
+    """Actor-pool stage: opaque audio payloads → per-window feature rows.
+
+    The real decoder (soundfile/ffmpeg → PCM samples) would load once per
+    actor in ``__init__``; without codecs the fake decode treats the
+    payload's utf-8 text as the sample stream — one sample per character,
+    value = codepoint — and emits per-window integer aggregates
+    (sum, max, count) over fixed ``window`` sample frames (the windowed-RMS
+    shape of real audio feature extraction, integer-exact for the oracle).
+    The kernel is vectorized: one numpy reduceat per batch, no per-sample
+    Python loop.
+    """
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id",
+                 window: int = 100, decode: bool = False) -> None:
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.window = window
+        if decode:
+            try:
+                import soundfile  # noqa: F401
+            except ImportError as exc:  # pragma: no cover - not in sandbox
+                raise NotImplementedError(
+                    "real audio decoding requires soundfile/ffmpeg, which "
+                    "this container lacks — run with decode=False for the "
+                    "deterministic fake decode"
+                ) from exc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        payloads = batch.column(self.payload_col).to_pylist()
+        out: dict[str, list] = {
+            self.id_col: [], "win": [], "v_sum": [], "v_max": [], "n_samples": [],
+        }
+        w = self.window
+        for doc_id, p in zip(ids, payloads):
+            data = p if isinstance(p, (bytes, bytearray)) else str(p).encode()
+            text = bytes(data).decode("utf-8")  # the stubbed decode boundary
+            if not text:
+                continue
+            samples = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            samples = samples.astype(np.int64)
+            starts = np.arange(0, len(samples), w)
+            sums = np.add.reduceat(samples, starts)
+            maxs = np.maximum.reduceat(samples, starts)
+            counts = np.diff(np.append(starts, len(samples)))
+            out[self.id_col].extend([doc_id] * len(starts))
+            out["win"].extend(range(len(starts)))
+            out["v_sum"].extend(sums)
+            out["v_max"].extend(maxs)
+            out["n_samples"].extend(counts)
+        return pa.table(
+            {
+                self.id_col: pa.array(out[self.id_col], pa.int64()),
+                "win": pa.array(out["win"], pa.int64()),
+                "v_sum": pa.array([int(v) for v in out["v_sum"]], pa.int64()),
+                "v_max": pa.array([int(v) for v in out["v_max"]], pa.int64()),
+                "n_samples": pa.array([int(v) for v in out["n_samples"]], pa.int64()),
+            }
+        )
+
+
+def audio_window_features(sf_dir: str):
+    """Demo query: documents' utf-8 bytes as fake audio through the
+    windowed-feature actor pool."""
+    import pandas as pd
+    import ray.data
+
+    from .. import ensure_picklable
+    from ..sources.pages import read_table
+
+    ensure_picklable()
+
+    def to_payload(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "payload": [t.encode("utf-8") for t in df["text"]]}
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(to_payload, batch_format="pandas")
+    return ds.map_batches(
+        AudioWindowFeatureStage,
+        fn_constructor_kwargs=dict(payload_col="payload", id_col="doc_id"),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 2),
+    )
+
+
+def sql_audio_window_features() -> str:
+    """DuckDB replay of the fake decode: codepoint samples, 100-per-window
+    integer aggregates (partial trailing window kept)."""
+    return (
+        "WITH s AS (SELECT doc_id, i, "
+        "unicode(substring(text, CAST(i AS BIGINT), 1)) AS v "
+        "FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)) "
+        "SELECT doc_id, CAST((i - 1) // 100 AS BIGINT) AS win, "
+        "CAST(SUM(v) AS BIGINT) AS v_sum, CAST(MAX(v) AS BIGINT) AS v_max, "
+        "CAST(COUNT(*) AS BIGINT) AS n_samples "
+        "FROM s GROUP BY doc_id, win"
+    )
+
+
 def image_features(sf_dir: str):
     """Demo query: documents' utf-8 bytes as the opaque payload through the
     actor-pool feature stage."""

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "ngram_decontaminate",
     "video_frame_sample",
+    "audio_window_features",
     "events_top3_per_user",
 ]
 

@@ -42,7 +42,8 @@ def run_pair(ray_session, con, name):
     "name",
     ["html_extract", "lineitem_agg", "segment_revenue", "exact_dedup",
      "token_count", "events_sessionize", "knn_search", "token_histogram",
-     "pii_redact", "paragraph_dedup", "ngram_decontaminate", "video_frame_sample"],
+     "pii_redact", "paragraph_dedup", "ngram_decontaminate", "video_frame_sample",
+     "audio_window_features"],
 )
 def test_sql_checked_op(ray_session, con, name):
     run_pair(ray_session, con, name)
@@ -118,6 +119,26 @@ def test_video_frame_sample_stage():
     assert out.column("frame_md5").to_pylist()[2] == hashlib.md5(
         "éééé".encode("utf-8")
     ).hexdigest()
+
+
+def test_audio_window_feature_stage():
+    import pyarrow as pa
+
+    from action_pdf_accessibility_paddle_docker_ray.stages.multimodal import (
+        AudioWindowFeatureStage,
+    )
+
+    with pytest.raises(NotImplementedError):
+        AudioWindowFeatureStage(decode=True)
+    # window=4 over 6 samples → full window + partial tail; é = U+00E9 (233)
+    stage = AudioWindowFeatureStage(window=4)
+    out = stage(pa.table({"doc_id": [3], "payload": ["abcdéf".encode("utf-8")]}))
+    assert out.column("win").to_pylist() == [0, 1]
+    assert out.column("v_sum").to_pylist() == [
+        ord("a") + ord("b") + ord("c") + ord("d"), 233 + ord("f")
+    ]
+    assert out.column("v_max").to_pylist() == [ord("d"), 233]
+    assert out.column("n_samples").to_pylist() == [4, 2]
 
 
 def test_image_feature_stage_decode_stub():
