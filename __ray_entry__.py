@@ -22,6 +22,7 @@ from action_pdf_accessibility_paddle_docker_ray.pipelines import (  # noqa: E402
     dedup_ops,
     joins,
     relational,
+    sampling,
     similarity,
     text_ops,
 )
@@ -153,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": text_ops.pii_redact,
         "paragraph_dedup": text_ops.paragraph_dedup,
         "ngram_decontaminate": text_ops.ngram_decontaminate,
+        "hash_split": sampling.hash_split,
+        "seeded_shuffle": sampling.seeded_shuffle,
         "events_top3_per_user": relational.events_top3_per_user,
         # dedup family (rows-only: LSH/minhash not SQL-expressible)
         "minhash_dedup": dedup_ops.minhash_dedup,
@@ -387,6 +390,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "paragraph_dedup": text_ops.sql_paragraph_dedup(),
         "ngram_decontaminate": text_ops.sql_ngram_decontaminate(),
+        "hash_split": sampling.sql_hash_split(),
+        "seeded_shuffle": sampling.sql_seeded_shuffle(),
         "events_top3_per_user": (
             "SELECT user_id, event_id, rk FROM ("
             "SELECT user_id, event_id, row_number() OVER ("

@@ -1,0 +1,154 @@
+"""Deterministic sampling / split / shuffle operators for training data.
+
+Training pipelines need reproducible randomness: the same corpus must
+yield the same train/val/test assignment and the same shuffle order on
+every run, at any parallelism, with no driver-held RNG state.  Both ops
+here derive their "randomness" from the murmur3 fmix32 finalizer (a
+bijection on uint32 — already bit-reproduced in DuckDB by
+``sql_oracles._fmix32_ctes``), so every row's fate is a pure function of
+its id and the seed.
+
+Scale design: ``hash_split`` is embarrassingly parallel (no exchange).
+``seeded_shuffle`` needs a global rank; it buckets rows by the TOP bits
+of the shuffle key (so buckets are ordered key ranges), counts bucket
+sizes with per-batch partials (only ``n_buckets`` ints reach the
+driver), broadcasts the cumulative offsets, and assigns ranks with one
+grouped exchange — rank = bucket offset + in-bucket position.  No row
+data ever reaches the driver, and the one exchange moves each row once
+(the same volume any true shuffle must move).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from .. import ensure_picklable
+from ..sources.pages import read_table
+from .util import grouped_block_map
+
+_M32 = 1 << 32
+
+
+def fmix32_np(h: np.ndarray) -> np.ndarray:
+    """Vectorized murmur3 fmix32 (bit-exact vs dedup_ops.fmix32)."""
+    h = h.astype(np.uint32, copy=True)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint32(16)
+        h *= np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h *= np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h
+
+
+def hash_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic 90/5/5 train/val/test assignment by id hash.
+
+    bucket = fmix32(doc_id) % 100; test < 5 ≤ val < 10 ≤ train.  Pure
+    per-row function — no exchange, no state, stable under any
+    parallelism and any resume boundary."""
+    ensure_picklable()
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h = fmix32_np(df["doc_id"].to_numpy().astype(np.uint64) % _M32)
+        bucket = (h % np.uint32(100)).astype("int64")
+        split = np.where(
+            bucket < 5, "test", np.where(bucket < 10, "val", "train")
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "bucket": bucket, "split": split}
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        assign, batch_format="pandas"
+    )
+
+
+_SHUFFLE_SEED = 42
+_SHUFFLE_BUCKET_BITS = 6  # 64 ordered key-range buckets
+
+
+def seeded_shuffle(sf_dir: str, *, seed: int = _SHUFFLE_SEED) -> ray.data.Dataset:
+    """Deterministic global shuffle: rank every row by fmix32(id ^ seed).
+
+    fmix32 is a bijection, so keys are unique for distinct uint32 ids and
+    the order is a true permutation; (key, doc_id) ordering keeps the op
+    well-defined even past 2^32 ids.  Returns (doc_id, shuffle_key, rank)
+    with rank 0-based over the whole corpus."""
+    ensure_picklable()
+
+    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        k = fmix32_np((ids % _M32) ^ np.uint64(seed))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "shuffle_key": k.astype("int64"),
+                "bucket": (k >> np.uint32(32 - _SHUFFLE_BUCKET_BITS)).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    keyed = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        key_rows, batch_format="pandas"
+    ).materialize()  # consumed twice (counts + rank); id-width rows only
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["bucket"].value_counts()
+        return pd.DataFrame(
+            {"bucket": c.index.astype("int64"), "n": c.to_numpy().astype("int64")}
+        )
+
+    # driver sees ≤ n_buckets × n_blocks tiny (bucket, partial) rows
+    parts = keyed.map_batches(bucket_counts, batch_format="pandas").to_pandas()
+    totals = parts.groupby("bucket")["n"].sum().sort_index()
+    offsets = totals.cumsum().shift(fill_value=0)
+    offsets_ref = ray.put(offsets.to_dict())
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(["shuffle_key", "doc_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "shuffle_key": g["shuffle_key"].to_numpy(),
+                "rank": np.arange(off, off + len(g), dtype="int64"),
+            }
+        )
+
+    return grouped_block_map(keyed, ["bucket"], rank_bucket)
+
+
+def _fmix32_sql(hin_expr: str, carry: str = "doc_id") -> tuple[str, str]:
+    """(cte_fragment, final_cte): fmix32 of ``hin_expr`` over documents."""
+    from .sql_oracles import _fmix32_ctes
+
+    frag, final = _fmix32_ctes(
+        "fx", "fsrc", [carry], "hin", "hv"
+    )
+    src = f"fsrc AS (SELECT {carry}, {hin_expr} AS hin FROM documents)"
+    return f"{src}, {frag}", final
+
+
+def sql_hash_split() -> str:
+    frag, final = _fmix32_sql(f"doc_id % {_M32}")
+    return (
+        f"WITH {frag} "
+        f"SELECT doc_id, hv % 100 AS bucket, "
+        "CASE WHEN hv % 100 < 5 THEN 'test' WHEN hv % 100 < 10 THEN 'val' "
+        f"ELSE 'train' END AS split FROM {final}"
+    )
+
+
+def sql_seeded_shuffle() -> str:
+    frag, final = _fmix32_sql(f"xor(doc_id % {_M32}, {_SHUFFLE_SEED})")
+    return (
+        f"WITH {frag} "
+        "SELECT doc_id, hv AS shuffle_key, "
+        "CAST(row_number() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT) AS rank "
+        f"FROM {final}"
+    )

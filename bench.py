@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "ngram_decontaminate",
     "video_frame_sample",
     "audio_window_features",
+    "hash_split",
+    "seeded_shuffle",
     "events_top3_per_user",
 ]
 

@@ -43,7 +43,7 @@ def run_pair(ray_session, con, name):
     ["html_extract", "lineitem_agg", "segment_revenue", "exact_dedup",
      "token_count", "events_sessionize", "knn_search", "token_histogram",
      "pii_redact", "paragraph_dedup", "ngram_decontaminate", "video_frame_sample",
-     "audio_window_features"],
+     "audio_window_features", "hash_split", "seeded_shuffle"],
 )
 def test_sql_checked_op(ray_session, con, name):
     run_pair(ray_session, con, name)
@@ -96,6 +96,21 @@ def test_knn_lsh_mostly_agrees_with_exact(ray_session):
     # because same-side hyperplane signs correlate with high cosine.  Assert
     # we beat random coverage by a clear margin.
     assert recall > 0.08, recall
+
+
+def test_seeded_shuffle_is_permutation(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.sampling import (
+        seeded_shuffle,
+    )
+
+    out = seeded_shuffle(SF).to_pandas()
+    n = len(out)
+    assert sorted(out["rank"]) == list(range(n))           # contiguous ranks
+    assert out["shuffle_key"].nunique() == n               # fmix32 bijection
+    assert set(out["doc_id"]) == set(range(n))             # nothing lost
+    # order is actually scrambled (not identity)
+    by_rank = out.sort_values("rank")["doc_id"].to_numpy()
+    assert (by_rank != sorted(by_rank)).any()
 
 
 def test_video_frame_sample_stage():
