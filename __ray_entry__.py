@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (SQL-checked)
         "exact_dedup": text_ops.exact_dedup,
         "token_count": text_ops.token_count,
+        "bpe_token_count": text_ops.bpe_token_count,
         "text_quality": text_ops.text_quality,
         "token_histogram": text_ops.token_histogram,
         "langid": text_ops.langid,
@@ -391,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": text_ops.sql_paragraph_dedup(),
         "ngram_decontaminate": text_ops.sql_ngram_decontaminate(),
         "hash_split": sampling.sql_hash_split(),
+        "bpe_token_count": text_ops.sql_bpe_token_count(),
         "seeded_shuffle": sampling.sql_seeded_shuffle(),
         "events_top3_per_user": (
             "SELECT user_id, event_id, rk FROM ("

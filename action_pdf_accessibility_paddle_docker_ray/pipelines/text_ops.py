@@ -73,6 +73,44 @@ def token_count(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# GPT-2-style pre-tokenizer, simplified to the RE2 ∩ Python-re common
+# subset (no \p classes, no lookahead): optional-leading-space letter runs,
+# digit runs, punctuation runs, residual whitespace.  Leftmost-first
+# alternation matches in both engines (parity spot-checked incl. mixed
+# alnum, punctuation, tabs/newlines and leading spaces).
+_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+|[ \t\n]+"
+
+
+def bpe_token_count(sf_dir: str) -> ray.data.Dataset:
+    """Token budgeting with a BPE-ish pre-tokenizer (plus the whitespace
+    count for comparison) — the standard corpus-sizing signal.  One
+    vectorized ``str.count`` per pattern per batch, no exchange."""
+    ensure_picklable()
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_ws_tokens": df["text"].str.count(_TOKEN_RE).astype("int64"),
+                "n_bpe_tokens": df["text"].str.count(_BPE_RE).astype("int64"),
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        count, batch_format="pandas"
+    )
+
+
+def sql_bpe_token_count() -> str:
+    return (
+        r"SELECT doc_id, "
+        r"CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens, "
+        "CAST(length(regexp_extract_all(text, "
+        "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 " + "\\t\\n" + "]+|[ \\t\\n]+')) "
+        "AS BIGINT) AS n_bpe_tokens FROM documents"
+    )
+
+
 def text_quality(sf_dir: str) -> ray.data.Dataset:
     """Quality-signal counters (all integers → bit-exact vs the SQL oracle)."""
     ensure_picklable()

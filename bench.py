@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "audio_window_features",
     "hash_split",
     "seeded_shuffle",
+    "bpe_token_count",
     "events_top3_per_user",
 ]
 
