@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": text_ops.exact_dedup,
         "token_count": text_ops.token_count,
         "bpe_token_count": text_ops.bpe_token_count,
+        "tfidf_topk": text_ops.tfidf_topk,
         "text_quality": text_ops.text_quality,
         "token_histogram": text_ops.token_histogram,
         "langid": text_ops.langid,
@@ -157,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_decontaminate": text_ops.ngram_decontaminate,
         "hash_split": sampling.hash_split,
         "seeded_shuffle": sampling.seeded_shuffle,
+        "stratified_sample": sampling.stratified_sample,
         "events_top3_per_user": relational.events_top3_per_user,
         # dedup family (rows-only: LSH/minhash not SQL-expressible)
         "minhash_dedup": dedup_ops.minhash_dedup,
@@ -393,7 +395,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_decontaminate": text_ops.sql_ngram_decontaminate(),
         "hash_split": sampling.sql_hash_split(),
         "bpe_token_count": text_ops.sql_bpe_token_count(),
+        "tfidf_topk": text_ops.sql_tfidf_topk(),
         "seeded_shuffle": sampling.sql_seeded_shuffle(),
+        "stratified_sample": sampling.sql_stratified_sample(),
         "events_top3_per_user": (
             "SELECT user_id, event_id, rk FROM ("
             "SELECT user_id, event_id, row_number() OVER ("

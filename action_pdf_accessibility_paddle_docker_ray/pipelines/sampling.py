@@ -67,6 +67,40 @@ def hash_split(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+_SAMPLE_SEED = 7
+# per-10k keep thresholds per stratum — head languages downsampled, the
+# default stratum kept whole (the standard rebalancing move for a
+# web-crawl corpus dominated by one or two languages)
+SAMPLE_RATES_PER_10K = {"en": 2500, "zh": 5000}
+_SAMPLE_DEFAULT_10K = 10000
+
+
+def stratified_sample(sf_dir: str, *, seed: int = _SAMPLE_SEED) -> ray.data.Dataset:
+    """Deterministic per-stratum (language) downsampling by id hash.
+
+    keep iff fmix32(doc_id ^ seed) % 10000 < rate[lang].  Pure per-row
+    function — no exchange, no RNG state, the same document set survives
+    at any parallelism / resume boundary, and raising a stratum's rate
+    strictly grows its sample (nested samples, the property reservoir
+    sampling can't give you)."""
+    ensure_picklable()
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        h = fmix32_np((ids % _M32) ^ np.uint64(seed))
+        thr = (
+            df["lang"].map(SAMPLE_RATES_PER_10K)
+            .fillna(_SAMPLE_DEFAULT_10K)
+            .to_numpy(dtype="int64")
+        )
+        m = (h % np.uint32(10000)).astype("int64") < thr
+        return df.loc[m, ["doc_id", "lang"]]
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
+        keep, batch_format="pandas"
+    )
+
+
 _SHUFFLE_SEED = 42
 _SHUFFLE_BUCKET_BITS = 6  # 64 ordered key-range buckets
 
@@ -141,6 +175,20 @@ def sql_hash_split() -> str:
         f"SELECT doc_id, hv % 100 AS bucket, "
         "CASE WHEN hv % 100 < 5 THEN 'test' WHEN hv % 100 < 10 THEN 'val' "
         f"ELSE 'train' END AS split FROM {final}"
+    )
+
+
+def sql_stratified_sample() -> str:
+    frag, final = _fmix32_sql(
+        f"xor(doc_id % {_M32}, {_SAMPLE_SEED})", carry="doc_id, lang"
+    )
+    case = "CASE lang " + " ".join(
+        f"WHEN '{lang}' THEN {thr}"
+        for lang, thr in sorted(SAMPLE_RATES_PER_10K.items())
+    ) + f" ELSE {_SAMPLE_DEFAULT_10K} END"
+    return (
+        f"WITH {frag} "
+        f"SELECT doc_id, lang FROM {final} WHERE hv % 10000 < {case}"
     )
 
 

@@ -401,6 +401,140 @@ def unigram_logprob(
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF keyword extraction: per-doc top-k terms by integer tf-idf score.
+# Document frequency is computed distributed (per-batch combiner → one
+# grouped exchange of (token, partial) rows); idf attaches to the
+# (doc, token, tf) rows via a token-hash BUCKETED join — a per-row lookup
+# inside each bucket, so a hot token ("the", df ≈ n_docs) never needs its
+# rows co-located in one group the way a groupby(token) plan would.  No
+# vocabulary ever reaches the driver.  Integer scores (micro-idf floor
+# division) keep the DuckDB oracle bit-exact at any parallelism.
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+_TFIDF_BUCKETS = 64
+_IDF_MICRO = 1_000_000
+
+
+def tfidf_topk(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc top-3 terms by tf * ((n_docs * 1e6) // df), ties → token asc.
+
+    Stages: explode → tf rows (materialized once, consumed twice) →
+    df via combiner + groupby(token) → bucketed idf⋈tf join → per-doc
+    top-k.  Returns (doc_id, rk, token, score)."""
+    ensure_picklable()
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.set_index("doc_id")["text"].str.findall(_TOKEN_RE).explode().dropna()
+        g = toks.groupby([toks.index, toks.to_numpy()]).size()
+        idx = g.index
+        return pd.DataFrame(
+            {
+                "doc_id": idx.get_level_values(0).to_numpy().astype("int64"),
+                "token": idx.get_level_values(1).to_numpy(),
+                "tf": g.to_numpy().astype("int64"),
+            }
+        )
+
+    tf = docs.map_batches(tf_rows, batch_format="pandas").materialize()
+
+    def df_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # (doc_id, token) is unique, so a token's batch row count IS its
+        # batch-partial document frequency
+        c = df["token"].value_counts()
+        return pd.DataFrame(
+            {"token": c.index, "part_df": c.to_numpy().astype("int64")}
+        )
+
+    dfreq = (
+        tf.map_batches(df_partials, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("part_df", alias_name="df"))
+    )
+
+    def _bucket(tokens: pd.Series) -> "np.ndarray":
+        return (
+            pd.util.hash_array(tokens.to_numpy(object)) % _TFIDF_BUCKETS
+        ).astype("int64")
+
+    def idf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        idf = (np.int64(n_docs) * _IDF_MICRO) // df["df"].to_numpy()
+        return pd.DataFrame(
+            {"bucket": _bucket(df["token"]), "side": "l",
+             "doc_id": np.int64(-1), "token": df["token"],
+             "tf": np.int64(0), "idf": idf.astype("int64")}
+        )
+
+    def tf_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"bucket": _bucket(df["token"]), "side": "d",
+             "doc_id": df["doc_id"].astype("int64"), "token": df["token"],
+             "tf": df["tf"].astype("int64"), "idf": np.int64(0)}
+        )
+
+    both = dfreq.map_batches(idf_rows, batch_format="pandas").union(
+        tf.map_batches(tf_side, batch_format="pandas")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["side"] == "d"]
+        if len(d) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "token": pd.Series([], dtype="object"),
+                 "score": pd.Series([], dtype="int64")}
+            )
+        lut = g[g["side"] == "l"]
+        idf = d["token"].map(dict(zip(lut["token"], lut["idf"])))
+        return pd.DataFrame(
+            {"doc_id": d["doc_id"].to_numpy(),
+             "token": d["token"].to_numpy(),
+             "score": d["tf"].to_numpy() * idf.to_numpy().astype("int64")}
+        )
+
+    scored = grouped_block_map(both, ["bucket"], join_bucket)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "token"], ascending=[False, True], kind="mergesort"
+        ).head(_TFIDF_K)
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(),
+             "rk": np.arange(1, len(g) + 1, dtype="int64"),
+             "token": g["token"].to_numpy(),
+             "score": g["score"].to_numpy().astype("int64")}
+        )
+
+    return grouped_block_map(scored, ["doc_id"], topk)
+
+
+def sql_tfidf_topk() -> str:
+    return (
+        r"WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks "
+        "FROM documents), "
+        "u AS (SELECT doc_id, unnest(toks) AS token FROM t), "
+        "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM u GROUP BY doc_id, token), "
+        "df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf "
+        "GROUP BY token), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), "
+        "s AS (SELECT tf.doc_id, tf.token, "
+        f"tf.tf * ((n.n * {_IDF_MICRO}) // df.df) AS score "
+        "FROM tf, df, n WHERE tf.token = df.token), "
+        "r AS (SELECT doc_id, token, score, CAST(row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rk "
+        "FROM s) "
+        f"SELECT doc_id, rk, token, score FROM r WHERE rk <= {_TFIDF_K}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII redaction: the standard pre-training scrub pass (emails / IPv4 /
 # phone patterns → typed placeholders).  The synthetic corpus carries no
 # PII, so — like ``html_extract`` below — the op derives a deterministic

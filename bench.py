@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "hash_split",
     "seeded_shuffle",
     "bpe_token_count",
+    "stratified_sample",
+    "tfidf_topk",
     "events_top3_per_user",
 ]
 
