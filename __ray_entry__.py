@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": sampling.hash_split,
         "seeded_shuffle": sampling.seeded_shuffle,
         "stratified_sample": sampling.stratified_sample,
+        "sequence_pack": sampling.sequence_pack,
         "events_top3_per_user": relational.events_top3_per_user,
         # dedup family (rows-only: LSH/minhash not SQL-expressible)
         "minhash_dedup": dedup_ops.minhash_dedup,
@@ -398,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": text_ops.sql_tfidf_topk(),
         "seeded_shuffle": sampling.sql_seeded_shuffle(),
         "stratified_sample": sampling.sql_stratified_sample(),
+        "sequence_pack": sampling.sql_sequence_pack(),
         "events_top3_per_user": (
             "SELECT user_id, event_id, rk FROM ("
             "SELECT user_id, event_id, row_number() OVER ("

@@ -157,6 +157,101 @@ def seeded_shuffle(sf_dir: str, *, seed: int = _SHUFFLE_SEED) -> ray.data.Datase
     return grouped_block_map(keyed, ["bucket"], rank_bucket)
 
 
+_PACK_CAPACITY = 256
+_PACK_BUCKETS = 16
+_PACK_SEQ_MUL = 1_000_000
+
+
+def sequence_pack(sf_dir: str, *, capacity: int = _PACK_CAPACITY) -> ray.data.Dataset:
+    """Greedy in-order packing of documents into fixed token-budget
+    training sequences — the standard pre-training batching step.
+
+    Documents hash-partition into ``_PACK_BUCKETS`` independent streams
+    (fmix32(doc_id) — deterministic, resume-stable), and each stream packs
+    its docs in doc_id order: a doc joins the open sequence unless that
+    would exceed ``capacity`` tokens, else it opens a new one (an
+    over-long doc gets a sequence of its own).  Packing is sequential BY
+    DEFINITION within a stream, so the engine parallelizes across streams
+    (at 100 TB: thousands of buckets ≈ thousands of independent packers)
+    and the per-stream scan is a trivial integer loop — the token
+    counting above it is the vectorized hot path.  One sort-exchange
+    total; nothing reaches the driver.
+
+    Returns (doc_id, bucket, seq_id, pos, n_tokens); seq_id is globally
+    unique as bucket * 1e6 + per-bucket sequence index."""
+    ensure_picklable()
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        h = fmix32_np(ids % _M32)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "bucket": (h % np.uint32(_PACK_BUCKETS)).astype("int64"),
+                "n_tokens": df["text"].str.count(r"\S+").astype("int64"),
+            }
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        keyed, batch_format="pandas"
+    )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        ns = g["n_tokens"].to_numpy()
+        seq = np.empty(len(g), dtype=np.int64)
+        pos = np.empty(len(g), dtype=np.int64)
+        s = acc = p = 0
+        for i, n in enumerate(ns):
+            if i == 0:
+                acc, p = n, 0
+            elif acc + n > capacity:
+                s, acc, p = s + 1, n, 0
+            else:
+                acc, p = acc + n, p + 1
+            seq[i], pos[i] = s, p
+        b = int(g["bucket"].iloc[0])
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "bucket": np.full(len(g), b, dtype=np.int64),
+                "seq_id": b * _PACK_SEQ_MUL + seq,
+                "pos": pos,
+                "n_tokens": ns,
+            }
+        )
+
+    return grouped_block_map(ds, ["bucket"], pack)
+
+
+def sql_sequence_pack() -> str:
+    """Greedy packing replayed in DuckDB as a recursive CTE walking each
+    bucket's doc_id-ordered rows (recursion depth = max rows per bucket —
+    fine at check scale; the Ray side is the scale path)."""
+    c = _PACK_CAPACITY
+    frag, final = _fmix32_sql(f"doc_id % {_M32}")
+    return (
+        f"WITH RECURSIVE {frag}, "
+        "nt AS (SELECT f.doc_id, f.hv % "
+        f"{_PACK_BUCKETS} AS bucket, "
+        r"CAST(length(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n "
+        f"FROM {final} f JOIN documents d ON f.doc_id = d.doc_id), "
+        "base AS (SELECT doc_id, bucket, n, row_number() OVER ("
+        "PARTITION BY bucket ORDER BY doc_id) AS rn FROM nt), "
+        "r AS ("
+        "SELECT bucket, rn, doc_id, n, n AS acc, CAST(0 AS BIGINT) AS seq, "
+        "CAST(0 AS BIGINT) AS pos FROM base WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT b.bucket, b.rn, b.doc_id, b.n, "
+        f"CASE WHEN r.acc + b.n > {c} THEN b.n ELSE r.acc + b.n END, "
+        f"CASE WHEN r.acc + b.n > {c} THEN r.seq + 1 ELSE r.seq END, "
+        f"CASE WHEN r.acc + b.n > {c} THEN 0 ELSE r.pos + 1 END "
+        "FROM base b JOIN r ON b.bucket = r.bucket AND b.rn = r.rn + 1) "
+        f"SELECT doc_id, bucket, bucket * {_PACK_SEQ_MUL} + seq AS seq_id, "
+        "pos, n AS n_tokens FROM r"
+    )
+
+
 def _fmix32_sql(hin_expr: str, carry: str = "doc_id") -> tuple[str, str]:
     """(cte_fragment, final_cte): fmix32 of ``hin_expr`` over documents."""
     from .sql_oracles import _fmix32_ctes

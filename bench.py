@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "bpe_token_count",
     "stratified_sample",
     "tfidf_topk",
+    "sequence_pack",
     "events_top3_per_user",
 ]
 
