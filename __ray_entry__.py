@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": text_ops.token_count,
         "bpe_token_count": text_ops.bpe_token_count,
         "tfidf_topk": text_ops.tfidf_topk,
+        "quality_classifier": text_ops.quality_classifier,
         "text_quality": text_ops.text_quality,
         "token_histogram": text_ops.token_histogram,
         "langid": text_ops.langid,
@@ -397,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": sampling.sql_hash_split(),
         "bpe_token_count": text_ops.sql_bpe_token_count(),
         "tfidf_topk": text_ops.sql_tfidf_topk(),
+        "quality_classifier": text_ops.sql_quality_classifier(),
         "seeded_shuffle": sampling.sql_seeded_shuffle(),
         "stratified_sample": sampling.sql_stratified_sample(),
         "sequence_pack": sampling.sql_sequence_pack(),

@@ -794,6 +794,92 @@ def sql_ngram_decontaminate() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Quality classifier: a fasttext-shaped hashed-feature linear model.  The
+# "model" is deterministic by construction — weight(token) =
+# fmix32(fnv1a32(token)) % 2001 - 1000 — so scoring is bit-reproducible
+# in DuckDB (no trained weights to ship), while the Ray side keeps the
+# exact shape a real classifier stage has: a callable CLASS on an actor
+# pool whose per-actor state (here a token→weight memo standing in for
+# loaded model weights) is built once in __init__ and reused per batch.
+# ---------------------------------------------------------------------------
+
+_QC_MOD = 2001
+_QC_OFFSET = 1000
+
+
+class _HashedLinearScorer:
+    """Actor-pool scorer.  Hashing runs only over each batch's NEW unique
+    tokens (Zipf makes the memo hit rate → 1 quickly); weight lookup and
+    per-doc summing are vectorized pandas ops."""
+
+    def __init__(self) -> None:
+        self._memo: dict = {}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from .sampling import fmix32_np
+
+        toks = df.reset_index(drop=True)["text"].str.findall(_TOKEN_RE)
+        ex = toks.explode().dropna()
+        score = np.zeros(len(df), dtype=np.int64)
+        n = np.zeros(len(df), dtype=np.int64)
+        if len(ex):
+            uniq = pd.unique(ex.to_numpy())
+            new = [t for t in uniq if t not in self._memo]
+            if new:
+                fnv = np.array([fnv1a_32(t) for t in new], dtype=np.uint64)
+                w = (fmix32_np(fnv).astype(np.int64) % _QC_MOD) - _QC_OFFSET
+                self._memo.update(zip(new, w.tolist()))
+            wts = ex.map(self._memo).astype("int64")
+            sums = wts.groupby(ex.index).sum()
+            counts = ex.groupby(ex.index).size()
+            score[sums.index.to_numpy()] = sums.to_numpy()
+            n[counts.index.to_numpy()] = counts.to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "score": score,
+                "n_tokens": n,
+                "label": (score >= 0).astype("int64"),
+            }
+        )
+
+
+def quality_classifier(sf_dir: str) -> ray.data.Dataset:
+    """Score every document with the hashed-feature linear model.
+
+    Embarrassingly parallel — no exchange; the actor pool amortizes the
+    weight memo across batches exactly as it would a loaded model."""
+    ensure_picklable()
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _HashedLinearScorer, batch_format="pandas", concurrency=(1, 4)
+    )
+
+
+def sql_quality_classifier() -> str:
+    from .sql_oracles import _fmix32_ctes, sql_fnv1a32
+
+    frag, final = _fmix32_ctes("qx", "qf", ["token"], "hin", "hv")
+    return (
+        r"WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks "
+        "FROM documents), "
+        "u AS (SELECT doc_id, unnest(toks) AS token FROM t), "
+        "tok AS (SELECT DISTINCT token FROM u), "
+        f"qf AS (SELECT token, {sql_fnv1a32('token')} AS hin FROM tok), "
+        f"{frag}, "
+        f"w AS (SELECT token, (hv % {_QC_MOD}) - {_QC_OFFSET} AS w FROM {final}), "
+        "s AS (SELECT u.doc_id, CAST(SUM(w.w) AS BIGINT) AS score, "
+        "CAST(COUNT(*) AS BIGINT) AS n_tokens FROM u "
+        "JOIN w ON u.token = w.token GROUP BY u.doc_id) "
+        "SELECT d.doc_id, COALESCE(s.score, 0) AS score, "
+        "COALESCE(s.n_tokens, 0) AS n_tokens, "
+        "CAST(COALESCE(s.score, 0) >= 0 AS BIGINT) AS label "
+        "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # documents-derived HTML round-trip: wrap text in deterministic boilerplate,
 # extract with the HTML arm, recover the text byte-exactly (SQL oracle =
 # plain SELECT of the original text).

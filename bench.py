@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "tfidf_topk",
     "sequence_pack",
+    "quality_classifier",
     "events_top3_per_user",
 ]
 
