@@ -492,11 +492,18 @@ def tfidf_topk(sf_dir: str) -> ray.data.Dataset:
             )
         lut = g[g["side"] == "l"]
         idf = d["token"].map(dict(zip(lut["token"], lut["idf"])))
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"doc_id": d["doc_id"].to_numpy(),
              "token": d["token"].to_numpy(),
              "score": d["tf"].to_numpy() * idf.to_numpy().astype("int64")}
         )
+        # combiner: global top-k ⊆ union of per-bucket top-k, so the doc
+        # exchange carries ≤ k rows per (doc, bucket) instead of every
+        # scored token the doc has
+        out = out.sort_values(
+            ["score", "token"], ascending=[False, True], kind="mergesort"
+        )
+        return out.groupby("doc_id", sort=False).head(_TFIDF_K)
 
     scored = grouped_block_map(both, ["bucket"], join_bucket)
 
