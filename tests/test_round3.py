@@ -558,3 +558,76 @@ def test_template_empty_input_maps_to_28(ray_session, tmp_path):
     rc = cli.main(["template", "-i", str(tmp_path / "pages.parquet"),
                    "-o", str(tmp_path / "out")])
     assert rc == cli.EC_ENGINE_NO_TAGS
+
+
+# ---------------------------------------------------------------------------
+# Late-round-3 training-data ops: structural invariants beyond the SQL
+# pair tests in test_ops.py
+# ---------------------------------------------------------------------------
+
+def test_sequence_pack_capacity_invariant(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import sampling
+
+    df = sampling.sequence_pack(SF).to_pandas()
+    per_seq = df.groupby("seq_id").agg(
+        total=("n_tokens", "sum"), n_docs=("n_tokens", "size"),
+        max_pos=("pos", "max"),
+    )
+    # a sequence exceeds capacity only if it holds a single over-long doc
+    over = per_seq[per_seq["total"] > sampling._PACK_CAPACITY]
+    assert (over["n_docs"] == 1).all()
+    # pos is contiguous 0..n-1 within each sequence
+    assert (per_seq["max_pos"] == per_seq["n_docs"] - 1).all()
+    # every doc appears exactly once
+    assert df["doc_id"].is_unique
+    # greedy = maximal: within a bucket, the first doc of each sequence
+    # would NOT have fit in the previous sequence
+    for bucket, g in df.groupby("bucket"):
+        g = g.sort_values("doc_id")
+        totals = g.groupby("seq_id")["n_tokens"].sum()
+        firsts = g[g["pos"] == 0].set_index("seq_id")["n_tokens"]
+        seqs = totals.index.to_numpy()
+        for prev, cur in zip(seqs, seqs[1:]):
+            assert totals[prev] + firsts[cur] > sampling._PACK_CAPACITY
+
+
+def test_stratified_sample_nested_and_deterministic(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import sampling
+
+    a = sampling.stratified_sample(SF).to_pandas().sort_values("doc_id")
+    b = sampling.stratified_sample(SF).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+    # nested-samples property: every doc kept at rate r survives at any
+    # higher rate (hash threshold is monotone), checked per stratum
+    full = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    h = sampling.fmix32_np(
+        full["doc_id"].to_numpy().astype(np.uint64) % (1 << 32)
+        ^ np.uint64(sampling._SAMPLE_SEED)
+    ) % np.uint32(10000)
+    for lang, thr in sampling.SAMPLE_RATES_PER_10K.items():
+        kept = set(a.loc[a["lang"] == lang, "doc_id"])
+        lower = set(
+            full.loc[(full["lang"] == lang) & (h < thr // 2), "doc_id"]
+        )
+        assert lower <= kept
+
+
+def test_quality_classifier_batch_size_invariance(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import text_ops
+    from action_pdf_accessibility_paddle_docker_ray.sources.pages import read_table
+
+    base = (
+        text_ops.quality_classifier(SF)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    tiny = (
+        read_table(SF, "documents", columns=["doc_id", "text"])
+        .map_batches(
+            text_ops._HashedLinearScorer, batch_format="pandas",
+            batch_size=7, concurrency=(1, 2),
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, tiny)
