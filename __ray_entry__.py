@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_search": similarity.knn_search,
         "knn_search_lsh": similarity.knn_search_lsh,
         "knn_search_ivf": similarity.knn_search_ivf,
+        "kmeans_clusters": similarity.kmeans_clusters,
         # multimodal stub stage (actor pool over binary payloads)
         "image_features": image_features,
         "video_frame_sample": video_frame_sample,
@@ -202,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": sql_oracles.sql_simhash_pairs(max_hamming=3),
         "embedding_dedup": sql_oracles.sql_embedding_dedup(dim, threshold=0.3, planes=6),
         "knn_search_lsh": sql_oracles.sql_knn_search_lsh(dim, k=5, n_queries=10, planes=8),
+        "kmeans_clusters": sql_oracles.sql_kmeans_clusters(dim, n_clusters=16),
         "knn_search_ivf": sql_oracles.sql_knn_search_ivf(
             dim, k=5, n_queries=10, n_clusters=16, n_probe=4
         ),

@@ -228,6 +228,33 @@ def _kmeans_state(
     return sums, counts
 
 
+def kmeans_clusters(
+    sf_dir: str, *, n_clusters: int = 16, n_iters: int = 5
+) -> ray.data.Dataset:
+    """Standalone embedding clustering: the IVF coarse quantizer exposed as
+    an operator — distributed quantized k-means (integer-exact partial
+    sums, tiny per-round driver reduce of n_clusters × dim ints), then one
+    streaming assignment pass with the converged state broadcast via
+    ``ray.put``.  Returns (vec_id, cluster); bit-reproducible in SQL
+    because the whole trajectory is integer arithmetic
+    (``sql_oracles.sql_kmeans_clusters``)."""
+    ensure_picklable()
+    sums, counts = _kmeans_state(sf_dir, n_clusters, n_iters)
+    c_ref = ray.put((sums, counts))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        s, n = ray.get(c_ref)
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        a = _ivf_scores(_ivf_quantize(mat), s, n).argmax(axis=1)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].astype("int64").to_numpy(),
+             "cluster": a.astype("int64")}
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 def knn_search_ivf(
     sf_dir: str, *, k: int = 5, n_queries: int = 10, n_clusters: int = 16,
     n_probe: int = 4,

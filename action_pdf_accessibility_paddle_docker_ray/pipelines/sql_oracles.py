@@ -269,20 +269,17 @@ def _ivf_iter_ctes(prev: str, idx: int, dim: int) -> tuple[str, str]:
     return sql, c
 
 
-def sql_knn_search_ivf(dim: int, k: int = 5, n_queries: int = 10,
-                       n_clusters: int = 16, n_probe: int = 4,
-                       n_iters: int = 5) -> str:
-    """Recompute the full quantized-k-means IVF search: seeded init from the
-    first n_clusters vectors, n_iters exact-integer iterations, multi-cell
-    probe, cosine rank (mirrors similarity.knn_search_ivf /
-    _kmeans_state)."""
+def _ivf_cells_prefix(dim: int, n_clusters: int, n_iters: int) -> tuple[str, str]:
+    """CTE chain (WITH included) from raw embeddings to every vector's
+    converged cell: v → q → c0 seed → n_iters k-means iterations → fa →
+    cells.  Returns (prefix_sql, final_state_cte); shared by the IVF
+    search oracle and the standalone clustering oracle."""
     iters = []
     prev = "c0"
     for i in range(1, n_iters + 1):
         sql, prev = _ivf_iter_ctes(prev, i, dim)
         iters.append(sql)
-    final_state = prev
-    return (
+    prefix = (
         "WITH v AS (SELECT vec_id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), "
         "q AS (SELECT vec_id, emb, list_transform(emb, "
@@ -294,9 +291,35 @@ def sql_knn_search_ivf(dim: int, k: int = 5, n_queries: int = 10,
         # final cell of every vector under the converged state
         "fa AS (SELECT q.vec_id, c.c, "
         f"list_dot_product(q.qv, c.s)::DOUBLE / c.n AS score "
-        f"FROM q CROSS JOIN {final_state} c), "
+        f"FROM q CROSS JOIN {prev} c), "
         "cells AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER ("
         "PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM fa) WHERE rn = 1), "
+    )
+    return prefix, prev
+
+
+def sql_kmeans_clusters(dim: int, n_clusters: int = 16, n_iters: int = 5) -> str:
+    """Final cluster assignment of every vector under the converged
+    quantized-k-means state (mirrors similarity.kmeans_clusters)."""
+    prefix, _ = _ivf_cells_prefix(dim, n_clusters, n_iters)
+    # the prefix ends with a trailing comma — close the CTE list with a
+    # no-op and select the assignments
+    return (
+        prefix + "z AS (SELECT 1) "
+        "SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM cells"
+    )
+
+
+def sql_knn_search_ivf(dim: int, k: int = 5, n_queries: int = 10,
+                       n_clusters: int = 16, n_probe: int = 4,
+                       n_iters: int = 5) -> str:
+    """Recompute the full quantized-k-means IVF search: seeded init from the
+    first n_clusters vectors, n_iters exact-integer iterations, multi-cell
+    probe, cosine rank (mirrors similarity.knn_search_ivf /
+    _kmeans_state)."""
+    prefix, final_state = _ivf_cells_prefix(dim, n_clusters, n_iters)
+    return (
+        prefix +
         # the first n_queries vectors probe their n_probe best cells
         "qs AS (SELECT vec_id AS query_id, emb, qv FROM q "
         f"WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id "

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "sequence_pack",
     "quality_classifier",
+    "kmeans_clusters",
     "events_top3_per_user",
 ]
 

@@ -43,7 +43,7 @@ def run_pair(ray_session, con, name):
     ["html_extract", "lineitem_agg", "segment_revenue", "exact_dedup",
      "token_count", "events_sessionize", "knn_search", "token_histogram",
      "pii_redact", "paragraph_dedup", "ngram_decontaminate", "video_frame_sample",
-     "audio_window_features", "hash_split", "seeded_shuffle", "bpe_token_count", "stratified_sample", "tfidf_topk", "sequence_pack", "quality_classifier"],
+     "audio_window_features", "hash_split", "seeded_shuffle", "bpe_token_count", "stratified_sample", "tfidf_topk", "sequence_pack", "quality_classifier", "kmeans_clusters"],
 )
 def test_sql_checked_op(ray_session, con, name):
     run_pair(ray_session, con, name)
