@@ -631,3 +631,23 @@ def test_quality_classifier_batch_size_invariance(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(base, tiny)
+
+
+def test_training_ops_empty_input(ray_session, tmp_path):
+    """Every round-3 training-data op returns 0 rows (not a crash) on an
+    empty documents table — the resume/retry path sees empty shards."""
+    import duckdb
+
+    sf = str(tmp_path)
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM read_parquet('{SF}/documents.parquet') LIMIT 0) "
+        f"TO '{sf}/documents.parquet' (FORMAT PARQUET)"
+    )
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import sampling, text_ops
+
+    for op in (
+        text_ops.bpe_token_count, text_ops.tfidf_topk,
+        text_ops.quality_classifier, sampling.stratified_sample,
+        sampling.sequence_pack, sampling.hash_split,
+    ):
+        assert op(sf).count() == 0, op.__name__
