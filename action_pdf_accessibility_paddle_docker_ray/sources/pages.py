@@ -44,3 +44,58 @@ def read_table(
     if filter_expr is not None:
         kwargs["filter"] = filter_expr
     return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+_EXT_FMT = {
+    ".parquet": "parquet", ".pq": "parquet",
+    ".jsonl": "jsonl", ".json": "jsonl", ".ndjson": "jsonl",
+    ".csv": "csv",
+}
+
+
+def read_any(
+    path: str,
+    columns: list[str] | None = None,
+    fmt: str | None = None,
+    **kwargs: Any,
+) -> ray.data.Dataset:
+    """Format-dispatching reader: parquet / JSONL / CSV by extension (or
+    explicit ``fmt``), always column-pruned.
+
+    Pruning pushdown depends on the format: parquet prunes at the
+    row-group read; CSV prunes inside the Arrow parser
+    (``include_columns`` — unrequested columns never build arrays); JSONL
+    has no projection pushdown in the reader, so pruning is a zero-copy
+    ``select_columns`` immediately after parse — the extra columns exist
+    only inside the read task, never cross the object store.  Web-scale
+    corpora should live in parquet; jsonl/csv are the interchange paths."""
+    if fmt is None:
+        ext = os.path.splitext(path.rstrip("/"))[1].lower()
+        fmt = _EXT_FMT.get(ext, "parquet")
+    if fmt == "parquet":
+        return ray.data.read_parquet(path, columns=columns, **kwargs)
+    if fmt == "jsonl":
+        ds = ray.data.read_json(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
+    if fmt == "csv":
+        if columns:
+            from pyarrow import csv as pacsv
+
+            kwargs.setdefault(
+                "convert_options", pacsv.ConvertOptions(include_columns=columns)
+            )
+        return ray.data.read_csv(path, **kwargs)
+    raise ValueError(f"unknown format {fmt!r} (parquet | jsonl | csv)")
+
+
+def write_any(ds: ray.data.Dataset, path: str, fmt: str = "parquet", **kwargs: Any) -> None:
+    """Format-dispatching sink mirror of ``read_any`` (parquet default —
+    the only one of the three with columnar stats + partitioning)."""
+    if fmt == "parquet":
+        ds.write_parquet(path, **kwargs)
+    elif fmt == "jsonl":
+        ds.write_json(path, **kwargs)
+    elif fmt == "csv":
+        ds.write_csv(path, **kwargs)
+    else:
+        raise ValueError(f"unknown format {fmt!r} (parquet | jsonl | csv)")

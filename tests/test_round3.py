@@ -651,3 +651,47 @@ def test_training_ops_empty_input(ray_session, tmp_path):
         sampling.sequence_pack, sampling.hash_split,
     ):
         assert op(sf).count() == 0, op.__name__
+
+
+def test_read_any_formats_roundtrip(ray_session, tmp_path):
+    """read_any/write_any: jsonl and csv carry the same rows as parquet,
+    with column pruning on every path."""
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.sources.pages import (
+        read_any, write_any,
+    )
+
+    con = duckdb.connect()
+    base = f"{SF}/documents.parquet"
+    con.execute(
+        f"COPY (SELECT doc_id, text, lang FROM read_parquet('{base}')) "
+        f"TO '{tmp_path}/docs.jsonl' (FORMAT JSON)"
+    )
+    con.execute(
+        f"COPY (SELECT doc_id, lang FROM read_parquet('{base}')) "
+        f"TO '{tmp_path}/docs.csv' (FORMAT CSV, HEADER)"
+    )
+    want = (
+        read_any(base, columns=["doc_id", "lang"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got_j = (
+        read_any(f"{tmp_path}/docs.jsonl", columns=["doc_id", "lang"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got_c = (
+        read_any(f"{tmp_path}/docs.csv", columns=["doc_id", "lang"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(want, got_j, check_dtype=False)
+    pd.testing.assert_frame_equal(want, got_c, check_dtype=False)
+    assert list(got_j.columns) == ["doc_id", "lang"]
+
+    write_any(read_any(base, columns=["doc_id", "lang"]),
+              f"{tmp_path}/out_jsonl", fmt="jsonl")
+    back = (
+        read_any(f"{tmp_path}/out_jsonl", fmt="jsonl")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(want, back[["doc_id", "lang"]], check_dtype=False)
