@@ -19,6 +19,7 @@ from typing import Any
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from action_pdf_accessibility_paddle_docker_ray.pipelines import (  # noqa: E402
+    analytics,
     dedup_ops,
     joins,
     relational,
@@ -161,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_shuffle": sampling.seeded_shuffle,
         "stratified_sample": sampling.stratified_sample,
         "sequence_pack": sampling.sequence_pack,
+        "pagerank": analytics.pagerank,
+        "token_quantiles": analytics.token_quantiles,
+        "label_centroids": analytics.label_centroids,
         "events_top3_per_user": relational.events_top3_per_user,
         # dedup family (rows-only: LSH/minhash not SQL-expressible)
         "minhash_dedup": dedup_ops.minhash_dedup,
@@ -404,6 +408,9 @@ def oracle_sql() -> dict[str, str]:
         "seeded_shuffle": sampling.sql_seeded_shuffle(),
         "stratified_sample": sampling.sql_stratified_sample(),
         "sequence_pack": sampling.sql_sequence_pack(),
+        "pagerank": analytics.sql_pagerank(),
+        "token_quantiles": analytics.sql_token_quantiles(),
+        "label_centroids": analytics.sql_label_centroids(),
         "events_top3_per_user": (
             "SELECT user_id, event_id, rk FROM ("
             "SELECT user_id, event_id, row_number() OVER ("

@@ -1,0 +1,317 @@
+"""Corpus-analytics operators: iterative graph rank, exact distributed
+quantiles, and grouped embedding centroids.
+
+Three op families a training-data pipeline runs over a crawled corpus
+beyond the per-document transforms:
+
+- ``pagerank``: link-graph importance scoring (the classic crawl-
+  prioritization / quality signal).  The sandbox corpus has no real link
+  column, so the edge list is a pure deterministic function of
+  (doc_id, N) — each document links to three others — which keeps the
+  op SQL-replayable while exercising the real distributed shape:
+  per-iteration contribution fan-out + one grouped exchange, repeated
+  ``_PR_ITERS`` times.  All arithmetic is integer (rank mass in units of
+  1e-12) so the result is bit-identical at any parallelism and in DuckDB
+  — the same trick as the IVF k-means oracle (sql_oracles.py).
+- ``token_quantiles``: exact per-language deciles of document token
+  counts.  Quantiles normally need a global sort; token counts are
+  small integers, so the distributed plan is a (lang, n, count)
+  histogram — per-batch combiner partials, ONE grouped exchange of
+  narrow count rows, deciles from the cumulative histogram per
+  language.  No row data moves, no driver state.
+- ``label_centroids``: per-label mean embedding (the "cluster
+  centroid" summary used for domain mixing / pruning).  Floating-point
+  summation order would break bit-reproducibility, so vectors quantize
+  to integer micro-units first (floor(x*1e6 + 0.5), float64 math —
+  identical in numpy and DuckDB); per-batch (label, dim, sum, count)
+  partials are the combiner, one narrow grouped exchange finishes.
+
+Scale notes (100 TB): pagerank's per-iteration exchange moves one
+(node, contrib) row per edge — the minimum any PageRank must move; the
+self-row trick (every node emits a zero contribution to itself) keeps
+dangling/no-inlink nodes alive without a second pass or a driver-side
+node list.  token_quantiles' exchange volume is bounded by
+(#langs x #distinct counts), not corpus size.  label_centroids moves
+(#labels x dim) partials per block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from .. import ensure_picklable
+from ..sources.pages import read_table
+
+_PR_SCALE = 1_000_000_000_000  # rank mass unit = 1e-12
+_PR_ITERS = 5
+_PR_OUT_DEGREE = 3
+# damping 0.85 as the integer pair (85, 100)
+_PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100
+_PR_EDGE_MUL, _PR_EDGE_OFF = 37, 101
+
+
+def _grouped_sum(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
+    """sort(keys) -> vectorized per-block pandas groupby-sum.
+
+    The sort co-locates every key's rows in one block (the same
+    guarantee ``util.grouped_block_map`` relies on), so a block-level
+    ``DataFrame.groupby(...).sum()`` is a complete grouped aggregation
+    — with zero per-group Python dispatch, unlike map_groups."""
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return df.groupby(keys, as_index=False, sort=False).sum()
+
+    return ds.sort(keys).map_batches(block, batch_format="pandas", batch_size=None)
+
+
+def _edge_dsts(node: np.ndarray, n_nodes: int, min_id: int) -> list[np.ndarray]:
+    """The deterministic out-links of each node: three synthetic edges
+    dst_j = min_id + ((node - min_id)*37 + 101*j) mod N, j=1..3."""
+    base = (node - np.int64(min_id)) * np.int64(_PR_EDGE_MUL)
+    return [
+        np.int64(min_id) + (base + np.int64(_PR_EDGE_OFF * j)) % np.int64(n_nodes)
+        for j in range(1, _PR_OUT_DEGREE + 1)
+    ]
+
+
+def pagerank(sf_dir: str, *, iters: int = _PR_ITERS) -> ray.data.Dataset:
+    """Integer-exact PageRank over the deterministic document link graph.
+
+    r_0 = SCALE // N for every node; each iteration every node sends
+    r // out_degree along each of its edges, and
+    r' = BASE + (85 * sum(incoming)) // 100 with
+    BASE = (15 * (SCALE // N)) // 100.  Every node also emits a zero
+    contribution to itself so nodes without in-links survive the
+    grouped sum (and phantom destinations — impossible with contiguous
+    ids, possible with gaps — are filtered by the own-node marker,
+    matching the oracle's LEFT JOIN from the node list).
+
+    Output: (doc_id, rank_q) with rank_q in 1e-12 units.
+    """
+    ensure_picklable()
+    ids = read_table(sf_dir, "documents", columns=["doc_id"])
+    # two scalars reach the driver (count + min), never row data
+    n_nodes = ids.count()
+    min_id = ids.min("doc_id")
+    init_rank = _PR_SCALE // n_nodes
+    base = (15 * init_rank) // _PR_DAMP_DEN
+
+    def init_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["doc_id"].to_numpy(dtype=np.int64),
+                "r": np.full(len(df), init_rank, dtype=np.int64),
+            }
+        )
+
+    ranks = ids.map_batches(init_rows, batch_format="pandas")
+
+    def contribs(df: pd.DataFrame) -> pd.DataFrame:
+        node = df["node"].to_numpy(dtype=np.int64)
+        share = df["r"].to_numpy(dtype=np.int64) // np.int64(_PR_OUT_DEGREE)
+        dsts = _edge_dsts(node, n_nodes, min_id)
+        out = pd.DataFrame(
+            {
+                "node": np.concatenate(dsts + [node]),
+                "c": np.concatenate(
+                    [share] * _PR_OUT_DEGREE + [np.zeros(len(df), dtype=np.int64)]
+                ),
+                "own": np.concatenate(
+                    [np.zeros(len(df) * _PR_OUT_DEGREE, dtype=np.int64),
+                     np.ones(len(df), dtype=np.int64)]
+                ),
+            }
+        )
+        # batch-local combiner: collapse duplicate dsts before the exchange
+        return out.groupby("node", as_index=False, sort=False).sum()
+
+    def update(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["own"] > 0]
+        return pd.DataFrame(
+            {
+                "node": df["node"].to_numpy(dtype=np.int64),
+                "r": np.int64(base)
+                + (np.int64(_PR_DAMP_NUM) * df["c"].to_numpy(dtype=np.int64))
+                // np.int64(_PR_DAMP_DEN),
+            }
+        )
+
+    for _ in range(iters):
+        summed = _grouped_sum(
+            ranks.map_batches(contribs, batch_format="pandas"), ["node"]
+        )
+        ranks = summed.map_batches(update, batch_format="pandas")
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["node"], "rank_q": df["r"]})
+
+    return ranks.map_batches(rename, batch_format="pandas")
+
+
+def sql_pagerank(iters: int = _PR_ITERS) -> str:
+    """The same integer PageRank as a chained-CTE replay in DuckDB."""
+    scale, deg = _PR_SCALE, _PR_OUT_DEGREE
+    mul, off = _PR_EDGE_MUL, _PR_EDGE_OFF
+    js = ",".join(f"({j})" for j in range(1, deg + 1))
+    parts = [
+        "WITH nstat AS (SELECT count(*) AS n, min(doc_id) AS m FROM documents)",
+        "nodes AS (SELECT doc_id FROM documents)",
+        "edges AS (SELECT d.doc_id AS src, "
+        f"s.m + ((d.doc_id - s.m) * {mul} + {off} * t.j) % s.n AS dst "
+        f"FROM documents d CROSS JOIN nstat s CROSS JOIN (VALUES {js}) t(j))",
+        f"r0 AS (SELECT doc_id AS node, (SELECT {scale} // n FROM nstat) AS r "
+        "FROM documents)",
+    ]
+    base_expr = f"(SELECT (15 * ({scale} // n)) // {_PR_DAMP_DEN} FROM nstat)"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS node, "
+            f"CAST(SUM(p.r // {deg}) AS BIGINT) AS c "
+            f"FROM edges e JOIN r{i-1} p ON e.src = p.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nd.doc_id AS node, {base_expr} + "
+            f"({_PR_DAMP_NUM} * COALESCE(s.c, 0)) // {_PR_DAMP_DEN} AS r "
+            f"FROM nodes nd LEFT JOIN s{i} s ON nd.doc_id = s.node)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT node AS doc_id, r AS rank_q FROM r{iters}"
+    )
+
+
+_DECILES = tuple(range(1, 10))
+
+
+def token_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-language deciles of whitespace token counts.
+
+    decile_k = the value at rank ceil(k * cnt / 10) of the language's
+    counts sorted ascending — computed from a (lang, n, count)
+    histogram, never a global row sort.  Output:
+    (lang, decile, n_tokens)."""
+    ensure_picklable()
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.count(r"\S+").astype("int64")
+        g = (
+            pd.DataFrame({"lang": df["lang"], "n": n})
+            .groupby(["lang", "n"], as_index=False, sort=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {"lang": g["lang"], "n": g["n"], "c": g["size"].astype("int64")}
+        )
+
+    parts = read_table(sf_dir, "documents", columns=["lang", "text"]).map_batches(
+        partials, batch_format="pandas"
+    )
+
+    def deciles(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype=str),
+                    "decile": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                }
+            )
+        counts = g.groupby("n")["c"].sum().sort_index()
+        cum = counts.cumsum().to_numpy()
+        vals = counts.index.to_numpy(dtype=np.int64)
+        cnt = int(cum[-1])
+        targets = np.array(
+            [(k * cnt + 9) // 10 for k in _DECILES], dtype=np.int64
+        )
+        idx = np.searchsorted(cum, targets, side="left")
+        return pd.DataFrame(
+            {
+                "lang": g["lang"].iloc[0],
+                "decile": np.array(_DECILES, dtype=np.int64),
+                "n_tokens": vals[idx],
+            }
+        )
+
+    # one narrow exchange: the sort co-locates each lang's histogram rows
+    from .util import grouped_block_map
+
+    return grouped_block_map(parts, ["lang"], deciles)
+
+
+def sql_token_quantiles() -> str:
+    ks = ",".join(f"({k})" for k in _DECILES)
+    return (
+        "WITH t AS (SELECT lang, "
+        r"CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n "
+        "FROM documents), "
+        "tot AS (SELECT lang, count(*) AS cnt FROM t GROUP BY lang), "
+        "r AS (SELECT lang, n, row_number() OVER "
+        "(PARTITION BY lang ORDER BY n) AS rn FROM t) "
+        "SELECT r.lang, CAST(ks.k AS BIGINT) AS decile, r.n AS n_tokens "
+        f"FROM r JOIN tot USING (lang) CROSS JOIN (VALUES {ks}) ks(k) "
+        "WHERE r.rn = (ks.k * tot.cnt + 9) // 10"
+    )
+
+
+_CENTROID_Q = 1_000_000  # micro-units
+
+
+def label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-label mean embedding, quantized to integer micro-units.
+
+    q = floor(float64(x) * 1e6 + 0.5) per component; centroid_q =
+    sum(q) / count truncated toward zero (numpy sign*abs//c == DuckDB
+    ``//``).  Output: (label, dim, centroid_q) — labels x 64 rows."""
+    ensure_picklable()
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        q = np.floor(mat * _CENTROID_Q + 0.5).astype(np.int64)
+        dim = q.shape[1]
+        frame = pd.DataFrame(q)
+        frame["label"] = df["label"].to_numpy(dtype=np.int64)
+        g = frame.groupby("label", sort=False)
+        sums = g.sum()
+        cnts = g.size()
+        labels = sums.index.to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(labels, dim),
+                "dim": np.tile(np.arange(dim, dtype=np.int64), len(labels)),
+                "s": sums.to_numpy(dtype=np.int64).ravel(),
+                "c": np.repeat(cnts.to_numpy(dtype=np.int64), dim),
+            }
+        )
+
+    parts = read_table(sf_dir, "embeddings", columns=["label", "embedding"]).map_batches(
+        partials, batch_format="pandas"
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["label", "dim"], as_index=False, sort=False)[["s", "c"]].sum()
+        s = g["s"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        cq = np.sign(s) * (np.abs(s) // c)  # truncate toward zero
+        return pd.DataFrame(
+            {"label": g["label"], "dim": g["dim"], "centroid_q": cq}
+        )
+
+    return parts.sort(["label", "dim"]).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def sql_label_centroids() -> str:
+    return (
+        "WITH e AS (SELECT label, u.i - 1 AS dim, "
+        f"CAST(FLOOR(CAST(u.x AS DOUBLE) * {_CENTROID_Q} + 0.5) AS BIGINT) AS q "
+        "FROM embeddings, LATERAL (SELECT UNNEST(embedding) AS x, "
+        "UNNEST(range(1, len(embedding) + 1)) AS i) u) "
+        "SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim, "
+        "CAST(SUM(q) AS BIGINT) // COUNT(*) AS centroid_q "
+        "FROM e GROUP BY label, dim"
+    )

@@ -1,0 +1,129 @@
+"""Analytics ops (pipelines/analytics.py): integer-exact PageRank,
+per-language token-count deciles, quantized per-label centroids.
+
+Each op also has a DuckDB oracle row in the driver gate; these tests pin
+the semantics against tiny hand-computable references (including cases
+the testdata never hits: offset id ranges, negative centroid sums)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, doc_ids, texts=None, langs=None):
+    n = len(doc_ids)
+    t = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(texts or ["w " * 3] * n),
+            "lang": pa.array(langs or ["en"] * n),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+
+def _ref_pagerank(doc_ids, iters=5):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        _PR_EDGE_MUL,
+        _PR_EDGE_OFF,
+        _PR_OUT_DEGREE,
+        _PR_SCALE,
+    )
+
+    n, m = len(doc_ids), min(doc_ids)
+    init = _PR_SCALE // n
+    base = (15 * init) // 100
+    nodes = set(doc_ids)
+    r = {d: init for d in doc_ids}
+    for _ in range(iters):
+        acc = {d: 0 for d in doc_ids}
+        for src in doc_ids:
+            share = r[src] // _PR_OUT_DEGREE
+            for j in range(1, _PR_OUT_DEGREE + 1):
+                dst = m + ((src - m) * _PR_EDGE_MUL + _PR_EDGE_OFF * j) % n
+                if dst in nodes:
+                    acc[dst] += share
+        r = {d: base + (85 * acc[d]) // 100 for d in doc_ids}
+    return r
+
+
+def test_pagerank_matches_reference_with_offset_ids(ray_session, tmp_path):
+    """Ids that don't start at 0 (min-offset edge mapping) still produce
+    the loop-reference ranks, bit-exactly."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import pagerank
+
+    ids = list(range(100, 108))
+    _write_docs(tmp_path, ids)
+    got = pagerank(str(tmp_path)).to_pandas().set_index("doc_id")["rank_q"]
+    want = _ref_pagerank(ids)
+    assert {int(k): int(v) for k, v in got.items()} == want
+
+
+def test_pagerank_mass_conservation_and_determinism(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        _PR_SCALE,
+        pagerank,
+    )
+
+    a = pagerank(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(a) == 500
+    # total mass stays within truncation loss of the full SCALE
+    assert abs(int(a["rank_q"].sum()) - _PR_SCALE) < _PR_SCALE * 0.01
+    b = pagerank(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_token_quantiles_matches_direct(ray_session, tmp_path):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        token_quantiles,
+    )
+
+    # en: counts 1..10; fr: counts {2,2,2,7}
+    ids = list(range(14))
+    texts = ["w " * k for k in range(1, 11)] + ["a b", "a b", "a b", "x " * 7]
+    langs = ["en"] * 10 + ["fr"] * 4
+    _write_docs(tmp_path, ids, texts, langs)
+    got = token_quantiles(str(tmp_path)).to_pandas()
+    g = got.set_index(["lang", "decile"])["n_tokens"]
+    # en has cnt=10: decile k = value at rank k (1-indexed) = k
+    for k in range(1, 10):
+        assert g.loc[("en", k)] == k
+    # fr cnt=4: rank ceil(k*4/10) -> k<=2 rank1, k<=5 rank2, k<=7 rank3, k>7 rank4
+    assert g.loc[("fr", 1)] == 2 and g.loc[("fr", 5)] == 2
+    assert g.loc[("fr", 7)] == 2 and g.loc[("fr", 9)] == 7
+    # deciles are monotone per lang
+    for lang in ("en", "fr"):
+        vals = [g.loc[(lang, k)] for k in range(1, 10)]
+        assert vals == sorted(vals)
+
+
+def test_label_centroids_matches_numpy_with_negatives(ray_session, tmp_path):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        label_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = (rng.rand(20, 8).astype(np.float32) - 0.8)  # mostly negative
+    labels = (np.arange(20) % 3).astype(np.int32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(20), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    got = label_centroids(str(tmp_path)).to_pandas()
+    q = np.floor(vecs.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+    for lab in range(3):
+        s = q[labels == lab].sum(axis=0)
+        c = int((labels == lab).sum())
+        want = np.sign(s) * (np.abs(s) // c)  # truncate toward zero
+        sub = got[got["label"] == lab].sort_values("dim")
+        assert list(sub["centroid_q"]) == list(want)
+    assert (got["centroid_q"] < 0).any()  # the negative path is exercised
