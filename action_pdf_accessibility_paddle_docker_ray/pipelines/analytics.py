@@ -108,7 +108,12 @@ def pagerank(sf_dir: str, *, iters: int = _PR_ITERS) -> ray.data.Dataset:
             }
         )
 
-    ranks = ids.map_batches(init_rows, batch_format="pandas")
+    # block count proportional to node count: each of the 5 iteration
+    # exchanges schedules O(blocks) tasks, so tiny inputs must not inherit
+    # the reader's split-for-parallelism block count (at 5000 nodes that
+    # alone is ~2s/iteration of scheduling overhead)
+    n_blocks = max(1, n_nodes // 250_000)
+    ranks = ids.map_batches(init_rows, batch_format="pandas").repartition(n_blocks)
 
     def contribs(df: pd.DataFrame) -> pd.DataFrame:
         node = df["node"].to_numpy(dtype=np.int64)

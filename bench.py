@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "quality_classifier",
     "kmeans_clusters",
     "events_top3_per_user",
+    "pagerank",
+    "token_quantiles",
+    "label_centroids",
 ]
 
 
