@@ -310,6 +310,150 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+_CM_ROWS = 4
+_CM_WIDTH = 16384  # 2^14 cells per row
+_GOLDEN32 = 0x9E3779B9
+_CM_SEEDS = tuple((i * _GOLDEN32) & 0xFFFFFFFF for i in range(_CM_ROWS))
+# probe mix: high-frequency corpus tokens, one stopword, one guaranteed-absent
+_CM_PROBES = (
+    "join", "hash", "row", "batch", "scan", "column",
+    "filter", "merge", "order", "small", "the", "zzz-absent",
+)
+
+
+def _cm_cells(tok: str) -> list[int]:
+    """The token's cell per sketch row: fmix32(fnv1a32(tok) ^ seed_i) % W."""
+    from ..functions.fnv import fnv1a_32
+    from .dedup_ops import fmix32
+
+    fh = fnv1a_32(tok)
+    return [fmix32(fh ^ s) % _CM_WIDTH for s in _CM_SEEDS]
+
+
+def countmin_tokens(sf_dir: str) -> pd.DataFrame:
+    """Count-Min sketch of corpus token frequencies, probed at a fixed
+    token set and compared against the exact counts.
+
+    The mergeable-sketch pattern for frequency queries at unbounded
+    vocabulary (the companion to ``distinct_stats``'s HLL): every batch
+    folds ALL its tokens into a local 4x16384 integer matrix (one
+    vectorized pass over the batch's distinct-token counts), then ships
+    only the probe tokens' 4 cells each — a fixed ≤48 rows per batch no
+    matter the vocabulary, where the exact path
+    (``token_histogram``) must exchange one row per distinct token.
+    Exact probe counts ride along as extra partial rows, so the output
+    exposes the sketch's one-sided error directly:
+    cm_est >= exact_c always, with overestimate = colliding mass.
+
+    Deterministic by construction (integer cells, fnv1a+fmix32 hashes
+    already bit-reproduced in SQL), so the DuckDB oracle rebuilds the
+    full sketch from the raw text and must match bit-for-bit.
+    Output: (token, exact_c, cm_est), one row per probe."""
+    ensure_picklable()
+    probe_cells = {p: _cm_cells(p) for p in _CM_PROBES}
+    probe_cell_keys = sorted(
+        {(i, c) for cells in probe_cells.values() for i, c in enumerate(cells)}
+    )
+
+    # per-process memo: each distinct token hashes once per worker
+    _memo: dict[str, list[int]] = {}
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        local = np.zeros((_CM_ROWS, _CM_WIDTH), dtype=np.int64)
+        toks = df["text"].str.lower().str.findall(r"\S+").explode().dropna()
+        counts = toks.value_counts()
+        for tok, c in counts.items():
+            cells = _memo.get(tok)
+            if cells is None:
+                cells = _memo[tok] = _cm_cells(tok)
+            for i, cell in enumerate(cells):
+                local[i, cell] += c
+        rows_t, rows_i, rows_cell, rows_v = [], [], [], []
+        for i, cell in probe_cell_keys:
+            rows_t.append("")
+            rows_i.append(i)
+            rows_cell.append(cell)
+            rows_v.append(int(local[i, cell]))
+        for p in _CM_PROBES:
+            rows_t.append(p)
+            rows_i.append(-1)
+            rows_cell.append(-1)
+            rows_v.append(int(counts.get(p, 0)))
+        return pd.DataFrame(
+            {
+                "token": rows_t,
+                "row_i": np.array(rows_i, dtype=np.int64),
+                "cell": np.array(rows_cell, dtype=np.int64),
+                "v": np.array(rows_v, dtype=np.int64),
+            }
+        )
+
+    parts = read_table(sf_dir, "documents", columns=["text"]).map_batches(
+        partials, batch_format="pandas"
+    )
+    summed = _grouped_sum(parts, ["token", "row_i", "cell"])
+    # ≤ 48 cell rows + 12 exact rows globally — output-sized by construction
+    agg = summed.to_pandas()
+    cellsum = {
+        (int(r.row_i), int(r.cell)): int(r.v)
+        for r in agg[agg["row_i"] >= 0].itertuples()
+    }
+    exact = {
+        r.token: int(r.v) for r in agg[agg["row_i"] < 0].itertuples()
+    }
+    out = pd.DataFrame(
+        {
+            "token": list(_CM_PROBES),
+            "exact_c": [exact.get(p, 0) for p in _CM_PROBES],
+            "cm_est": [
+                min(cellsum.get((i, c), 0) for i, c in enumerate(probe_cells[p]))
+                for p in _CM_PROBES
+            ],
+        }
+    )
+    out["exact_c"] = out["exact_c"].astype("int64")
+    out["cm_est"] = out["cm_est"].astype("int64")
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def sql_countmin_tokens() -> str:
+    """Rebuild the full Count-Min sketch inside DuckDB: fnv1a+fmix32 per
+    distinct token per row seed, cell sums over the whole vocabulary,
+    probe = min over the probe token's cells (probe cell ids are op
+    parameters, precomputed like every other planted constant)."""
+    from .sql_oracles import _fmix32_ctes, sql_fnv1a32
+
+    seeds = ",".join(f"({i}, {s})" for i, s in enumerate(_CM_SEEDS))
+    frag, final = _fmix32_ctes(
+        "cm", "rows_src", ["tok", "c", "i"], "hin", "hv"
+    )
+    probe_cells_rows = ",".join(
+        f"('{p}', {i}, {c})"
+        for p in _CM_PROBES
+        for i, c in enumerate(_cm_cells(p))
+    )
+    probes = ",".join(f"('{p}')" for p in _CM_PROBES)
+    return (
+        "WITH tc AS (SELECT tok, count(*)::BIGINT AS c FROM ("
+        r"SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok "
+        "FROM documents) GROUP BY tok), "
+        f"f AS (SELECT tok, c, {sql_fnv1a32('tok')} AS fh FROM tc), "
+        f"rows_src AS (SELECT f.tok, f.c, s.i, xor(f.fh, s.seed) AS hin "
+        f"FROM f CROSS JOIN (VALUES {seeds}) s(i, seed)), "
+        f"{frag}, "
+        f"cells AS (SELECT i, hv % {_CM_WIDTH} AS cell, "
+        f"CAST(SUM(c) AS BIGINT) AS v FROM {final} GROUP BY 1, 2), "
+        f"pc AS (SELECT * FROM (VALUES {probe_cells_rows}) t(token, i, cell)), "
+        "est AS (SELECT pc.token, MIN(COALESCE(cells.v, 0)) AS cm_est "
+        "FROM pc LEFT JOIN cells ON pc.i = cells.i AND pc.cell = cells.cell "
+        "GROUP BY pc.token) "
+        f"SELECT p.token, COALESCE(tc.c, 0) AS exact_c, est.cm_est "
+        f"FROM (VALUES {probes}) p(token) "
+        "LEFT JOIN tc ON tc.tok = p.token "
+        "JOIN est ON est.token = p.token"
+    )
+
+
 def sql_label_centroids() -> str:
     return (
         "WITH e AS (SELECT label, u.i - 1 AS dim, "

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "pagerank",
     "token_quantiles",
     "label_centroids",
+    "countmin_tokens",
 ]
 
 

@@ -127,3 +127,17 @@ def test_label_centroids_matches_numpy_with_negatives(ray_session, tmp_path):
         sub = got[got["label"] == lab].sort_values("dim")
         assert list(sub["centroid_q"]) == list(want)
     assert (got["centroid_q"] < 0).any()  # the negative path is exercised
+
+
+def test_countmin_one_sided_error_and_absent_probe(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        countmin_tokens,
+    )
+
+    out = countmin_tokens(SF).set_index("token")
+    # CM estimates never undercount
+    assert (out["cm_est"] >= out["exact_c"]).all()
+    # the planted absent probe has exact 0 (its est may be colliding mass)
+    assert out.loc["zzz-absent", "exact_c"] == 0
+    # high-frequency probes exist in the corpus
+    assert out.loc["join", "exact_c"] > 0
