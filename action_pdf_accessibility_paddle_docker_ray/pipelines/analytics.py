@@ -96,6 +96,17 @@ def pagerank(sf_dir: str, *, iters: int = _PR_ITERS) -> ray.data.Dataset:
     ids = read_table(sf_dir, "documents", columns=["doc_id"])
     # two scalars reach the driver (count + min), never row data
     n_nodes = ids.count()
+    if n_nodes == 0:  # empty shard (resume/retry path)
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "rank_q": pd.Series([], dtype="int64"),
+                }
+            )
+        )
     min_id = ids.min("doc_id")
     init_rank = _PR_SCALE // n_nodes
     base = (15 * init_rank) // _PR_DAMP_DEN
@@ -274,6 +285,15 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     ensure_picklable()
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # empty shard
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype="int64"),
+                    "dim": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
         mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
         q = np.floor(mat * _CENTROID_Q + 0.5).astype(np.int64)
         dim = q.shape[1]
@@ -394,6 +414,12 @@ def countmin_tokens(sf_dir: str) -> pd.DataFrame:
     summed = _grouped_sum(parts, ["token", "row_i", "cell"])
     # ≤ 48 cell rows + 12 exact rows globally — output-sized by construction
     agg = summed.to_pandas()
+    if len(agg) == 0:  # empty shard: columns may be absent entirely
+        agg = pd.DataFrame(
+            {"token": [], "row_i": pd.Series([], dtype="int64"),
+             "cell": pd.Series([], dtype="int64"),
+             "v": pd.Series([], dtype="int64")}
+        )
     cellsum = {
         (int(r.row_i), int(r.cell)): int(r.v)
         for r in agg[agg["row_i"] >= 0].itertuples()

@@ -141,3 +141,29 @@ def test_countmin_one_sided_error_and_absent_probe(ray_session):
     assert out.loc["zzz-absent", "exact_c"] == 0
     # high-frequency probes exist in the corpus
     assert out.loc["join", "exact_c"] > 0
+
+
+def test_analytics_ops_empty_input(ray_session, tmp_path):
+    """Empty shards (the resume/retry path) must not crash: pagerank and
+    the histogram/centroid ops return 0 rows; countmin returns its fixed
+    probe rows with zero counts."""
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import analytics
+
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{SF}/documents.parquet') LIMIT 0) "
+        f"TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{SF}/embeddings.parquet') LIMIT 0) "
+        f"TO '{tmp_path}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    sf = str(tmp_path)
+    assert analytics.pagerank(sf).count() == 0
+    assert analytics.token_quantiles(sf).count() == 0
+    assert analytics.label_centroids(sf).count() == 0
+    cm = analytics.countmin_tokens(sf)
+    assert len(cm) == 12
+    assert (cm["exact_c"] == 0).all() and (cm["cm_est"] == 0).all()
