@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": analytics.token_quantiles,
         "label_centroids": analytics.label_centroids,
         "countmin_tokens": analytics.countmin_tokens,
+        "table_profile": analytics.table_profile,
         "events_top3_per_user": relational.events_top3_per_user,
         # dedup family (rows-only: LSH/minhash not SQL-expressible)
         "minhash_dedup": dedup_ops.minhash_dedup,
@@ -413,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         "token_quantiles": analytics.sql_token_quantiles(),
         "label_centroids": analytics.sql_label_centroids(),
         "countmin_tokens": analytics.sql_countmin_tokens(),
+        "table_profile": analytics.sql_table_profile(),
         "events_top3_per_user": (
             "SELECT user_id, event_id, rk FROM ("
             "SELECT user_id, event_id, row_number() OVER ("

@@ -330,6 +330,128 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def table_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-column data-quality profile of the documents table: row count,
+    null count, exact distinct count, min and max (stringified).
+
+    The standard pre-ingest profiling pass (Deequ-style).  Scale plan:
+    n/null/min/max are tiny per-batch partials folded driver-side
+    (blocks x columns rows); the distinct count exchanges one
+    (column, value-hash) row per batch-distinct value — the same
+    grouped-dedup + per-block count-partial plan as ``distinct_stats``,
+    with md5 standing in for the value so wide text never shuffles.
+    Output: (column, n, n_null, n_distinct, min_v, max_v)."""
+    ensure_picklable()
+    import hashlib
+
+    # numeric and string minima fold in their NATIVE order (stringifying
+    # first would make the cross-batch fold lexicographic: min(20, 111)
+    # is 20 but min("20", "111") is "111")
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for col in _PROFILE_COLS:
+            s = df[col]
+            nn = s.dropna()
+            numeric = pd.api.types.is_numeric_dtype(s)
+            rows.append(
+                {
+                    "column": col,
+                    "n": len(s),
+                    "n_null": int(s.isna().sum()),
+                    "min_num": int(nn.min()) if numeric and len(nn) else 0,
+                    "max_num": int(nn.max()) if numeric and len(nn) else 0,
+                    "min_str": "" if numeric or nn.empty else str(nn.min()),
+                    "max_str": "" if numeric or nn.empty else str(nn.max()),
+                    "numeric": int(numeric),
+                    "has": int(not nn.empty),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for col in _PROFILE_COLS:
+            vals = df[col].dropna().astype(str).unique()
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "column": col,
+                        "h": [
+                            hashlib.md5(v.encode("utf-8")).hexdigest()
+                            for v in vals
+                        ],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    ds = read_table(sf_dir, "documents", columns=list(_PROFILE_COLS))
+
+    # distinct: grouped dedup co-locates each (column, hash) pair in one
+    # block, so per-block nunique partials sum to the exact global count
+    def distinct_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"column": [], "d": pd.Series([], dtype="int64")}
+            )
+        g = df.groupby("column")["h"].nunique()
+        return pd.DataFrame(
+            {"column": g.index, "d": g.to_numpy().astype("int64")}
+        )
+
+    hashes = ds.map_batches(hash_rows, batch_format="pandas")
+    dparts = (
+        hashes.sort(["column", "h"])
+        .map_batches(distinct_partials, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    distinct = dparts.groupby("column")["d"].sum() if len(dparts) else pd.Series(dtype="int64")
+
+    # n/null/min/max: blocks x columns tiny partial rows, folded here
+    parts = ds.map_batches(partials, batch_format="pandas").to_pandas()
+    out_rows = []
+    for col in _PROFILE_COLS:
+        p = parts[parts["column"] == col] if len(parts) else parts
+        pv = p[p["has"] > 0] if len(p) else p
+        if len(pv) == 0:
+            mn = mx = ""
+        elif int(pv["numeric"].iloc[0]):
+            mn, mx = str(int(pv["min_num"].min())), str(int(pv["max_num"].max()))
+        else:
+            mn, mx = str(pv["min_str"].min()), str(pv["max_str"].max())
+        out_rows.append(
+            {
+                "column": col,
+                "n": int(p["n"].sum()) if len(p) else 0,
+                "n_null": int(p["n_null"].sum()) if len(p) else 0,
+                "n_distinct": int(distinct.get(col, 0)),
+                "min_v": mn,
+                "max_v": mx,
+            }
+        )
+    out = pd.DataFrame(out_rows)
+    for c in ("n", "n_null", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("column").reset_index(drop=True)
+
+
+def sql_table_profile() -> str:
+    parts = []
+    for col in _PROFILE_COLS:
+        parts.append(
+            f"SELECT '{col}' AS column, COUNT(*)::BIGINT AS n, "
+            f"(COUNT(*) - COUNT({col}))::BIGINT AS n_null, "
+            f"COUNT(DISTINCT {col})::BIGINT AS n_distinct, "
+            f"COALESCE(CAST(MIN({col}) AS VARCHAR), '') AS min_v, "
+            f"COALESCE(CAST(MAX({col}) AS VARCHAR), '') AS max_v "
+            "FROM documents"
+        )
+    return " UNION ALL ".join(parts)
+
+
 _CM_ROWS = 4
 _CM_WIDTH = 16384  # 2^14 cells per row
 _GOLDEN32 = 0x9E3779B9

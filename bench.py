@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "token_quantiles",
     "label_centroids",
     "countmin_tokens",
+    "table_profile",
 ]
 
 

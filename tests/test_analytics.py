@@ -167,3 +167,41 @@ def test_analytics_ops_empty_input(ray_session, tmp_path):
     cm = analytics.countmin_tokens(sf)
     assert len(cm) == 12
     assert (cm["exact_c"] == 0).all() and (cm["cm_est"] == 0).all()
+
+
+def test_table_profile_nulls_and_numeric_fold(ray_session, tmp_path):
+    """Profile matches DuckDB on a table with planted nulls and numeric
+    minima whose STRING order disagrees with numeric order (20 vs 111) —
+    the cross-batch fold must stay in native dtype."""
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        table_profile,
+        sql_table_profile,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([20, 111, 300, 4], pa.int64()),
+            "text": pa.array(["b", None, "a", "c"]),
+            "lang": pa.array(["en", "fr", None, "en"]),
+            "source": pa.array(["s1", "s1", "s2", None]),
+            "n_chars": pa.array([1, None, 3, 2], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    got = table_profile(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (
+        con.execute(sql_table_profile()).fetchdf()
+        .sort_values("column").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    r = got.set_index("column")
+    assert r.loc["doc_id", "min_v"] == "4" and r.loc["doc_id", "max_v"] == "300"
+    assert r.loc["text", "n_null"] == 1 and r.loc["text", "n_distinct"] == 3
