@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": analytics.label_centroids,
         "countmin_tokens": analytics.countmin_tokens,
         "table_profile": analytics.table_profile,
+        "incremental_dedup": text_ops.incremental_dedup,
+        "domain_quota_sample": sampling.domain_quota_sample,
         "events_top3_per_user": relational.events_top3_per_user,
         # dedup family (rows-only: LSH/minhash not SQL-expressible)
         "minhash_dedup": dedup_ops.minhash_dedup,
@@ -415,6 +417,8 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": analytics.sql_label_centroids(),
         "countmin_tokens": analytics.sql_countmin_tokens(),
         "table_profile": analytics.sql_table_profile(),
+        "incremental_dedup": text_ops.sql_incremental_dedup(),
+        "domain_quota_sample": sampling.sql_domain_quota_sample(),
         "events_top3_per_user": (
             "SELECT user_id, event_id, rk FROM ("
             "SELECT user_id, event_id, row_number() OVER ("

@@ -157,6 +157,57 @@ def seeded_shuffle(sf_dir: str, *, seed: int = _SHUFFLE_SEED) -> ray.data.Datase
     return grouped_block_map(keyed, ["bucket"], rank_bucket)
 
 
+_QUOTA_K = 15  # below the testdata's 25 docs/source so the cut is exercised
+
+
+def domain_quota_sample(sf_dir: str, *, k: int = _QUOTA_K) -> ray.data.Dataset:
+    """Per-domain quota: keep at most ``k`` docs per ``source``, chosen by
+    deterministic hash order (fmix32(doc_id), doc_id) — the crawl-
+    balancing move that stops one domain from dominating a corpus while
+    staying reproducible at any parallelism.
+
+    Grouped top-k with a per-batch combiner: each batch keeps its local
+    k-smallest keys per source, so at most k x sources rows per block
+    reach the one grouped exchange.  Output: (doc_id, source, rk)."""
+    ensure_picklable()
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        h = fmix32_np(ids % _M32).astype("int64")
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "source": df["source"], "hv": h}
+        )
+        # combiner: local k-smallest per source
+        out = out.sort_values(["source", "hv", "doc_id"], kind="mergesort")
+        return out.groupby("source", sort=False).head(k)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+        keyed, batch_format="pandas"
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hv", "doc_id"], kind="mergesort").head(k)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "source": g["source"].to_numpy(),
+                "rk": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return grouped_block_map(ds, ["source"], topk)
+
+
+def sql_domain_quota_sample() -> str:
+    frag, final = _fmix32_sql(f"doc_id % {_M32}", carry="doc_id, source")
+    return (
+        f"WITH {frag} "
+        "SELECT doc_id, source, rk FROM (SELECT doc_id, source, "
+        "CAST(row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) "
+        f"AS BIGINT) AS rk FROM {final}) WHERE rk <= {_QUOTA_K}"
+    )
+
+
 _PACK_CAPACITY = 256
 _PACK_BUCKETS = 16
 _PACK_SEQ_MUL = 1_000_000

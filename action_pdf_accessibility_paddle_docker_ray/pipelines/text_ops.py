@@ -60,6 +60,63 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     return grouped_block_map(ds, ["text_sha"], winner)
 
 
+def incremental_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Incremental ingestion dedup: a 'new crawl' (upper half of the id
+    range) anti-joined by exact content against the 'existing corpus'
+    (lower half), plus min-doc_id dedup within the new side.
+
+    The production flow for appending a crawl to a kept corpus.  Both
+    sides are large, so there is no broadcast: rows tag their side and
+    hash-partition on sha1(text) — ONE grouped exchange; a group emits
+    its min new doc_id iff it contains no existing-side row.  A per-batch
+    combiner pre-drops same-batch duplicate (side, sha) rows first.
+    Output: (doc_id, text) of the new documents that survive."""
+    ensure_picklable()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            text_sha=[hashlib.sha1(t.encode("utf-8")).hexdigest() for t in df["text"]],
+        )
+        return df
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # two scalars to the driver (id range) — defines the deterministic split
+    lo, hi = ds.min("doc_id"), ds.max("doc_id")
+    split = (lo + hi + 1) // 2
+
+    def tag_and_combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = tag(df)
+        df = df.assign(is_new=(df["doc_id"] >= split).astype("int64"))
+        # batch-local: keep min doc_id per (sha, side); existing rows
+        # need no text downstream
+        df = df.sort_values(["text_sha", "is_new", "doc_id"], kind="mergesort")
+        df = df.groupby(["text_sha", "is_new"], sort=False).head(1)
+        df.loc[df["is_new"] == 0, "text"] = ""
+        return df[["doc_id", "text", "text_sha", "is_new"]]
+
+    keyed = ds.map_batches(tag_and_combine, batch_format="pandas")
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["is_new"] == 0).any():
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "text": pd.Series([], dtype=str)})
+        row = g.loc[g["doc_id"].idxmin()]
+        return pd.DataFrame({"doc_id": [int(row["doc_id"])], "text": [row["text"]]})
+
+    return grouped_block_map(keyed, ["text_sha"], resolve)
+
+
+def sql_incremental_dedup() -> str:
+    return (
+        "WITH s AS (SELECT (MIN(doc_id) + MAX(doc_id) + 1) // 2 AS sp "
+        "FROM documents) "
+        "SELECT MIN(doc_id) AS doc_id, text FROM documents, s "
+        "WHERE doc_id >= s.sp AND text NOT IN "
+        "(SELECT text FROM documents, s WHERE doc_id < s.sp) "
+        "GROUP BY text"
+    )
+
+
 def token_count(sf_dir: str) -> ray.data.Dataset:
     ensure_picklable()
 

@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "label_centroids",
     "countmin_tokens",
     "table_profile",
+    "incremental_dedup",
+    "domain_quota_sample",
 ]
 
 

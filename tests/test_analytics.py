@@ -205,3 +205,49 @@ def test_table_profile_nulls_and_numeric_fold(ray_session, tmp_path):
     r = got.set_index("column")
     assert r.loc["doc_id", "min_v"] == "4" and r.loc["doc_id", "max_v"] == "300"
     assert r.loc["text", "n_null"] == 1 and r.loc["text", "n_distinct"] == 3
+
+
+def test_incremental_dedup_drops_cross_half_and_new_side_dups(ray_session, tmp_path):
+    """New docs whose text exists in the old half are dropped; duplicate
+    texts within the new half keep the min doc_id."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.text_ops import (
+        incremental_dedup,
+    )
+
+    # ids 0..3 existing, 4..7 new (split = (0+7+1)//2 = 4)
+    texts = ["kept-old", "dup-with-new", "old-b", "old-c",
+             "dup-with-new",        # 4: exists in old -> dropped
+             "new-unique",          # 5: kept
+             "new-dup", "new-dup"]  # 6,7: new-side dup -> keep 6
+    _write_docs(tmp_path, list(range(8)), texts)
+    out = incremental_dedup(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [5, 6]
+    assert set(out["text"]) == {"new-unique", "new-dup"}
+
+
+def test_domain_quota_binds_and_is_hash_deterministic(ray_session, tmp_path):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.sampling import (
+        _QUOTA_K,
+        domain_quota_sample,
+    )
+
+    # one source with 3x the quota, one under it
+    n = _QUOTA_K * 3
+    ids = list(range(n + 5))
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(["x"] * len(ids)),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["big"] * n + ["small"] * 5),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = domain_quota_sample(str(tmp_path)).to_pandas()
+    g = out.groupby("source").size()
+    assert g["big"] == _QUOTA_K and g["small"] == 5
+    out2 = domain_quota_sample(str(tmp_path)).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["source", "rk"]).reset_index(drop=True),
+        out2.sort_values(["source", "rk"]).reset_index(drop=True),
+    )
