@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": dedup_ops.minhash_dedup,
         "dedup_corpus": dedup_ops.dedup_corpus,
         "simhash_pairs": dedup_ops.simhash_pairs,
+        "dup_components": dedup_ops.dup_components,
         "jaccard_pairs": dedup_ops.jaccard_pairs,
         "embedding_dedup": dedup_ops.embedding_dedup,
         # similarity search
@@ -419,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.sql_table_profile(),
         "incremental_dedup": text_ops.sql_incremental_dedup(),
         "domain_quota_sample": sampling.sql_domain_quota_sample(),
+        "dup_components": dedup_ops.sql_dup_components(),
         "events_top3_per_user": (
             "SELECT user_id, event_id, rk FROM ("
             "SELECT user_id, event_id, row_number() OVER ("

@@ -1006,3 +1006,42 @@ def embedding_dedup(
     bucketed = ds.map_batches(bucket_batch, batch_format="pandas")
     out = grouped_block_map(bucketed, ["bucket"], verify, drop_singletons=True).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def dup_components(sf_dir: str, *, max_hamming: int = 3) -> pd.DataFrame:
+    """Near-duplicate connected components, exposed as a public op: every
+    document that appears in a simhash candidate pair, labeled with the
+    min doc_id of its component.
+
+    Runs the DISTRIBUTED min-label-propagation path (the 100 TB
+    component plan — one grouped exchange per round over (node, peer,
+    label) rows, driver holds only the output-sized label state), not
+    the driver union-find.  Output: (doc_id, rep_id).
+    """
+    pairs = simhash_pairs(sf_dir, max_hamming=max_hamming)
+    if len(pairs) == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "rep_id": pd.Series([], dtype="int64")}
+        )
+    out = _cluster_pairs_distributed(pairs[["a", "b"]])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_dup_components(max_hamming: int = 3) -> str:
+    """Min-label propagation to the true fixpoint as a recursive CTE over
+    the (recomputed-in-SQL) simhash pair table: labels only flow downhill
+    (label < target id), which the component-min label always satisfies,
+    so every node converges to min(id) of its component."""
+    from .sql_oracles import sql_simhash_pairs
+
+    return (
+        f"WITH RECURSIVE pairs AS ({sql_simhash_pairs(max_hamming)}), "
+        "edges AS (SELECT a AS u, b AS v FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs), "
+        "r AS (SELECT DISTINCT u AS node, u AS label FROM edges "
+        "UNION "
+        "SELECT e.v AS node, r.label FROM r JOIN edges e ON e.u = r.node "
+        "WHERE r.label < e.v) "
+        "SELECT node AS doc_id, MIN(label) AS rep_id FROM r GROUP BY node"
+    )

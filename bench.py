@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "table_profile",
     "incremental_dedup",
     "domain_quota_sample",
+    "dup_components",
 ]
 
 

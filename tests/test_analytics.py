@@ -251,3 +251,22 @@ def test_domain_quota_binds_and_is_hash_deterministic(ray_session, tmp_path):
         out.sort_values(["source", "rk"]).reset_index(drop=True),
         out2.sort_values(["source", "rk"]).reset_index(drop=True),
     )
+
+
+def test_dup_components_equals_union_find(ray_session):
+    """The public distributed-propagation components match the driver
+    union-find on the same simhash pair set (min-id rep per component)."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+        _cluster_pairs,
+        dup_components,
+        simhash_pairs,
+    )
+
+    pairs = simhash_pairs(SF)
+    want = _cluster_pairs(sorted({(int(a), int(b)) for a, b in
+                                  zip(pairs["a"], pairs["b"])}))
+    got = dup_components(SF)
+    assert dict(zip(got["doc_id"], got["rep_id"])) == want
+    # reps are component minima and label themselves
+    r = dict(zip(got["doc_id"], got["rep_id"]))
+    assert all(r[rep] == rep for rep in set(r.values()))
