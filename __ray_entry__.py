@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_tokens": analytics.countmin_tokens,
         "table_profile": analytics.table_profile,
         "incremental_dedup": text_ops.incremental_dedup,
+        "text_normalize": text_ops.text_normalize,
         "domain_quota_sample": sampling.domain_quota_sample,
         "events_top3_per_user": relational.events_top3_per_user,
         # dedup family (rows-only: LSH/minhash not SQL-expressible)
@@ -419,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_tokens": analytics.sql_countmin_tokens(),
         "table_profile": analytics.sql_table_profile(),
         "incremental_dedup": text_ops.sql_incremental_dedup(),
+        "text_normalize": text_ops.sql_text_normalize(),
         "domain_quota_sample": sampling.sql_domain_quota_sample(),
         "dup_components": dedup_ops.sql_dup_components(),
         "events_top3_per_user": (

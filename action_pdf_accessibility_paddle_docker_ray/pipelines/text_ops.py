@@ -60,6 +60,35 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     return grouped_block_map(ds, ["text_sha"], winner)
 
 
+def text_normalize(sf_dir: str) -> ray.data.Dataset:
+    """ccnet-style normalization before fuzzy dedup: lowercase, strip
+    ASCII punctuation, collapse whitespace runs, trim.  Pure per-row
+    vectorized pandas str kernel — no exchange, no state; the SQL oracle
+    applies the identical regex chain.  Output: (doc_id, norm_text)."""
+    ensure_picklable()
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            df["text"].str.lower()
+            .str.replace(r"[^a-z0-9\s]", "", regex=True)
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"], "norm_text": s})
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        norm, batch_format="pandas"
+    )
+
+
+def sql_text_normalize() -> str:
+    return (
+        "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
+        r"'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm_text "
+        "FROM documents"
+    )
+
+
 def incremental_dedup(sf_dir: str) -> ray.data.Dataset:
     """Incremental ingestion dedup: a 'new crawl' (upper half of the id
     range) anti-joined by exact content against the 'existing corpus'

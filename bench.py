@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "domain_quota_sample",
     "dup_components",
+    "text_normalize",
 ]
 
 

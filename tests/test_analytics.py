@@ -270,3 +270,34 @@ def test_dup_components_equals_union_find(ray_session):
     # reps are component minima and label themselves
     r = dict(zip(got["doc_id"], got["rep_id"]))
     assert all(r[rep] == rep for rep in set(r.values()))
+
+
+def test_text_normalize_matches_duckdb(ray_session, tmp_path):
+    """Normalization regex chain agrees with the SQL oracle on punctuation,
+    whitespace runs, tabs/newlines, and a non-ASCII character."""
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.text_ops import (
+        sql_text_normalize,
+        text_normalize,
+    )
+
+    texts = ["Hello, World!!", "a\t b\n\n c", "  trim me  ", "café #1", ""]
+    _write_docs(tmp_path, list(range(len(texts))), texts)
+    got = (
+        text_normalize(str(tmp_path)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (
+        con.execute(sql_text_normalize()).fetchdf()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got.loc[0, "norm_text"] == "hello world"
+    assert got.loc[1, "norm_text"] == "a b c"
+    assert got.loc[2, "norm_text"] == "trim me"
