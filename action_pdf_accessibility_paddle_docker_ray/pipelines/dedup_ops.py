@@ -1008,15 +1008,22 @@ def embedding_dedup(
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def dup_components(sf_dir: str, *, max_hamming: int = 3) -> pd.DataFrame:
+def dup_components(
+    sf_dir: str, *, max_hamming: int = 3, distributed: bool = False
+) -> pd.DataFrame:
     """Near-duplicate connected components, exposed as a public op: every
     document that appears in a simhash candidate pair, labeled with the
-    min doc_id of its component.
+    min doc_id of its component.  Output: (doc_id, rep_id).
 
-    Runs the DISTRIBUTED min-label-propagation path (the 100 TB
-    component plan — one grouped exchange per round over (node, peer,
-    label) rows, driver holds only the output-sized label state), not
-    the driver union-find.  Output: (doc_id, rep_id).
+    The pair list is OUTPUT-SIZED by construction (near-dup candidates,
+    not the corpus), so the default is the driver union-find — the same
+    documented decision as ``minhash_dedup``.  ``distributed=True``
+    switches to the min-label-propagation path (one grouped exchange per
+    round, driver holds only the label state) for pair lists too big for
+    one machine; the two modes are equivalence-tested
+    (``test_analytics.test_dup_components_equals_union_find``) and the
+    per-round exchange overhead makes the distributed mode ~4× slower at
+    bench scale (measured 32.6 s vs ~8 s at sf0.1).
     """
     pairs = simhash_pairs(sf_dir, max_hamming=max_hamming)
     if len(pairs) == 0:
@@ -1024,8 +1031,16 @@ def dup_components(sf_dir: str, *, max_hamming: int = 3) -> pd.DataFrame:
             {"doc_id": pd.Series([], dtype="int64"),
              "rep_id": pd.Series([], dtype="int64")}
         )
-    out = _cluster_pairs_distributed(pairs[["a", "b"]])
-    return out.sort_values("doc_id").reset_index(drop=True)
+    if distributed:
+        out = _cluster_pairs_distributed(pairs[["a", "b"]])
+        return out.sort_values("doc_id").reset_index(drop=True)
+    clusters = _cluster_pairs(
+        sorted({(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])})
+    )
+    rows = sorted(clusters.items())
+    return pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "rep_id": [r[1] for r in rows]}
+    ).astype("int64")
 
 
 def sql_dup_components(max_hamming: int = 3) -> str:

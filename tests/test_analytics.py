@@ -265,8 +265,10 @@ def test_dup_components_equals_union_find(ray_session):
     pairs = simhash_pairs(SF)
     want = _cluster_pairs(sorted({(int(a), int(b)) for a, b in
                                   zip(pairs["a"], pairs["b"])}))
-    got = dup_components(SF)
+    got = dup_components(SF)  # default: driver union-find
     assert dict(zip(got["doc_id"], got["rep_id"])) == want
+    got_dist = dup_components(SF, distributed=True)
+    assert dict(zip(got_dist["doc_id"], got_dist["rep_id"])) == want
     # reps are component minima and label themselves
     r = dict(zip(got["doc_id"], got["rep_id"]))
     assert all(r[rep] == rep for rep in set(r.values()))
