@@ -6,6 +6,30 @@ batches with a per-group dispatch that costs ~10ms/group in overhead;
 sorting ourselves and splitting groups with pandas ``groupby`` inside one
 block-level ``map_batches`` keeps the identical grouping guarantee (the
 sort co-locates each key's rows in one block) at ~0.1ms/group.
+
+Why the co-location invariant HOLDS in Ray 2.49.2, structurally — not
+just empirically (tests/test_round4.py pins it with 120k-row hot keys at
+a 64 KiB ``target_max_block_size``):
+
+1. Sort partitioning is a per-boundary binary search over the full key
+   tuple with a consistent side (``boundaries[i] <= x < boundaries[i+1]``):
+   ``ray/data/_internal/table_block.py:505`` (``_find_partitions_sorted``)
+   → ``ray/data/_internal/util.py:786`` (``find_partition_index``).  Rows
+   with identical key tuples therefore always map to the SAME partition —
+   duplicate sampled boundaries only create empty partitions between them.
+2. Each sort-reduce task merges its partition into exactly ONE block —
+   ``SortTaskSpec.reduce`` calls ``merge_sorted_blocks`` and returns a
+   single block with no post-split by ``target_max_block_size``
+   (``ray/data/_internal/planner/exchange/sort_task_spec.py:148-161``).
+3. The downstream ``map_batches(..., batch_size=None)`` consumes whole
+   blocks as batches, so no re-chunking can divide a key either.
+
+Consequence: one key's rows always arrive in one batch.  The trade-off is
+that a pathologically hot key produces one oversized block (the reduce
+task must hold it); that is a memory ceiling, not a correctness hazard —
+and the same ceiling applies to Ray's own ``map_groups``.  Ops whose keys
+can grow unboundedly hot (paragraph seeds, join salts) already cap or
+salt them upstream.
 """
 
 from __future__ import annotations

@@ -1,0 +1,153 @@
+"""Round-4 tests.
+
+1. The ``grouped_block_map`` hot-key invariant: after ``ds.sort(keys)``,
+   every distinct key tuple's rows live in exactly ONE block, even when
+   that key's rows are far larger than ``DataContext.target_max_block_size``.
+   ~20 oracled operators depend on this; a violation at scale would be
+   silent corruption, so we pin it adversarially here (see
+   ``pipelines/util.py`` for the source-level proof in Ray 2.49.2).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from action_pdf_accessibility_paddle_docker_ray.pipelines.util import grouped_block_map
+
+
+@pytest.fixture()
+def tiny_blocks():
+    """Force a target block size far below one hot key's row bytes."""
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 64 * 1024  # 64 KiB
+    yield ctx
+    ctx.target_max_block_size = old
+
+
+def _hot_key_frame(n_hot: int, hot_key: int, n_cold: int, n_keys: int, seed: int):
+    rng = np.random.default_rng(seed)
+    keys = np.concatenate(
+        [
+            np.full(n_hot, hot_key, dtype=np.int64),
+            rng.integers(0, n_keys, n_cold),
+        ]
+    )
+    vals = rng.integers(0, 1 << 30, n_hot + n_cold).astype(np.int64)
+    ids = np.arange(n_hot + n_cold, dtype=np.int64)
+    df = pd.DataFrame({"k": keys, "id": ids, "v": vals})
+    # Shuffle rows so the hot key is interleaved across input blocks.
+    return df.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+
+
+def _from_pandas_sharded(df: pd.DataFrame, shard: int) -> ray.data.Dataset:
+    return ray.data.from_pandas(
+        [df.iloc[i : i + shard] for i in range(0, len(df), shard)]
+    )
+
+
+@pytest.mark.parametrize("hot_key", [0, 250, 10_000_000])
+def test_hot_key_single_block_invariant(ray_session, tiny_blocks, hot_key):
+    """A 120k-row key (~2.8 MB >> the 64 KiB target) must form ONE group,
+    whether it sorts to the start, middle, or end of the key space."""
+
+    # Local closure: cloudpickle ships it by value (the test module is not
+    # importable from Ray workers).
+    def group_summary(g: pd.DataFrame) -> pd.DataFrame:
+        """Winner-picker + integrity checksum: splitting a group across
+        blocks would duplicate its key row and break n / checksum / winner."""
+        return pd.DataFrame(
+            {
+                "k": [g["k"].iloc[0]],
+                "n": [len(g)],
+                "winner": [int(g["id"].min())],
+                "checksum": [int(g["v"].sum())],
+            }
+        )
+
+    df = _hot_key_frame(120_000, hot_key, 30_000, 500, seed=hot_key % 97)
+    ds = _from_pandas_sharded(df, 10_000)
+    out = grouped_block_map(ds, ["k"], group_summary).to_pandas()
+
+    expected = (
+        df.groupby("k", sort=True)
+        .agg(n=("id", "size"), winner=("id", "min"), checksum=("v", "sum"))
+        .reset_index()
+    )
+    got = out.sort_values("k").reset_index(drop=True)
+    assert len(got) == len(expected), "a key was split across blocks"
+    assert (got["k"].values == expected["k"].values).all()
+    assert (got["n"].values == expected["n"].values).all()
+    assert (got["winner"].values == expected["winner"].values).all()
+    assert (got["checksum"].values == expected["checksum"].values).all()
+
+
+def test_hot_key_multi_column_sort(ray_session, tiny_blocks):
+    """Same invariant for a composite (a, b) key — the exact shape the
+    bucketed dedup/join ops use."""
+    rng = np.random.default_rng(7)
+    n_hot, n_cold = 100_000, 20_000
+    a = np.concatenate([np.full(n_hot, 42), rng.integers(0, 60, n_cold)])
+    b = np.concatenate([np.full(n_hot, 7), rng.integers(0, 9, n_cold)])
+    df = pd.DataFrame(
+        {
+            "a": a.astype(np.int64),
+            "b": b.astype(np.int64),
+            "id": np.arange(n_hot + n_cold, dtype=np.int64),
+        }
+    ).sample(frac=1.0, random_state=7).reset_index(drop=True)
+    ds = _from_pandas_sharded(df, 8_000)
+
+    def summary(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "a": [g["a"].iloc[0]],
+                "b": [g["b"].iloc[0]],
+                "n": [len(g)],
+                "winner": [int(g["id"].min())],
+            }
+        )
+
+    out = grouped_block_map(ds, ["a", "b"], summary).to_pandas()
+    expected = (
+        df.groupby(["a", "b"], sort=True)
+        .agg(n=("id", "size"), winner=("id", "min"))
+        .reset_index()
+    )
+    got = out.sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(got) == len(expected)
+    assert (got["n"].values == expected["n"].values).all()
+    assert (got["winner"].values == expected["winner"].values).all()
+
+
+def test_hot_key_pair_emitter(ray_session, tiny_blocks):
+    """A pair-emitter (the LSH-bucket shape, drop_singletons=True): a split
+    group would lose cross-fragment pairs.  Uses a 3000-row hot bucket whose
+    string payload (~3000 x 60 B = 180 KB > 64 KiB target) exceeds one block,
+    plus many singleton buckets."""
+    rng = np.random.default_rng(11)
+    n_hot, n_single = 3_000, 5_000
+    bucket = np.concatenate(
+        [np.full(n_hot, 999_999), 1 + np.arange(n_single)]
+    ).astype(np.int64)
+    ids = np.arange(n_hot + n_single, dtype=np.int64)
+    pad = "x" * 60
+    df = pd.DataFrame({"bucket": bucket, "id": ids, "payload": [pad] * len(ids)})
+    df = df.sample(frac=1.0, random_state=11).reset_index(drop=True)
+    ds = _from_pandas_sharded(df, 1_000)
+
+    def adjacent_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Emit consecutive (sorted-id) pairs: exactly n-1 pairs per group —
+        any split fragment yields strictly fewer in total."""
+        s = np.sort(g["id"].values)
+        return pd.DataFrame({"lo": s[:-1], "hi": s[1:]})
+
+    out = grouped_block_map(
+        ds, ["bucket"], adjacent_pairs, drop_singletons=True
+    ).to_pandas()
+    assert len(out) == n_hot - 1
+    hot_ids = np.sort(df.loc[df["bucket"] == 999_999, "id"].values)
+    got = out.sort_values("lo").reset_index(drop=True)
+    assert (got["lo"].values == hot_ids[:-1]).all()
+    assert (got["hi"].values == hot_ids[1:]).all()
