@@ -151,3 +151,72 @@ def test_hot_key_pair_emitter(ray_session, tiny_blocks):
     got = out.sort_values("lo").reset_index(drop=True)
     assert (got["lo"].values == hot_ids[:-1]).all()
     assert (got["hi"].values == hot_ids[1:]).all()
+
+
+# ---------------------------------------------------------------------------
+# connected components: auto-switch + dataset-resident propagation
+# ---------------------------------------------------------------------------
+
+def _random_pair_graph(seed: int, n_nodes: int, n_edges: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    m = a != b
+    lo, hi = np.minimum(a[m], b[m]), np.maximum(a[m], b[m])
+    return pd.DataFrame({"a": lo.astype("int64"), "b": hi.astype("int64")})
+
+
+def test_cluster_components_auto_switch_equivalence(ray_session):
+    """cluster_components must return identical components in driver mode,
+    distributed mode, and the auto mode forced onto the distributed path
+    (driver_max_pairs=0 — i.e. no pair row may reach the driver)."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+        _cluster_pairs,
+        cluster_components,
+    )
+    import ray.data
+
+    pair_df = _random_pair_graph(3, n_nodes=400, n_edges=300)
+    want = _cluster_pairs(
+        sorted({(int(a), int(b)) for a, b in zip(pair_df["a"], pair_df["b"])})
+    )
+
+    for kwargs in (
+        {"cluster_mode": "driver"},
+        {"cluster_mode": "distributed"},
+        {"cluster_mode": "auto", "driver_max_pairs": 0},  # forces distributed
+        {"cluster_mode": "auto"},  # small pair set -> driver
+    ):
+        got = cluster_components(ray.data.from_pandas(pair_df), **kwargs)
+        assert dict(zip(got["doc_id"], got["rep_id"])) == want, kwargs
+
+
+def test_cluster_components_rejects_unknown_mode(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+        cluster_components,
+    )
+    import ray.data
+
+    with pytest.raises(ValueError):
+        cluster_components(
+            ray.data.from_pandas(pd.DataFrame({"a": [1], "b": [2]})),
+            cluster_mode="nope",
+        )
+
+
+def test_dup_components_auto_forced_distributed(ray_session, monkeypatch):
+    """The public op on the real corpus with the driver bound forced to 0:
+    the auto switch must take the distributed path and still match the
+    driver union-find result."""
+    import action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops as dd
+
+    sf = "/root/testdata/sf0.001"
+    want = dd.dup_components(sf, cluster_mode="driver")
+    monkeypatch.setattr(dd, "_DRIVER_MAX_PAIRS", 0)
+    # cluster_components reads the module constant as its default
+    got = dd.cluster_components(
+        dd._simhash_pair_ds(sf), cluster_mode="auto", driver_max_pairs=0
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
