@@ -79,6 +79,42 @@ BENCH_QUERIES = [
 ]
 
 
+def _spin(n: int) -> int:
+    """Pure-CPU unit of work for the host probe (no numpy, no Ray)."""
+    acc = 0
+    for i in range(n):
+        acc = (acc + i * i) % 1000000007
+    return acc
+
+
+def host_probe(lo: int = 4, hi: int = 16, work: int = 6_000_000,
+               repeats: int = 2) -> dict:
+    """Raw multiprocessing CPU probe: the same fixed per-process work run
+    with ``lo`` and ``hi`` parallel processes (no Ray).  On a healthy host
+    the two walls are equal (ratio ≈ 0.95-1.0; measured 0.984 on an idle
+    window); in the sandbox's documented contention windows the 16-process
+    wall inflates and the ratio drops below ~0.9.  Emitted with every
+    bench run so a slow BENCH_rN is distinguishable from a code regression
+    without a judge re-run (VERDICT r3 Missing #4).  Must run BEFORE
+    ray.init (forked pools and a live Ray session don't mix).
+    """
+    import multiprocessing as mp
+
+    def measure(n: int) -> float:
+        t0 = time.perf_counter()
+        with mp.Pool(n) as p:
+            p.map(_spin, [work] * n)
+        return time.perf_counter() - t0
+
+    t_lo = min(measure(lo) for _ in range(repeats))
+    t_hi = min(measure(hi) for _ in range(repeats))
+    return {
+        "probe_t_4": round(t_lo, 3),
+        "probe_t_16": round(t_hi, 3),
+        "probe_4_16": round(t_lo / t_hi, 3),
+    }
+
+
 def warm_file_cache(path: str) -> None:
     paths = [path]
     if os.path.isdir(path):
@@ -92,6 +128,10 @@ def warm_file_cache(path: str) -> None:
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    # host-state probe first: forked pools and a live Ray session don't mix
+    probe = {} if os.environ.get("GRAFT_SKIP_PROBE") else host_probe()
+    session_t0 = time.time()
 
     import ray
 
@@ -122,14 +162,14 @@ def run_bench() -> dict:
     # standard noise-resistant wall estimator.  Default 3 so round-over-round
     # BENCH comparisons aren't dominated by host contention.
     repeats = int(os.environ.get("GRAFT_REPEAT", "3"))
-    headline_sec = None
+    headline_walls: list[float] = []
     for _ in range(repeats):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         ds = extract_pipeline(pages)
         ds.write_parquet(out_dir, partition_cols=["size_bucket"])
-        sec = time.time() - t0
-        headline_sec = sec if headline_sec is None else min(headline_sec, sec)
+        headline_walls.append(round(time.time() - t0, 3))
+    headline_sec = min(headline_walls)
 
     import pyarrow.dataset as pads
 
@@ -142,15 +182,21 @@ def run_bench() -> dict:
         pass
 
     # --- operator suite ---------------------------------------------------
+    # query_t_start records each query's offset (sec) into the bench
+    # session, so a wall outlier can be correlated with a host-contention
+    # window after the fact (together with the probe above).
     queries: dict[str, float] = {"extract": round(headline_sec, 3)}
+    query_t_start: dict[str, float] = {"extract": 0.0}
     if not os.environ.get("GRAFT_SKIP_QUERIES"):
         # page-parallel alternative path, same corpus, for comparison
         t0 = time.time()
+        query_t_start["extract_sort_path"] = round(t0 - session_t0, 1)
         extract_pipeline(pages, regroup="sort").count()
         queries["extract_sort_path"] = round(time.time() - t0, 3)
     q = entry_mod.queries()
     for name in [] if os.environ.get("GRAFT_SKIP_QUERIES") else BENCH_QUERIES:
         t0 = time.time()
+        query_t_start[name] = round(t0 - session_t0, 1)
         res = q[name](sf_dir)
         if hasattr(res, "to_pandas"):
             res = res.to_pandas()
@@ -167,6 +213,10 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "docs": int(n_docs),
         "docs_per_sec": round(n_docs / headline_sec, 2),
+        # self-adjudication fields (VERDICT r3 Missing #4)
+        "headline_walls": headline_walls,
+        "query_t_start": query_t_start,
+        **probe,
     }
 
 
@@ -208,6 +258,13 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "sf": r_lo["sf"],
         "docs": r_lo["docs"],
+        # self-adjudication: all repeat walls + the raw CPU probe sampled
+        # inside each level's fresh process, so a degraded host window is
+        # visible in the artifact itself
+        "walls_4": r_lo.get("headline_walls"),
+        "walls_16": r_hi.get("headline_walls"),
+        "probe_4_16_at_lo": r_lo.get("probe_4_16"),
+        "probe_4_16_at_hi": r_hi.get("probe_4_16"),
     }
 
 
