@@ -204,6 +204,23 @@ def test_cluster_components_rejects_unknown_mode(ray_session):
         )
 
 
+def test_table_profile_sketch_mode(ray_session):
+    """exact=False swaps the distinct leg for the HLL sketch: every
+    non-distinct column must be unchanged, and each n_distinct must fall
+    within the sketch's documented error (p=12 → ~1.6% σ; assert 6σ)."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import table_profile
+
+    sf = "/root/testdata/sf0.01"
+    ex = table_profile(sf).set_index("column")
+    sk = table_profile(sf, exact=False).set_index("column")
+    pd.testing.assert_frame_equal(
+        ex.drop(columns=["n_distinct"]), sk.drop(columns=["n_distinct"])
+    )
+    for col in ex.index:
+        true, est = int(ex.loc[col, "n_distinct"]), int(sk.loc[col, "n_distinct"])
+        assert abs(est - true) <= max(2, 0.10 * true), (col, true, est)
+
+
 def test_dup_components_auto_forced_distributed(ray_session, monkeypatch):
     """The public op on the real corpus with the driver bound forced to 0:
     the auto switch must take the distributed path and still match the
