@@ -703,6 +703,80 @@ _PARA_TOKENS = 10
 _PARA_KEY_MUL = 1_000_000
 
 
+def _para_explode(df: pd.DataFrame) -> pd.DataFrame:
+    paras, doc_ids, idxs = [], [], []
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        toks = re.findall(_TOKEN_RE, text)
+        for i in range(1, len(toks) + 1, _PARA_TOKENS):
+            paras.append(" ".join(toks[i - 1 : i - 1 + _PARA_TOKENS]))
+            doc_ids.append(int(doc_id))
+            idxs.append(i)
+    return pd.DataFrame(
+        {
+            "para": paras,
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "i": pd.Series(idxs, dtype="int64"),
+            "n_paras": pd.Series([0] * len(paras), dtype="int64"),
+        }
+    )
+
+
+def _para_seeds(df: pd.DataFrame) -> pd.DataFrame:
+    # one row per doc (i = -1) carrying its total chunk count, so
+    # fully-deduped and empty docs still get an output row.  Seeds skip
+    # the para exchange entirely — routing them through it would pile
+    # every doc into one degenerate "" group (hot key).
+    counts = [
+        -(-len(re.findall(_TOKEN_RE, t)) // _PARA_TOKENS) for t in df["text"]
+    ]
+    return pd.DataFrame(
+        {
+            "para": [""] * len(df),
+            "doc_id": df["doc_id"].astype("int64").to_numpy(),
+            "i": pd.Series([-1] * len(df), dtype="int64"),
+            "n_paras": pd.Series(counts, dtype="int64"),
+        }
+    )
+
+
+def _para_combiner(df: pd.DataFrame) -> pd.DataFrame:
+    if len(df) == 0:
+        return df
+    key = df["doc_id"].to_numpy() * _PARA_KEY_MUL + df["i"].to_numpy()
+    out = df.assign(_k=key).sort_values("_k", kind="mergesort")
+    return out.groupby("para", sort=False).head(1).drop(columns="_k")
+
+
+def _para_winner(g: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    key = g["doc_id"].to_numpy() * _PARA_KEY_MUL + g["i"].to_numpy()
+    return g.iloc[[int(np.argmin(key))]]
+
+
+def _para_assemble(g: pd.DataFrame) -> pd.DataFrame:
+    kept = g[g["i"] >= 0].sort_values("i", kind="mergesort")
+    seed = g[g["i"] < 0]
+    return pd.DataFrame(
+        {
+            "doc_id": [int(g["doc_id"].iloc[0])],
+            "text_dedup": [" ".join(kept["para"])],
+            "n_paras": [int(seed["n_paras"].iloc[0]) if len(seed) else 0],
+            "n_kept": [len(kept)],
+        }
+    )
+
+
+def paragraph_winners(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """The expensive global phase of paragraph dedup: occurrence explode →
+    per-batch min-key combiner → one grouped exchange on ``para`` picking
+    the global min-key winner.  Split out so the resumable runner
+    (``state/op_resume.py``) can checkpoint its result as parquet."""
+    occ = docs.map_batches(_para_explode, batch_format="pandas")
+    occ = occ.map_batches(_para_combiner, batch_format="pandas")
+    return grouped_block_map(occ, ["para"], _para_winner)
+
+
 def paragraph_dedup(sf_dir: str) -> ray.data.Dataset:
     """Corpus-wide exact paragraph dedup with per-doc reassembly.
 
@@ -717,71 +791,11 @@ def paragraph_dedup(sf_dir: str) -> ray.data.Dataset:
        order → (doc_id, text_dedup, n_paras, n_kept).
     """
     ensure_picklable()
-    import numpy as np
-
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        paras, doc_ids, idxs = [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            toks = re.findall(_TOKEN_RE, text)
-            for i in range(1, len(toks) + 1, _PARA_TOKENS):
-                paras.append(" ".join(toks[i - 1 : i - 1 + _PARA_TOKENS]))
-                doc_ids.append(int(doc_id))
-                idxs.append(i)
-        return pd.DataFrame(
-            {
-                "para": paras,
-                "doc_id": pd.Series(doc_ids, dtype="int64"),
-                "i": pd.Series(idxs, dtype="int64"),
-                "n_paras": pd.Series([0] * len(paras), dtype="int64"),
-            }
-        )
-
-    def seeds(df: pd.DataFrame) -> pd.DataFrame:
-        # one row per doc (i = -1) carrying its total chunk count, so
-        # fully-deduped and empty docs still get an output row.  Seeds skip
-        # the para exchange entirely — routing them through it would pile
-        # every doc into one degenerate "" group (hot key).
-        counts = [
-            -(-len(re.findall(_TOKEN_RE, t)) // _PARA_TOKENS) for t in df["text"]
-        ]
-        return pd.DataFrame(
-            {
-                "para": [""] * len(df),
-                "doc_id": df["doc_id"].astype("int64").to_numpy(),
-                "i": pd.Series([-1] * len(df), dtype="int64"),
-                "n_paras": pd.Series(counts, dtype="int64"),
-            }
-        )
-
-    def combiner(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df
-        key = df["doc_id"].to_numpy() * _PARA_KEY_MUL + df["i"].to_numpy()
-        out = df.assign(_k=key).sort_values("_k", kind="mergesort")
-        return out.groupby("para", sort=False).head(1).drop(columns="_k")
-
-    def para_winner(g: pd.DataFrame) -> pd.DataFrame:
-        key = g["doc_id"].to_numpy() * _PARA_KEY_MUL + g["i"].to_numpy()
-        return g.iloc[[int(np.argmin(key))]]
-
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        kept = g[g["i"] >= 0].sort_values("i", kind="mergesort")
-        seed = g[g["i"] < 0]
-        return pd.DataFrame(
-            {
-                "doc_id": [int(g["doc_id"].iloc[0])],
-                "text_dedup": [" ".join(kept["para"])],
-                "n_paras": [int(seed["n_paras"].iloc[0]) if len(seed) else 0],
-                "n_kept": [len(kept)],
-            }
-        )
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    occ = docs.map_batches(explode, batch_format="pandas")
-    occ = occ.map_batches(combiner, batch_format="pandas")
-    winners = grouped_block_map(occ, ["para"], para_winner)
-    seed_ds = docs.map_batches(seeds, batch_format="pandas")
-    return grouped_block_map(winners.union(seed_ds), ["doc_id"], assemble)
+    winners = paragraph_winners(docs)
+    seed_ds = docs.map_batches(_para_seeds, batch_format="pandas")
+    return grouped_block_map(winners.union(seed_ds), ["doc_id"], _para_assemble)
 
 
 def sql_paragraph_dedup() -> str:

@@ -1,0 +1,288 @@
+"""Resumable sinks for the expensive op families (VERDICT r3 Missing #5).
+
+The flagship extraction resumes per INPUT shard (``manifest.py``).  The
+corpus-global ops (``dedup_corpus``, ``paragraph_dedup``) cannot shard
+their input — every output row depends on the whole corpus — so their
+resume unit is different:
+
+- **Phase A (global state checkpoint)**: the expensive corpus-wide
+  computation (minhash clusters / paragraph winners) is written once to
+  ``<out>/_state/`` as parquet, with a ``state.json`` carrying the input
+  fingerprint + parameters.  A restart whose fingerprint matches reloads
+  the state instead of recomputing — that is where the hours go at scale.
+- **Phase B (per-bucket finish)**: the remaining work is embarrassingly
+  parallel per doc bucket (``doc_id % n_buckets``).  Each bucket's output
+  is written to its own directory via temp-dir + atomic rename, then a
+  manifest JSON commits it; a restart skips committed buckets.  A crash
+  mid-bucket leaves no partial partition (the temp dir is discarded).
+
+The same pattern is the 100 TB shape: phase A is the all-to-all the
+engine must pay once; phase B streams, bucket by bucket, and a failed
+run re-pays only its unfinished buckets.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+from typing import Any
+
+import pandas as pd
+
+from .. import __version__ as ENGINE_VERSION
+
+
+def _identity_pandas(df: pd.DataFrame) -> pd.DataFrame:
+    return df
+
+
+def _table_fingerprint(sf_dir: str, table: str) -> dict:
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(path)
+    return {"name": os.path.basename(path), "bytes": st.st_size}
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
+
+
+def _state_valid(state_dir: str, fingerprint: dict, params: dict) -> bool:
+    meta_path = os.path.join(state_dir, "state.json")
+    if not os.path.exists(meta_path):
+        return False
+    with open(meta_path) as f:
+        meta = json.load(f)
+    return meta.get("fingerprint") == fingerprint and meta.get("params") == params
+
+
+def _load_bucket_manifests(out_dir: str) -> dict[int, dict]:
+    entries: dict[int, dict] = {}
+    for p in sorted(glob.glob(os.path.join(out_dir, "_manifest", "bucket-*.json"))):
+        with open(p) as f:
+            e = json.load(f)
+        entries[int(e["bucket"])] = e
+    return entries
+
+
+def _commit_bucket(
+    out_dir: str, bucket: int, fingerprint: dict, params: dict,
+    n_rows: int, wall: float,
+) -> None:
+    _atomic_write_json(
+        os.path.join(out_dir, "_manifest", f"bucket-{bucket}.json"),
+        {
+            "bucket": bucket,
+            "fingerprint": fingerprint,
+            "params": params,
+            "rows": n_rows,
+            "wall_sec": round(wall, 3),
+            "engine_version": ENGINE_VERSION,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        },
+    )
+
+
+def _write_bucket(ds: "Any", out_dir: str, bucket: int) -> int:
+    """Write one bucket's dataset via temp dir + atomic rename; returns rows."""
+    final_dir = os.path.join(out_dir, f"bucket-{bucket}")
+    tmp_dir = final_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    ds.write_parquet(tmp_dir)
+    os.replace(tmp_dir, final_dir)
+    import pyarrow.dataset as pads
+
+    return pads.dataset(final_dir).count_rows()
+
+
+def run_dedup_corpus_resumable(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    n_buckets: int = 8,
+    stop_after_buckets: int | None = None,
+    num_perm: int = 126,
+    bands: int = 42,
+    threshold: float = 0.7,
+    shingle_k: int = 5,
+) -> dict:
+    """Resumable ``dedup_corpus``: checkpoint the minhash cluster table
+    (phase A), then filter + write the keep set per doc bucket (phase B).
+
+    ``stop_after_buckets`` exists for crash-injection in tests."""
+    import ray
+
+    from ..pipelines.dedup_ops import minhash_dedup
+    from ..sources.pages import read_table
+
+    params = {
+        "op": "dedup_corpus", "n_buckets": n_buckets, "num_perm": num_perm,
+        "bands": bands, "threshold": threshold, "shingle_k": shingle_k,
+    }
+    fingerprint = _table_fingerprint(sf_dir, "documents")
+    state_dir = os.path.join(out_dir, "_state")
+    os.makedirs(state_dir, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+
+    clusters_path = os.path.join(state_dir, "clusters.parquet")
+    state_reused = _state_valid(state_dir, fingerprint, params)
+    if not state_reused:
+        clusters = minhash_dedup(
+            sf_dir, num_perm=num_perm, bands=bands, threshold=threshold,
+            shingle_k=shingle_k,
+        )
+        tmp = clusters_path + ".tmp"
+        clusters.to_parquet(tmp, index=False)
+        os.replace(tmp, clusters_path)
+        _atomic_write_json(
+            os.path.join(state_dir, "state.json"),
+            {"fingerprint": fingerprint, "params": params},
+        )
+    else:
+        clusters = pd.read_parquet(clusters_path)
+
+    drop = frozenset(
+        int(d) for d, r in zip(clusters["doc_id"], clusters["rep_id"]) if d != r
+    )
+    drop_ref = ray.put(drop)
+
+    done = _load_bucket_manifests(out_dir)
+    buckets_run, skipped, total_rows = 0, 0, 0
+    t_run = time.time()
+    for b in range(n_buckets):
+        e = done.get(b)
+        if e and e["fingerprint"] == fingerprint and e["params"] == params:
+            skipped += 1
+            continue
+        if stop_after_buckets is not None and buckets_run >= stop_after_buckets:
+            break
+        t0 = time.time()
+        nb = n_buckets
+        bucket = b
+
+        def keep_fn(df: pd.DataFrame) -> pd.DataFrame:
+            dropped = ray.get(drop_ref)
+            ids = df["doc_id"].astype("int64")
+            keep = (ids % nb == bucket) & ~ids.isin(dropped)
+            return pd.DataFrame({"doc_id": ids[keep]})
+
+        ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+            keep_fn, batch_format="pandas"
+        )
+        n_rows = _write_bucket(ds, out_dir, b)
+        _commit_bucket(out_dir, b, fingerprint, params, n_rows, time.time() - t0)
+        total_rows += n_rows
+        buckets_run += 1
+
+    return {
+        "buckets_total": n_buckets,
+        "buckets_skipped": skipped,
+        "buckets_run": buckets_run,
+        "state_reused": state_reused,
+        "rows_written": total_rows,
+        "wall_sec": round(time.time() - t_run, 3),
+    }
+
+
+def run_paragraph_dedup_resumable(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    n_buckets: int = 8,
+    stop_after_buckets: int | None = None,
+) -> dict:
+    """Resumable ``paragraph_dedup``: checkpoint the corpus-wide paragraph
+    winner table partitioned by doc bucket (phase A — the one grouped
+    exchange on ``para``), then reassemble + write per bucket (phase B,
+    reads only that bucket's winner partition)."""
+    from ..pipelines.text_ops import (
+        _para_assemble,
+        _para_seeds,
+        paragraph_winners,
+    )
+    from ..pipelines.util import grouped_block_map
+    from ..sources.pages import read_table
+
+    import ray.data
+
+    params = {"op": "paragraph_dedup", "n_buckets": n_buckets}
+    fingerprint = _table_fingerprint(sf_dir, "documents")
+    state_dir = os.path.join(out_dir, "_state")
+    os.makedirs(state_dir, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+
+    winners_dir = os.path.join(state_dir, "winners")
+    state_reused = _state_valid(state_dir, fingerprint, params)
+    if not state_reused:
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        winners = paragraph_winners(docs)
+        nb = n_buckets
+
+        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["doc_bucket"] = (df["doc_id"].astype("int64") % nb).astype("int64")
+            return df
+
+        tmp_dir = winners_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(winners_dir, ignore_errors=True)
+        winners.map_batches(add_bucket, batch_format="pandas").write_parquet(
+            tmp_dir, partition_cols=["doc_bucket"]
+        )
+        os.replace(tmp_dir, winners_dir)
+        _atomic_write_json(
+            os.path.join(state_dir, "state.json"),
+            {"fingerprint": fingerprint, "params": params},
+        )
+
+    done = _load_bucket_manifests(out_dir)
+    buckets_run, skipped, total_rows = 0, 0, 0
+    t_run = time.time()
+    for b in range(n_buckets):
+        e = done.get(b)
+        if e and e["fingerprint"] == fingerprint and e["params"] == params:
+            skipped += 1
+            continue
+        if stop_after_buckets is not None and buckets_run >= stop_after_buckets:
+            break
+        t0 = time.time()
+        nb = n_buckets
+        bucket = b
+
+        def bucket_seeds(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["doc_id"].astype("int64") % nb == bucket]
+            return _para_seeds(df)
+
+        seeds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            bucket_seeds, batch_format="pandas"
+        )
+        part_dir = os.path.join(winners_dir, f"doc_bucket={b}")
+        if os.path.isdir(part_dir):
+            w = ray.data.read_parquet(
+                part_dir, columns=["para", "doc_id", "i", "n_paras"]
+            ).map_batches(_identity_pandas, batch_format="pandas")
+            # (^ normalizes to pandas blocks: union of Arrow-read blocks
+            #    with the pandas seed blocks breaks the downstream sort)
+            both = w.union(seeds)
+        else:  # no winner landed in this bucket: seeds alone
+            both = seeds
+        out = grouped_block_map(both, ["doc_id"], _para_assemble)
+        n_rows = _write_bucket(out, out_dir, b)
+        _commit_bucket(out_dir, b, fingerprint, params, n_rows, time.time() - t0)
+        total_rows += n_rows
+        buckets_run += 1
+
+    return {
+        "buckets_total": n_buckets,
+        "buckets_skipped": skipped,
+        "buckets_run": buckets_run,
+        "state_reused": state_reused,
+        "rows_written": total_rows,
+        "wall_sec": round(time.time() - t_run, 3),
+    }

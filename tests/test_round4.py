@@ -221,6 +221,76 @@ def test_table_profile_sketch_mode(ray_session):
         assert abs(est - true) <= max(2, 0.10 * true), (col, true, est)
 
 
+# ---------------------------------------------------------------------------
+# resumable sinks for the expensive op families
+# ---------------------------------------------------------------------------
+
+def _read_buckets(out_dir: str) -> pd.DataFrame:
+    import glob
+
+    import pyarrow.dataset as pads
+
+    dirs = sorted(glob.glob(f"{out_dir}/bucket-*"))
+    frames = [pads.dataset(d).to_table().to_pandas() for d in dirs]
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+
+
+def test_dedup_corpus_resumable_kill_restart(ray_session, tmp_path):
+    """Kill after 3 of 8 buckets, restart: phase-A state is reused, only
+    the remaining buckets run, and the union equals the direct op with no
+    duplicate or missing rows."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import dedup_corpus
+    from action_pdf_accessibility_paddle_docker_ray.state.op_resume import (
+        run_dedup_corpus_resumable,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "dc")
+    r1 = run_dedup_corpus_resumable(sf, out, n_buckets=8, stop_after_buckets=3)
+    assert r1["buckets_run"] == 3 and not r1["state_reused"]
+    r2 = run_dedup_corpus_resumable(sf, out, n_buckets=8)
+    assert r2["state_reused"] and r2["buckets_skipped"] == 3
+    assert r2["buckets_run"] == 5
+
+    got = _read_buckets(out).sort_values("doc_id").reset_index(drop=True)
+    want = (
+        dedup_corpus(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["doc_id"].is_unique
+
+    # a third run is a full no-op
+    r3 = run_dedup_corpus_resumable(sf, out, n_buckets=8)
+    assert r3["buckets_skipped"] == 8 and r3["buckets_run"] == 0
+
+
+def test_paragraph_dedup_resumable_kill_restart(ray_session, tmp_path):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.text_ops import paragraph_dedup
+    from action_pdf_accessibility_paddle_docker_ray.state.op_resume import (
+        run_paragraph_dedup_resumable,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "pd")
+    r1 = run_paragraph_dedup_resumable(sf, out, n_buckets=8, stop_after_buckets=2)
+    assert r1["buckets_run"] == 2 and not r1["state_reused"]
+    r2 = run_paragraph_dedup_resumable(sf, out, n_buckets=8)
+    assert r2["state_reused"] and r2["buckets_skipped"] == 2
+    assert r2["buckets_run"] == 6
+
+    got = _read_buckets(out).sort_values("doc_id").reset_index(drop=True)
+    want = (
+        paragraph_dedup(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want
+    )
+    assert got["doc_id"].is_unique
+
+
 def test_dup_components_auto_forced_distributed(ray_session, monkeypatch):
     """The public op on the real corpus with the driver bound forced to 0:
     the auto switch must take the distributed path and still match the
