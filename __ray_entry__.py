@@ -167,25 +167,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_decontaminate": text_ops.ngram_decontaminate,
         "incremental_dedup": text_ops.incremental_dedup,
         "text_normalize": text_ops.text_normalize,
-        # sampling / packing
+        # round-4 training-data ops
+        "doc_chunks": text_ops.doc_chunks,
+        "inverted_index": text_ops.inverted_index,
+        # sampling / packing / mixing
         "hash_split": sampling.hash_split,
         "seeded_shuffle": sampling.seeded_shuffle,
         "stratified_sample": sampling.stratified_sample,
         "sequence_pack": sampling.sequence_pack,
         "domain_quota_sample": sampling.domain_quota_sample,
+        "corpus_mix": sampling.corpus_mix,
         # analytics
         "pagerank": analytics.pagerank,
         "token_quantiles": analytics.token_quantiles,
         "label_centroids": analytics.label_centroids,
         "countmin_tokens": analytics.countmin_tokens,
         "table_profile": analytics.table_profile,
-        # joins (both-sides-large partitioned hash join; as-of; range)
+        "length_bucketize": analytics.length_bucketize,
+        # joins (both-sides-large partitioned hash join)
         "orders_lineitem_join": joins.orders_lineitem_join,
+        # ---- entries past the driver's 50-entry recording window ----
         "events_asof_order": joins.events_asof_order,
         "events_orders_range_join": joins.events_orders_range_join,
         "quality_filter": relational.quality_filter,
         "events_top3_per_user": relational.events_top3_per_user,
-        # ---- entries past the driver's 50-entry recording window ----
         # salted-skew join variants: identical logical results to the
         # unsalted twins above, different physical plans
         "orders_lineitem_join_salted": joins.orders_lineitem_join_salted,
@@ -435,6 +440,10 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.sql_table_profile(),
         "incremental_dedup": text_ops.sql_incremental_dedup(),
         "text_normalize": text_ops.sql_text_normalize(),
+        "doc_chunks": text_ops.sql_doc_chunks(),
+        "inverted_index": text_ops.sql_inverted_index(),
+        "corpus_mix": sampling.sql_corpus_mix(),
+        "length_bucketize": analytics.sql_length_bucketize(),
         "domain_quota_sample": sampling.sql_domain_quota_sample(),
         "dup_components": dedup_ops.sql_dup_components(),
         "events_top3_per_user": (

@@ -648,3 +648,65 @@ def sql_label_centroids() -> str:
         "CAST(SUM(q) AS BIGINT) // COUNT(*) AS centroid_q "
         "FROM e GROUP BY label, dim"
     )
+
+
+# ---------------------------------------------------------------------------
+# length bucketing from distributed quantiles (round 4)
+# ---------------------------------------------------------------------------
+
+def length_bucketize(sf_dir: str) -> ray.data.Dataset:
+    """Assign each document its per-language token-count decile bucket
+    (0–9) — the curriculum/length-balancing primitive.
+
+    Phase 1 is ``token_quantiles``' histogram plan (one grouped exchange,
+    never a row sort); its 9-cutoffs-per-language table is tiny
+    (langs × 9 rows), so it broadcasts and phase 2 is a pure streaming
+    map: bucket = #cutoffs strictly below the doc's count (searchsorted
+    side='left', which the SQL replays as SUM(cutoff < n)).
+    Output: (doc_id, lang, n_tokens, bucket)."""
+    ensure_picklable()
+    import ray
+
+    cuts = token_quantiles(sf_dir).to_pandas()  # langs × 9 rows — tiny
+    cutoffs = {
+        lang: np.sort(g["n_tokens"].to_numpy(dtype=np.int64))
+        for lang, g in cuts.groupby("lang")
+    }
+    cutoffs_ref = ray.put(cutoffs)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(cutoffs_ref)
+        n = df["text"].str.count(r"\S+").astype("int64").to_numpy()
+        bucket = np.zeros(len(df), dtype=np.int64)
+        langs = df["lang"].to_numpy()
+        for lang in pd.unique(langs):
+            m = langs == lang
+            c = table.get(lang)
+            if c is not None:
+                bucket[m] = np.searchsorted(c, n[m], side="left")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "lang": df["lang"],
+                "n_tokens": n,
+                "bucket": bucket,
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"]).map_batches(
+        assign, batch_format="pandas"
+    )
+
+
+def sql_length_bucketize() -> str:
+    return (
+        f"WITH q AS ({sql_token_quantiles()}), "
+        r"d AS (SELECT doc_id, lang, "
+        r"CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens "
+        "FROM documents) "
+        "SELECT d.doc_id, d.lang, d.n_tokens, "
+        "CAST(SUM(CASE WHEN q.n_tokens < d.n_tokens THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS bucket "
+        "FROM d JOIN q ON q.lang = d.lang "
+        "GROUP BY d.doc_id, d.lang, d.n_tokens"
+    )

@@ -346,3 +346,69 @@ def sql_seeded_shuffle() -> str:
         "CAST(row_number() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT) AS rank "
         f"FROM {final}"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus mixing with fractional epoch weights (round 4)
+# ---------------------------------------------------------------------------
+
+_MIX_SEED = 13
+# per-source epoch weights in 1e-4 units: weight 32500 = every doc 3
+# times + a deterministic 25% of docs a 4th time; 4000 = keep 40% of docs.
+# The up/down-sampling mix a training run applies per domain.
+MIX_WEIGHTS_PER_10K = {"src0": 32500, "src1": 4000}
+_MIX_DEFAULT_10K = 10000
+
+
+def corpus_mix(sf_dir: str, *, seed: int = _MIX_SEED) -> ray.data.Dataset:
+    """Deterministic weighted corpus mixing: each document is emitted
+    floor(w) times plus one more iff fmix32(doc_id ^ seed) % 10000 <
+    frac(w)*10000, with w the source's epoch weight.  Upsampling AND
+    downsampling in one pure per-row rule — no exchange, no RNG state,
+    the same mixed corpus at any parallelism / resume boundary, and
+    raising a weight strictly grows the mix (nested property).
+    Output: (doc_id, source, copy), copy = 0..n_copies-1."""
+    ensure_picklable()
+
+    def mix(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        h = fmix32_np((ids % _M32) ^ np.uint64(seed)).astype(np.int64)
+        w10k = (
+            df["source"].map(MIX_WEIGHTS_PER_10K).fillna(_MIX_DEFAULT_10K)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        n_copies = w10k // 10000 + ((h % 10000) < (w10k % 10000)).astype(np.int64)
+        reps = np.repeat(np.arange(len(df), dtype=np.int64), n_copies)
+        ends = np.cumsum(n_copies)
+        copy = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) - np.repeat(
+            ends - n_copies, n_copies
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[reps],
+                "source": df["source"].to_numpy()[reps],
+                "copy": copy,
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+        mix, batch_format="pandas"
+    )
+
+
+def sql_corpus_mix(seed: int = _MIX_SEED) -> str:
+    frag, final = _fmix32_sql(
+        f"xor(doc_id % {_M32}, {seed})", carry="doc_id, source"
+    )
+    case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS_PER_10K.items())
+    ) + f" ELSE {_MIX_DEFAULT_10K} END"
+    return (
+        f"WITH {frag}, "
+        f"n AS (SELECT doc_id, source, ({case}) // 10000 + "
+        f"CASE WHEN hv % 10000 < ({case}) % 10000 THEN 1 ELSE 0 END AS n_copies "
+        f"FROM {final}) "
+        "SELECT doc_id, source, CAST(u.c AS BIGINT) AS copy "
+        "FROM n, UNNEST(range(0, n_copies)) AS u(c)"
+    )

@@ -1025,3 +1025,137 @@ def html_extract(sf_dir: str) -> ray.data.Dataset:
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         run, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data chunking (round 4)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64   # tokens per training chunk
+_CHUNK_STEP = 48  # stride (overlap = W - STEP = 16 tokens)
+
+
+def doc_chunks(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window token chunking with overlap — the standard
+    pretraining chunker (context windows of W tokens, stride W-O).
+
+    Chunk starts are s = 0, STEP, 2*STEP, ... while s + W < n_tokens, plus
+    the final chunk containing the end, so every token is covered and no
+    chunk is fully contained in its predecessor; 0-token docs emit no
+    chunk.  Pure per-row explode — no exchange, no state, stable under any
+    parallelism and resume boundary.  Output: (doc_id, chunk_id,
+    chunk_text, n_tokens)."""
+    ensure_picklable()
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, chunk_ids, texts, ntoks = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = re.findall(_TOKEN_RE, text)
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = 1 + (max(n - _CHUNK_W, 0) + _CHUNK_STEP - 1) // _CHUNK_STEP
+            for c in range(n_chunks):
+                s = c * _CHUNK_STEP
+                doc_ids.append(int(doc_id))
+                chunk_ids.append(c)
+                texts.append(" ".join(toks[s : s + _CHUNK_W]))
+                ntoks.append(min(_CHUNK_W, n - s))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "chunk_id": pd.Series(chunk_ids, dtype="int64"),
+                "chunk_text": pd.Series(texts, dtype=object),
+                "n_tokens": pd.Series(ntoks, dtype="int64"),
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas"
+    )
+
+
+def sql_doc_chunks() -> str:
+    w, st = _CHUNK_W, _CHUNK_STEP
+    return (
+        r"WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks "
+        "FROM documents), "
+        "ch AS (SELECT doc_id, toks, unnest(range(0, CASE WHEN len(toks) = 0 "
+        f"THEN 0 ELSE 1 + (greatest(len(toks) - {w}, 0) + {st - 1}) // {st} "
+        "END)) AS chunk_id FROM tk) "
+        "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+        f"array_to_string(toks[chunk_id * {st} + 1 : chunk_id * {st} + {w}], ' ') "
+        "AS chunk_text, "
+        f"CAST(least({w}, len(toks) - chunk_id * {st}) AS BIGINT) AS n_tokens "
+        "FROM ch"
+    )
+
+
+# ---------------------------------------------------------------------------
+# inverted index (round 4)
+# ---------------------------------------------------------------------------
+
+_INDEX_MIN_DF = 25
+_INDEX_MAX_DF = 1_000_000
+
+
+def inverted_index(
+    sf_dir: str, *, min_df: int = _INDEX_MIN_DF, max_df: int = _INDEX_MAX_DF
+) -> ray.data.Dataset:
+    """Token → sorted posting list over the corpus (search/decontamination
+    primitive).  Tokens outside [min_df, max_df] are dropped: sub-min_df
+    tokens are noise, super-max_df tokens are stopword-frequency and their
+    postings would be corpus-sized (a real index shards those; the band
+    keeps every posting row output-bounded by construction).
+
+    Plan: Arrow-native distinct (doc, token) rows per batch (the same
+    zero-copy explode as tfidf) → one grouped exchange on token → per-group
+    df + ','-joined sorted postings.  Output: (token, df, postings)."""
+    ensure_picklable()
+    import numpy as np
+
+    def tok_rows(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern_regex(t.column("text"), r"\s+")
+        flat = pc.list_flatten(toks)
+        ids = pc.take(t.column("doc_id"), pc.list_parent_indices(toks))
+        mask = pc.not_equal(flat, "")
+        tbl = pa.table({"doc_id": ids.filter(mask), "token": flat.filter(mask)})
+        # batch-local distinct: (doc, token) appears once per batch
+        g = tbl.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        return g.select(["doc_id", "token"])
+
+    def postings(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy(dtype=np.int64))
+        if not (min_df <= len(ids) <= max_df):
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=object),
+                 "df": pd.Series([], dtype="int64"),
+                 "postings": pd.Series([], dtype=object)}
+            )
+        return pd.DataFrame(
+            {
+                "token": [g["token"].iloc[0]],
+                "df": pd.Series([len(ids)], dtype="int64"),
+                "postings": [",".join(str(i) for i in ids)],
+            }
+        )
+
+    rows = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        tok_rows, batch_format="pyarrow"
+    )
+    return grouped_block_map(rows, ["token"], postings)
+
+
+def sql_inverted_index(
+    min_df: int = _INDEX_MIN_DF, max_df: int = _INDEX_MAX_DF
+) -> str:
+    return (
+        "WITH tk AS (SELECT DISTINCT doc_id, tok AS token FROM documents, "
+        r"UNNEST(regexp_extract_all(text, '\S+')) AS u(tok)) "
+        "SELECT token, CAST(COUNT(*) AS BIGINT) AS df, "
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
+        f"FROM tk GROUP BY token HAVING COUNT(*) BETWEEN {min_df} AND {max_df}"
+    )

@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "domain_quota_sample",
     "dup_components",
     "text_normalize",
+    "doc_chunks",
+    "inverted_index",
+    "corpus_mix",
+    "length_bucketize",
 ]
 
 

@@ -291,6 +291,69 @@ def test_paragraph_dedup_resumable_kill_restart(ray_session, tmp_path):
     assert got["doc_id"].is_unique
 
 
+# ---------------------------------------------------------------------------
+# round-4 training-data ops
+# ---------------------------------------------------------------------------
+
+def test_doc_chunks_boundaries(ray_session, tmp_path):
+    """Chunk math at the edges: 0 tokens → no chunk; exactly W → one
+    chunk; W+1 → two, second covering the tail; full coverage with
+    W-STEP overlap."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.text_ops import (
+        _CHUNK_STEP,
+        _CHUNK_W,
+        doc_chunks,
+    )
+
+    toks_n = {0: 0, 1: 1, _CHUNK_W: 1, _CHUNK_W + 1: 2,
+              _CHUNK_W + _CHUNK_STEP: 2, 3 * _CHUNK_STEP + _CHUNK_W: 4}
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(len(toks_n)), dtype="int64"),
+            "text": [" ".join(f"t{i}" for i in range(n)) for n in toks_n],
+            "lang": "en",
+            "source": "src0",
+            "n_chars": pd.Series([1] * len(toks_n), dtype="int64"),
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = doc_chunks(str(tmp_path)).to_pandas()
+    got = out.groupby("doc_id").size().to_dict()
+    want = {i: c for i, (n, c) in enumerate(zip(toks_n, toks_n.values())) if c}
+    assert got == want
+    # every token of the longest doc appears in some chunk, in order
+    long_id = len(toks_n) - 1
+    n = list(toks_n)[-1]
+    chunks = out[out.doc_id == long_id].sort_values("chunk_id")
+    covered = []
+    for c, t in zip(chunks["chunk_id"], chunks["chunk_text"]):
+        toks = t.split()
+        assert toks == [f"t{i}" for i in range(c * _CHUNK_STEP, min(c * _CHUNK_STEP + _CHUNK_W, n))]
+        covered.extend(toks)
+    assert set(covered) == {f"t{i}" for i in range(n)}
+
+
+def test_corpus_mix_weights_and_nesting(ray_session):
+    """src0 (w=3.25) docs appear 3 or 4 times with the deterministic
+    fraction; src1 (w=0.4) docs appear 0 or 1 times; default sources
+    exactly once; copy ids are 0..n-1."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.sampling import corpus_mix
+
+    sf = "/root/testdata/sf0.01"
+    out = corpus_mix(sf).to_pandas()
+    g = out.groupby(["source", "doc_id"]).size()
+    for (src, _), n in g.items():
+        if src == "src0":
+            assert n in (3, 4)
+        elif src == "src1":
+            assert n == 1  # 0-copy docs have no rows at all
+        else:
+            assert n == 1
+    # copies are a contiguous 0..n-1 range per doc
+    m = out.groupby(["source", "doc_id"])["copy"].agg(["min", "max", "size"])
+    assert (m["min"] == 0).all() and (m["max"] == m["size"] - 1).all()
+
+
 def test_dup_components_auto_forced_distributed(ray_session, monkeypatch):
     """The public op on the real corpus with the driver bound forced to 0:
     the auto switch must take the distributed path and still match the
