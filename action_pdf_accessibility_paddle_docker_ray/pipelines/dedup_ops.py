@@ -725,14 +725,17 @@ def cluster_components(
     *,
     cluster_mode: str = "auto",
     driver_max_pairs: int = _DRIVER_MAX_PAIRS,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+) -> pd.DataFrame | ray.data.Dataset:
     """Connected components over a pair Dataset with the round-4 auto-switch:
     a distributed ``count()`` (scalar) picks driver union-find for provably
     small pair sets and the dataset-resident propagation otherwise, so no
     code path can pull an unbounded pair table onto the driver.
 
     ``cluster_mode``: "auto" (default), "driver", or "distributed".
-    Returns the output-sized (doc_id, rep_id) table as a DataFrame.
+    Returns the output-sized (doc_id, rep_id) table as a DataFrame, or as
+    a Dataset when ``as_dataset=True`` (for downstream composition — e.g.
+    ``dedup_corpus``'s anti-join path — without a driver materialization).
     """
     if cluster_mode not in ("auto", "driver", "distributed"):
         raise ValueError(f"unknown cluster_mode: {cluster_mode!r}")
@@ -742,21 +745,25 @@ def cluster_components(
         cluster_mode = "driver" if n_pairs <= driver_max_pairs else "distributed"
     if cluster_mode == "distributed":
         out = _cluster_pairs_ds(pair_ds)
+        if as_dataset:
+            return out
         return (
             out.to_pandas().sort_values("doc_id").reset_index(drop=True).astype("int64")
         )
     pair_df = pair_ds.to_pandas()
     if len(pair_df) == 0:
-        return pd.DataFrame(
+        out_df = pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"),
              "rep_id": pd.Series([], dtype="int64")}
         )
-    pairs = sorted({(int(a), int(b)) for a, b in zip(pair_df["a"], pair_df["b"])})
-    clusters = _cluster_pairs(pairs)
-    rows = sorted(clusters.items())
-    return pd.DataFrame(
-        {"doc_id": [r[0] for r in rows], "rep_id": [r[1] for r in rows]}
-    ).astype("int64")
+    else:
+        pairs = sorted({(int(a), int(b)) for a, b in zip(pair_df["a"], pair_df["b"])})
+        clusters = _cluster_pairs(pairs)
+        rows = sorted(clusters.items())
+        out_df = pd.DataFrame(
+            {"doc_id": [r[0] for r in rows], "rep_id": [r[1] for r in rows]}
+        ).astype("int64")
+    return ray.data.from_pandas(out_df) if as_dataset else out_df
 
 
 # ---------------------------------------------------------------------------
@@ -801,38 +808,97 @@ def minhash_dedup(
     return cluster_components(verified, cluster_mode=cluster_mode)
 
 
+# Drop sets at or below this broadcast as a frozenset via ray.put; above it
+# the filter becomes a grouped anti-join and the drop set never leaves the
+# object store (a 20x-replicated corpus makes the drop set ~corpus-sized).
+_DROP_BROADCAST_MAX = 5_000_000
+
+
 def dedup_corpus(
     sf_dir: str, *, num_perm: int = 126, bands: int = 42, threshold: float = 0.7,
-    shingle_k: int = 5,
+    shingle_k: int = 5, drop_broadcast_max: int = _DROP_BROADCAST_MAX,
 ) -> "ray.data.Dataset":
     """The actual corpus-dedup step a training pipeline runs: keep every
     document that is either not near-duplicated or is its cluster's
     representative (min doc_id).
 
-    The drop set is the clustered non-representatives — output-sized
-    (bounded by the duplicate count), so it broadcasts via ``ray.put`` and
-    the corpus filter is a streaming map_batches; at extreme duplicate
-    rates the drop set becomes a bucketed anti-join instead (same
-    partitioned-join machinery as the verify stage)."""
+    The drop set is the clustered non-representatives — normally
+    output-sized (bounded by the duplicate count), so below
+    ``drop_broadcast_max`` it broadcasts via ``ray.put`` and the corpus
+    filter is a streaming map_batches.  A distributed count (scalar)
+    decides; above the bound (extreme duplicate rates, where "output-
+    sized" approaches corpus-sized) the filter switches to a grouped
+    anti-join on doc_id — tagged sides, one exchange, nothing id-shaped
+    on the driver (round 4: this switch used to be documented but not
+    implemented)."""
     import ray
 
-    clusters = minhash_dedup(
+    comp = minhash_dedup_components_ds(
         sf_dir, num_perm=num_perm, bands=bands, threshold=threshold,
         shingle_k=shingle_k,
     )
-    drop = frozenset(
-        int(d) for d, r in zip(clusters["doc_id"], clusters["rep_id"]) if d != r
-    )
-    drop_ref = ray.put(drop)
 
-    def keep_fn(df: pd.DataFrame) -> pd.DataFrame:
-        dropped = ray.get(drop_ref)
-        keep = ~df["doc_id"].isin(dropped)
-        return pd.DataFrame({"doc_id": df["doc_id"][keep].astype("int64")})
+    def drop_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["doc_id"] != df["rep_id"]
+        return pd.DataFrame({"doc_id": df["doc_id"][m].astype("int64")})
 
-    return read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
-        keep_fn, batch_format="pandas"
+    drop_ds = comp.map_batches(drop_rows, batch_format="pandas").materialize()
+    n_drop = drop_ds.count()
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    if n_drop <= drop_broadcast_max:
+        drop = frozenset(
+            int(d) for d in drop_ds.to_pandas().get("doc_id", pd.Series([], dtype="int64"))
+        )
+        drop_ref = ray.put(drop)
+
+        def keep_fn(df: pd.DataFrame) -> pd.DataFrame:
+            dropped = ray.get(drop_ref)
+            keep = ~df["doc_id"].isin(dropped)
+            return pd.DataFrame({"doc_id": df["doc_id"][keep].astype("int64")})
+
+        return docs.map_batches(keep_fn, batch_format="pandas")
+
+    # anti-join path: docs side (is_drop=0) ∪ drop side (is_drop=1), one
+    # grouped exchange on doc_id, emit the doc iff no drop row in its group
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "is_drop": np.zeros(len(df), dtype=np.int64)}
+        )
+
+    def tag_drop(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "is_drop": np.ones(len(df), dtype=np.int64)}
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["is_drop"] > 0).any():
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])]})
+
+    both = docs.map_batches(tag_docs, batch_format="pandas").union(
+        drop_ds.map_batches(tag_drop, batch_format="pandas")
     )
+    return grouped_block_map(both, ["doc_id"], resolve)
+
+
+def minhash_dedup_components_ds(
+    sf_dir: str, *, num_perm: int = 126, bands: int = 42, threshold: float = 0.7,
+    shingle_k: int = 5,
+) -> ray.data.Dataset:
+    """minhash_dedup's (doc_id, rep_id) components as a Dataset — the
+    composition surface for downstream ops (``dedup_corpus``) that must
+    not materialize the cluster table on the driver."""
+    ensure_picklable()
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = lsh_candidate_pairs(
+        docs, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        est_prefilter=threshold - 0.25,
+    )
+    verified = exact_jaccard_verify(cands, docs, k=shingle_k, threshold=threshold)
+    return cluster_components(verified, cluster_mode="auto", as_dataset=True)
 
 
 def jaccard_pairs(

@@ -204,6 +204,23 @@ def test_cluster_components_rejects_unknown_mode(ray_session):
         )
 
 
+def test_dedup_corpus_antijoin_switch(ray_session):
+    """drop_broadcast_max=0 forces the grouped anti-join filter; it must
+    return exactly the broadcast path's keep set."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import dedup_corpus
+
+    sf = "/root/testdata/sf0.001"
+    a = dedup_corpus(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        dedup_corpus(sf, drop_broadcast_max=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
 def test_table_profile_sketch_mode(ray_session):
     """exact=False swaps the distinct leg for the HLL sketch: every
     non-distinct column must be unchanged, and each n_distinct must fall
