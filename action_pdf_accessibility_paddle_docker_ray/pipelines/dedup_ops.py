@@ -42,7 +42,7 @@ import ray.data
 from .. import ensure_picklable
 from ..functions.fnv import fnv1a_32
 from ..sources.pages import read_table
-from .util import grouped_block_map
+from .util import grouped_block_dedup, grouped_block_map
 
 _MERSENNE_P = (1 << 61) - 1
 
@@ -1065,7 +1065,10 @@ def _simhash_pair_ds(sf_dir: str, *, max_hamming: int = 3) -> ray.data.Dataset:
 
     pair_ds = grouped_block_map(banded, ["band", "chunk"], verify,
                                 drop_singletons=True)
-    return grouped_block_map(pair_ds, ["a", "b"], lambda g: g.head(1))
+    # cross-band pair dedup: rows of one (a, b) are identical, so the
+    # vectorized block dedup applies (per-group head(1) measured 80+ min
+    # on a 50M-pair all-dup stress — ~0.1 ms/group × groups ≈ rows)
+    return grouped_block_dedup(pair_ds, ["a", "b"])
 
 
 def simhash_pairs(

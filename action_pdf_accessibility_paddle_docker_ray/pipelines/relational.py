@@ -21,7 +21,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from .. import ensure_picklable
 from ..sources.pages import read_table
-from .util import grouped_block_map
+from .util import grouped_block_dedup, grouped_block_map
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
@@ -318,9 +318,10 @@ def distinct_stats(sf_dir: str, *, exact: bool = True) -> "pd.DataFrame":
         )
 
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
-    distinct = grouped_block_map(
-        ds.map_batches(partial, batch_format="pandas"),
-        ["kind", "val"], lambda g: g.head(1),
+    # rows of one (kind, val) are identical -> vectorized block dedup
+    # (per-group head(1) costs ~0.1 ms/group; groups = distinct values)
+    distinct = grouped_block_dedup(
+        ds.map_batches(partial, batch_format="pandas"), ["kind", "val"]
     )
     counts = distinct.map_batches(
         lambda df: df.groupby("kind", sort=True).size().rename("n").reset_index(),

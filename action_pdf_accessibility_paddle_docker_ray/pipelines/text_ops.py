@@ -18,7 +18,7 @@ import ray.data
 from .. import ensure_picklable
 from ..functions.fnv import fnv1a_32
 from ..sources.pages import read_table
-from .util import grouped_block_map
+from .util import grouped_block_dedup, grouped_block_map
 
 _TOKEN_RE = r"\S+"
 _WORD_RE = r"[A-Za-z]+"
@@ -50,14 +50,20 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
         df = df.sort_values(["text_sha", "doc_id"], kind="mergesort")
         return df.groupby("text_sha", sort=False).head(1)
 
-    def winner(df: pd.DataFrame) -> pd.DataFrame:
-        row = df.loc[df["doc_id"].idxmin()]
-        return pd.DataFrame({"doc_id": [int(row["doc_id"])], "text": [row["text"]]})
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "text": df["text"]}
+        )
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(add_hash, batch_format="pandas")
     ds = ds.map_batches(combiner, batch_format="pandas")
-    return grouped_block_map(ds, ["text_sha"], winner)
+    # vectorized winner pick: at scale, groups = distinct texts = corpus-
+    # sized, so the per-group dispatch of grouped_block_map is ruinous —
+    # grouped_block_dedup's in-block sort + drop_duplicates keeps the
+    # global min doc_id per sha with zero per-group Python
+    deduped = grouped_block_dedup(ds, ["text_sha"], order=["doc_id"])
+    return deduped.map_batches(project, batch_format="pandas")
 
 
 def text_normalize(sf_dir: str) -> ray.data.Dataset:
@@ -125,14 +131,26 @@ def incremental_dedup(sf_dir: str) -> ray.data.Dataset:
 
     keyed = ds.map_batches(tag_and_combine, batch_format="pandas")
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        if (g["is_new"] == 0).any():
+    def resolve_block(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized anti-join + winner pick (groups = distinct texts =
+        # corpus-sized, so per-group dispatch is ruinous at scale): the
+        # upstream sort(["text_sha"]) co-locates each sha's rows in this
+        # block; drop shas that have any existing-side row, then keep the
+        # min new doc_id per survivor
+        if len(df) == 0:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "text": pd.Series([], dtype=str)})
-        row = g.loc[g["doc_id"].idxmin()]
-        return pd.DataFrame({"doc_id": [int(row["doc_id"])], "text": [row["text"]]})
+        has_old = df.groupby("text_sha", sort=False)["is_new"].transform("min") == 0
+        df = df[~has_old]
+        df = df.sort_values(["text_sha", "doc_id"], kind="mergesort")
+        df = df.drop_duplicates("text_sha", keep="first")
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "text": df["text"]}
+        )
 
-    return grouped_block_map(keyed, ["text_sha"], resolve)
+    return keyed.sort(["text_sha"]).map_batches(
+        resolve_block, batch_format="pandas", batch_size=None
+    )
 
 
 def sql_incremental_dedup() -> str:
