@@ -26,6 +26,7 @@ from action_pdf_accessibility_paddle_docker_ray.pipelines import (  # noqa: E402
     sampling,
     similarity,
     text_ops,
+    web_ops,
 )
 from action_pdf_accessibility_paddle_docker_ray.pipelines.extract import (  # noqa: E402
     extract_pipeline,
@@ -170,10 +171,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 training-data ops
         "doc_chunks": text_ops.doc_chunks,
         "inverted_index": text_ops.inverted_index,
+        # round-4 web-corpus hygiene + weighted sampling (new this round —
+        # inside the recording window; the displaced hash_split/
+        # seeded_shuffle/stratified_sample are unchanged since their green
+        # CORRECTNESS_r03 rows and moved just past the cutoff)
+        "url_dedup": web_ops.url_dedup,
+        "gopher_filter": web_ops.gopher_filter,
+        "priority_sample": sampling.priority_sample,
         # sampling / packing / mixing
-        "hash_split": sampling.hash_split,
-        "seeded_shuffle": sampling.seeded_shuffle,
-        "stratified_sample": sampling.stratified_sample,
         "sequence_pack": sampling.sequence_pack,
         "domain_quota_sample": sampling.domain_quota_sample,
         "corpus_mix": sampling.corpus_mix,
@@ -187,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins (both-sides-large partitioned hash join)
         "orders_lineitem_join": joins.orders_lineitem_join,
         # ---- entries past the driver's 50-entry recording window ----
+        "hash_split": sampling.hash_split,
+        "seeded_shuffle": sampling.seeded_shuffle,
+        "stratified_sample": sampling.stratified_sample,
         "events_asof_order": joins.events_asof_order,
         "events_orders_range_join": joins.events_orders_range_join,
         "quality_filter": relational.quality_filter,
@@ -426,6 +434,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "paragraph_dedup": text_ops.sql_paragraph_dedup(),
         "ngram_decontaminate": text_ops.sql_ngram_decontaminate(),
+        "url_dedup": web_ops.sql_url_dedup(),
+        "gopher_filter": web_ops.sql_gopher_filter(),
+        "priority_sample": sampling.sql_priority_sample(),
         "hash_split": sampling.sql_hash_split(),
         "bpe_token_count": text_ops.sql_bpe_token_count(),
         "tfidf_topk": text_ops.sql_tfidf_topk(),

@@ -208,6 +208,75 @@ def sql_domain_quota_sample() -> str:
     )
 
 
+_PRIO_SEED = 11
+_PRIO_K = 100
+
+
+def priority_sample(sf_dir: str, *, k: int = _PRIO_K, seed: int = _PRIO_SEED) -> ray.data.Dataset:
+    """Weighted sample without replacement via priority sampling
+    (Duffield, Lund & Thorup, JACM 2007): priority q_i = w_i / u_i with
+    w_i = n_chars and u_i uniform in (0, 1]; keep the k largest q.
+
+    Determinism across engines WITHOUT quantization: u = (fmix32(id ^
+    seed) + 1) / 2^32 is exact in float64 (integer + power-of-two
+    divide), and q = w / u is a single IEEE exactly-rounded division —
+    numpy and DuckDB produce bit-identical doubles, so the top-k set and
+    order agree exactly (ties broken by doc_id; fmix32 is a bijection so
+    u never collides for distinct ids).
+
+    Scale: per-batch combiner keeps its local top-k, so at most
+    k × blocks tiny rows reach the single-block finalizer — the same
+    counts-only-driver-traffic shape as ``seeded_shuffle``; no global
+    sort of the corpus.  Output: (doc_id, n_chars, rk)."""
+    ensure_picklable()
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        hv = fmix32_np((ids % _M32) ^ np.uint64(seed)).astype(np.float64)
+        u = (hv + 1.0) / float(_M32)
+        q = df["n_chars"].to_numpy().astype(np.float64) / u
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_chars": df["n_chars"].astype("int64"),
+                "q": q,
+            }
+        )
+        out = out.sort_values(["q", "doc_id"], ascending=[False, True], kind="mergesort")
+        return out.head(k)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"]).map_batches(
+        keyed, batch_format="pandas"
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["q", "doc_id"], ascending=[False, True], kind="mergesort")
+        df = df.head(k)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_chars": df["n_chars"].to_numpy(),
+                "rk": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    # k × blocks rows total — one tiny exchange into a single block
+    return ds.repartition(1).map_batches(final, batch_format="pandas", batch_size=None)
+
+
+def sql_priority_sample() -> str:
+    frag, final = _fmix32_sql(
+        f"xor(doc_id % {_M32}, {_PRIO_SEED})", carry="doc_id, n_chars"
+    )
+    return (
+        f"WITH {frag} "
+        "SELECT doc_id, n_chars, rk FROM (SELECT doc_id, n_chars, "
+        "CAST(row_number() OVER (ORDER BY "
+        "CAST(n_chars AS DOUBLE) / ((CAST(hv AS DOUBLE) + 1) / 4294967296.0) DESC, "
+        f"doc_id) AS BIGINT) AS rk FROM {final}) WHERE rk <= {_PRIO_K}"
+    )
+
+
 _PACK_CAPACITY = 256
 _PACK_BUCKETS = 16
 _PACK_SEQ_MUL = 1_000_000

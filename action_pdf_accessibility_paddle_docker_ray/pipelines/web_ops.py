@@ -1,0 +1,274 @@
+"""Web-corpus hygiene operators: URL canonicalization + dedup and the
+Gopher quality-rule filter.
+
+Real crawl pipelines dedup by *canonical* URL before any content pass —
+the same page is crawled as ``http://WWW.Host:80/x?utm_source=…`` and
+``https://host/x`` — and gate documents with the published Gopher rules
+(Rae et al. 2021, "Scaling Language Models: Methods, Analysis & Insights
+from Training Gopher", §A1.1) before expensive stages.  The ``documents``
+table has no URL column, so ``url_dedup`` synthesises a deterministic
+messy URL per row (five variant shapes exercising every normalization
+rule) — the canonicalization KERNEL is the operator under test and the
+DuckDB oracle replays both the synthesis and the kernel expression by
+expression.
+
+SQL-exactness: outputs are integers and strings only; the one per-row
+Python step (``canonicalize_url``) uses precompiled C regexes, the same
+precedent as the sha1/fingerprint kernels in ``text_ops``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from .. import ensure_picklable
+from ..sources.pages import read_table
+from .text_ops import STOPWORDS
+
+_FRAG_RE = re.compile(r"#.*$")
+_URL_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?]*)([^?]*)(?:\?(.*))?$")
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonical form: lowercase scheme+host, drop the scheme's default
+    port, strip one leading ``www.``, strip trailing slashes, drop the
+    fragment, drop ``utm_*`` params, sort the surviving query params.
+    Non-URL strings pass through unchanged (crawl manifests carry junk)."""
+    url = _FRAG_RE.sub("", url)
+    m = _URL_RE.match(url)
+    if m is None:
+        return url
+    scheme = m.group(1).lower()
+    host = m.group(2).lower()
+    path = m.group(3).rstrip("/")
+    query = m.group(4)
+    default = ":443" if scheme == "https" else (":80" if scheme == "http" else None)
+    if default and host.endswith(default):
+        host = host[: -len(default)]
+    if host.startswith("www."):
+        host = host[4:]
+    out = f"{scheme}://{host}{path}"
+    if query:
+        params = sorted(p for p in query.split("&") if p and not p.startswith("utm_"))
+        if params:
+            out += "?" + "&".join(params)
+    return out
+
+
+def _synth_url(doc_id: int, source: str) -> str:
+    """Deterministic messy URL per row — five shapes keyed by doc_id % 5,
+    path keyed by doc_id % 7 so distinct docs collide post-canonically."""
+    hp = f"{source}.example.com/p/{doc_id % 7}"
+    v = doc_id % 5
+    if v == 0:
+        return f"https://{hp}"
+    if v == 1:
+        return f"HTTPS://{source.upper()}.EXAMPLE.COM/p/{doc_id % 7}/"
+    if v == 2:
+        return f"https://www.{source}.example.com:443/p/{doc_id % 7}"
+    if v == 3:
+        return f"https://{hp}?utm_source=feed&b=2&a=1"
+    return f"https://{hp}?b=2&a=1#frag"
+
+
+_SYNTH_URL_SQL = (
+    "CASE doc_id % 5 "
+    "WHEN 0 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id % 7 AS VARCHAR) "
+    "WHEN 1 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.COM/p/' "
+    "|| CAST(doc_id % 7 AS VARCHAR) || '/' "
+    "WHEN 2 THEN 'https://www.' || source || '.example.com:443/p/' "
+    "|| CAST(doc_id % 7 AS VARCHAR) "
+    "WHEN 3 THEN 'https://' || source || '.example.com/p/' "
+    "|| CAST(doc_id % 7 AS VARCHAR) || '?utm_source=feed&b=2&a=1' "
+    "ELSE 'https://' || source || '.example.com/p/' "
+    "|| CAST(doc_id % 7 AS VARCHAR) || '?b=2&a=1#frag' END"
+)
+
+
+def url_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Canonical-URL dedup: canonicalize, keep the min doc_id per canonical
+    URL, count the collapsed duplicates.
+
+    Scale design: the canonical URL is the shuffle key (uniform post-hash,
+    like a content sha); a per-batch combiner pre-aggregates (url, min_id,
+    count) so the one grouped exchange moves at most one row per distinct
+    URL per block; the in-block fold is a vectorized pandas groupby (no
+    per-group dispatch — groups ≈ distinct URLs ≈ corpus-sized).
+    Output: (url, doc_id, n_dups)."""
+    ensure_picklable()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "url": pd.Series([], dtype="object"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        canon = pd.Series(
+            [
+                canonicalize_url(_synth_url(int(i), s))
+                for i, s in zip(ids, df["source"])
+            ]
+        )
+        part = pd.DataFrame({"url": canon, "doc_id": ids, "n": np.int64(1)})
+        g = part.groupby("url", sort=False).agg(
+            doc_id=("doc_id", "min"), n=("n", "sum")
+        )
+        return g.reset_index()
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "url": pd.Series([], dtype="object"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_dups": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby("url", sort=False).agg(doc_id=("doc_id", "min"), n=("n", "sum"))
+        g = g.reset_index()
+        return pd.DataFrame(
+            {
+                "url": g["url"],
+                "doc_id": g["doc_id"].astype("int64"),
+                "n_dups": g["n"].astype("int64"),
+            }
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    ds = ds.map_batches(partial, batch_format="pandas")
+    # sort by EXACTLY the group key: the colocation invariant (util.py)
+    # puts every url's partials in one block for the vectorized fold
+    return ds.sort(["url"]).map_batches(fold, batch_format="pandas", batch_size=None)
+
+
+def sql_url_dedup() -> str:
+    return (
+        f"WITH raw AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents), "
+        "nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw), "
+        "parts AS (SELECT doc_id, "
+        "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, "
+        "lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS host0, "
+        r"regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1), "
+        "'/+$', '') AS path, "
+        r"CASE WHEN contains(u, '?') THEN regexp_extract(u, '\?(.*)$', 1) "
+        "ELSE NULL END AS query FROM nf), "
+        "hostfix AS (SELECT doc_id, scheme, path, query, "
+        r"regexp_replace(CASE "
+        "WHEN scheme = 'https' AND host0 LIKE '%:443' THEN left(host0, len(host0) - 4) "
+        "WHEN scheme = 'http' AND host0 LIKE '%:80' THEN left(host0, len(host0) - 3) "
+        r"ELSE host0 END, '^www\.', '') AS host FROM parts), "
+        "canon AS (SELECT doc_id, scheme || '://' || host || path || "
+        "CASE WHEN query IS NOT NULL AND len(list_filter(string_split(query, '&'), "
+        "p -> p <> '' AND NOT starts_with(p, 'utm_'))) > 0 "
+        "THEN '?' || array_to_string(list_sort(list_filter(string_split(query, '&'), "
+        "p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') ELSE '' END AS url "
+        "FROM hostfix) "
+        "SELECT url, CAST(MIN(doc_id) AS BIGINT) AS doc_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_dups FROM canon GROUP BY url"
+    )
+
+
+# --- Gopher quality rules -------------------------------------------------
+
+_GOPHER_MIN_WORDS = 30
+_GOPHER_MAX_WORDS = 90
+_GOPHER_MIN_MWL = 3000  # mean word length bounds, milli-chars
+_GOPHER_MAX_MWL = 10000
+_GOPHER_MIN_STOP_KINDS = 2
+_GOPHER_MAX_SYM_MILLI = 100
+_GOPHER_MIN_ALPHA_MILLI = 800
+
+
+def gopher_filter(sf_dir: str) -> ray.data.Dataset:
+    """Gopher quality rules (Rae et al. 2021 §A1.1), integer-exact.
+
+    Per doc: word count bounds, mean word length bounds (milli-chars,
+    integer division), ≥2 distinct stopwords present (the repo's en
+    stopword list standing in for Gopher's 8-word list — this corpus'
+    vocabulary contains only 'the'/'a'/'and' of either), symbol ratio and
+    alphabetic-word ratio (both in integer milli-units).  Stateless,
+    fully vectorized, no exchange.  Output: (doc_id, n_words, mwl_milli,
+    n_stop_kinds, sym_milli, alpha_milli, keep)."""
+    ensure_picklable()
+    stops = STOPWORDS["en"]
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"]
+        n_words = text.str.count(r"\S+").astype("int64")
+        word_chars = (
+            text.str.replace(r"\s", "", regex=True).str.len().astype("int64")
+        )
+        n_stop_kinds = sum(
+            text.str.contains(rf"\b{w}\b", regex=True).astype("int64") for w in stops
+        )
+        n_sym = text.str.count(r"[^A-Za-z0-9\s]").astype("int64")
+        n_chars = text.str.len().astype("int64")
+        n_alpha_words = text.str.count(r"\S*[A-Za-z]\S*").astype("int64")
+        nw = n_words.to_numpy()
+        safe_w = np.maximum(nw, 1)
+        mwl = word_chars.to_numpy() * 1000 // safe_w
+        mwl = np.where(nw > 0, mwl, 0)
+        sym = n_sym.to_numpy() * 1000 // np.maximum(n_chars.to_numpy(), 1)
+        alpha = n_alpha_words.to_numpy() * 1000 // safe_w
+        alpha = np.where(nw > 0, alpha, 0)
+        keep = (
+            (nw >= _GOPHER_MIN_WORDS)
+            & (nw <= _GOPHER_MAX_WORDS)
+            & (mwl >= _GOPHER_MIN_MWL)
+            & (mwl <= _GOPHER_MAX_MWL)
+            & (n_stop_kinds.to_numpy() >= _GOPHER_MIN_STOP_KINDS)
+            & (sym <= _GOPHER_MAX_SYM_MILLI)
+            & (alpha >= _GOPHER_MIN_ALPHA_MILLI)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_words": n_words,
+                "mwl_milli": mwl.astype("int64"),
+                "n_stop_kinds": n_stop_kinds.astype("int64"),
+                "sym_milli": sym.astype("int64"),
+                "alpha_milli": alpha.astype("int64"),
+                "keep": keep.astype("int64"),
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+
+
+def sql_gopher_filter() -> str:
+    stop_sum = " + ".join(
+        rf"CASE WHEN regexp_matches(text, '\b{w}\b') THEN 1 ELSE 0 END"
+        for w in STOPWORDS["en"]
+    )
+    return (
+        "WITH m AS (SELECT doc_id, "
+        r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words, "
+        r"CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS word_chars, "
+        f"CAST({stop_sum} AS BIGINT) AS n_stop_kinds, "
+        r"CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_sym, "
+        "CAST(length(text) AS BIGINT) AS n_chars, "
+        r"CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) "
+        "AS n_alpha_words FROM documents) "
+        "SELECT doc_id, n_words, "
+        "CASE WHEN n_words > 0 THEN word_chars * 1000 // n_words ELSE 0 END AS mwl_milli, "
+        "n_stop_kinds, "
+        "n_sym * 1000 // greatest(n_chars, 1) AS sym_milli, "
+        "CASE WHEN n_words > 0 THEN n_alpha_words * 1000 // n_words ELSE 0 END "
+        "AS alpha_milli, "
+        f"CAST(CASE WHEN n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS} "
+        f"AND word_chars * 1000 // greatest(n_words, 1) BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL} "
+        f"AND n_stop_kinds >= {_GOPHER_MIN_STOP_KINDS} "
+        f"AND n_sym * 1000 // greatest(n_chars, 1) <= {_GOPHER_MAX_SYM_MILLI} "
+        f"AND n_alpha_words * 1000 // greatest(n_words, 1) >= {_GOPHER_MIN_ALPHA_MILLI} "
+        "AND n_words > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM m"
+    )

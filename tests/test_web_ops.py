@@ -1,0 +1,106 @@
+"""Round-4 web-corpus hygiene + weighted-sampling ops vs their DuckDB oracles."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from action_pdf_accessibility_paddle_docker_ray.pipelines import sampling, web_ops
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return con.execute(sql).df()
+
+
+@pytest.mark.parametrize(
+    "raw, want",
+    [
+        # scheme+host lowercase, default port, www, trailing slash, fragment
+        ("HTTPS://WWW.Ex.COM:443/A/b/?x=1#frag", "https://ex.com/A/b?x=1"),
+        ("http://ex.com:80/", "http://ex.com"),
+        # non-default port survives; http keeps :443
+        ("http://ex.com:443/p", "http://ex.com:443/p"),
+        # utm params drop, rest sort, empty params drop
+        ("https://ex.com/p?utm_source=a&b=2&a=1&&utm_x=9", "https://ex.com/p?a=1&b=2"),
+        # all params dropped -> no '?'
+        ("https://ex.com/p?utm_only=1", "https://ex.com/p"),
+        # www only stripped once, only as a prefix
+        ("https://www.www.ex.com/p", "https://www.ex.com/p"),
+        ("https://awww.ex.com/p", "https://awww.ex.com/p"),
+        # non-URL junk passes through
+        ("not a url", "not a url"),
+    ],
+)
+def test_canonicalize_url_rules(raw, want):
+    assert web_ops.canonicalize_url(raw) == want
+
+
+def test_url_dedup_matches_oracle(ray_session):
+    got = (
+        web_ops.url_dedup(SF)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(web_ops.sql_url_dedup()).sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # the synthesis must actually exercise the dedup (collapse > 0)
+    assert got["n_dups"].max() > 1
+    assert got["n_dups"].sum() == 500  # every input row accounted for
+    assert len(got) < 500
+
+
+def test_gopher_filter_matches_oracle(ray_session):
+    got = (
+        web_ops.gopher_filter(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(web_ops.sql_gopher_filter())
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # the rules must bind in both directions at this corpus
+    assert 0 < got["keep"].sum() < len(got)
+
+
+def test_priority_sample_matches_oracle(ray_session):
+    got = (
+        sampling.priority_sample(SF)
+        .to_pandas()
+        .sort_values("rk")
+        .reset_index(drop=True)
+    )
+    want = _oracle(sampling.sql_priority_sample()).sort_values("rk").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert len(got) == sampling._PRIO_K
+    assert list(got["rk"]) == list(range(1, sampling._PRIO_K + 1))
+
+
+def test_priority_sample_weight_monotonicity(ray_session, tmp_path):
+    """A doc with overwhelming weight must be sampled first: the smallest
+    possible u is 2^-32 (hit here — fmix32(11 ^ seed 11) = 0), so the
+    planted weight must exceed 3 * 2^32 ≈ 1.3e10; 10^14 dominates."""
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(200), dtype="int64"),
+            "text": "x",
+            "lang": "en",
+            "source": "src0",
+            "n_chars": pd.Series([3] * 199 + [10**14], dtype="int64"),
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = sampling.priority_sample(str(tmp_path), k=5).to_pandas()
+    assert out.iloc[0]["doc_id"] == 199
+    assert len(out) == 5
