@@ -272,3 +272,189 @@ def sql_gopher_filter() -> str:
         f"AND n_alpha_words * 1000 // greatest(n_words, 1) >= {_GOPHER_MIN_ALPHA_MILLI} "
         "AND n_words > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM m"
     )
+
+
+# --- link-graph construction ----------------------------------------------
+
+# The documents table carries no raw HTML, so the page is synthesised
+# deterministically (same precedent as url_dedup's messy URLs): boilerplate
+# nav with relative links, the document text verbatim inside <article>, and
+# 1 + doc_id % 3 absolute cross-host anchors.  The operator under test is
+# the EXTRACTION + AGGREGATION: vectorized href scan over the HTML string,
+# relative-link resolution against the page's own host, and the combiner-fed
+# (src_host, dst_host) edge aggregate — the link-graph construction step
+# that feeds ``analytics.pagerank`` in a real crawl pipeline.
+_PAGE_HEAD = (
+    '<html><head><title>d</title></head><body>'
+    '<nav><a href="/">home</a> <a href="/about">about</a></nav><article>'
+)
+_PAGE_MID = "</article>"
+_PAGE_TAIL = "<footer>f</footer></body></html>"
+_HREF_RE = re.compile(r'href="([^"]*)"')
+_HOST_RE = re.compile(r"^https?://([^/]+)")
+_N_SOURCES = 20  # documents.source ∈ {src0..src19} (TESTDATA.md)
+
+
+def _synth_links(doc_id: int) -> str:
+    return "".join(
+        f'<p><a href="https://src{(doc_id + 1 + j) % _N_SOURCES}.example.com'
+        f'/d/{doc_id % 97}">l{j}</a></p>'
+        for j in range(1 + doc_id % 3)
+    )
+
+
+def link_graph(sf_dir: str) -> ray.data.Dataset:
+    """Host-level link graph from raw HTML: extract every ``href``, resolve
+    relative links to the page's own host, aggregate (src_host, dst_host)
+    edge counts.
+
+    Scale design: extraction is a single vectorized ``str.extractall`` per
+    batch (no per-row Python on the scan); a per-batch combiner collapses
+    to at most one row per distinct edge per block before the one grouped
+    exchange keyed on the edge (hosts are the natural shuffle key of a
+    crawl — post-hash uniform, hot hosts pre-reduced by the combiner); the
+    in-block fold is one vectorized groupby (colocation invariant,
+    ``util.py``).  Output: (src_host, dst_host, n_links)."""
+    ensure_picklable()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "src_host": pd.Series([], dtype="object"),
+                "dst_host": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        df = df.reset_index(drop=True)
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        links = pd.Series([_synth_links(int(i)) for i in ids])
+        html = _PAGE_HEAD + df["text"].astype(str) + _PAGE_MID + links + _PAGE_TAIL
+        m = html.str.extractall(_HREF_RE)
+        if len(m) == 0:
+            return empty
+        hrefs = m[0]
+        rows = m.index.get_level_values(0).to_numpy()
+        src = (df["source"] + ".example.com").to_numpy(dtype=object)[rows]
+        rel = hrefs.str.startswith("/").to_numpy()
+        host = hrefs.str.extract(_HOST_RE, expand=False).to_numpy(dtype=object)
+        part = pd.DataFrame(
+            {
+                "src_host": src,
+                "dst_host": np.where(rel, src, host),
+                "n": np.int64(1),
+            }
+        )
+        g = part.groupby(["src_host", "dst_host"], sort=False)["n"].sum()
+        return g.reset_index()
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "src_host": pd.Series([], dtype="object"),
+                    "dst_host": pd.Series([], dtype="object"),
+                    "n_links": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby(["src_host", "dst_host"], sort=False)["n"].sum()
+        g = g.reset_index()
+        return pd.DataFrame(
+            {
+                "src_host": g["src_host"],
+                "dst_host": g["dst_host"],
+                "n_links": g["n"].astype("int64"),
+            }
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    ds = ds.map_batches(partial, batch_format="pandas")
+    # sort by EXACTLY the group key (colocation invariant, util.py)
+    return ds.sort(["src_host", "dst_host"]).map_batches(
+        fold, batch_format="pandas", batch_size=None
+    )
+
+
+def sql_link_graph() -> str:
+    link_cases = " || ".join(
+        f"CASE WHEN doc_id % 3 >= {j} THEN "
+        f"'<p><a href=\"https://src' || CAST((doc_id + 1 + {j}) % {_N_SOURCES} AS VARCHAR) "
+        f"|| '.example.com/d/' || CAST(doc_id % 97 AS VARCHAR) || '\">l{j}</a></p>' "
+        "ELSE '' END"
+        for j in range(3)
+    )
+    return (
+        f"WITH l AS (SELECT source, '{_PAGE_HEAD}' || text || '{_PAGE_MID}' || "
+        f"{link_cases} || '{_PAGE_TAIL}' AS html FROM documents), "
+        "h AS (SELECT source, unnest(regexp_extract_all(html, 'href=\"([^\"]*)\"', 1)) "
+        "AS href FROM l), "
+        "e AS (SELECT source || '.example.com' AS src_host, "
+        "CASE WHEN starts_with(href, '/') THEN source || '.example.com' "
+        "ELSE regexp_extract(href, '^https?://([^/]+)', 1) END AS dst_host FROM h) "
+        "SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links "
+        "FROM e GROUP BY src_host, dst_host"
+    )
+
+
+# --- within-document line dedup --------------------------------------------
+
+# The synthetic documents have no repeated lines, so the op would never
+# bind; a deterministic cookie-banner augmentation (same precedent as
+# pii_redact's pii_augment) plants 1 + doc_id % 3 leading copies plus one
+# trailing copy of the banner, guaranteeing ≥1 drop per doc while the
+# oracle replays the augmentation expression by expression.
+_BANNER = "Accept cookies to continue"
+
+
+def _augment_lines(doc_id: int, text: str) -> str:
+    return (_BANNER + "\n") * (1 + doc_id % 3) + text + "\n" + _BANNER
+
+
+def line_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Within-doc line dedup: keep the FIRST occurrence of each line,
+    preserving order — the standard web-text cleanup for boilerplate lines
+    repeated inside one page (cookie banners, nav crumbs).
+
+    Scale design: pure per-row map — no exchange, no state, stable under
+    any parallelism or resume boundary; the per-document dedup is C-speed
+    ``dict.fromkeys`` (the document is the correct unit of work here, same
+    precedent as the flagship's per-doc assembly).  Output: (doc_id, text,
+    n_lines, n_dropped)."""
+    ensure_picklable()
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        texts, n_lines, n_dropped = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            parts = _augment_lines(int(doc_id), text).split("\n")
+            kept = list(dict.fromkeys(parts))
+            texts.append("\n".join(kept))
+            n_lines.append(len(parts))
+            n_dropped.append(len(parts) - len(kept))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "text": texts,
+                "n_lines": pd.array(n_lines, dtype="int64"),
+                "n_dropped": pd.array(n_dropped, dtype="int64"),
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        run, batch_format="pandas"
+    )
+
+
+def sql_line_dedup() -> str:
+    keep = "list_filter(parts, (x, i) -> list_position(parts, x) = i)"
+    aug = (
+        f"repeat('{_BANNER}' || chr(10), 1 + doc_id % 3) || text || "
+        f"chr(10) || '{_BANNER}'"
+    )
+    return (
+        f"WITH p AS (SELECT doc_id, string_split({aug}, chr(10)) AS parts "
+        "FROM documents) "
+        f"SELECT doc_id, array_to_string({keep}, chr(10)) AS text, "
+        "CAST(len(parts) AS BIGINT) AS n_lines, "
+        f"CAST(len(parts) - len({keep}) AS BIGINT) AS n_dropped FROM p"
+    )

@@ -87,6 +87,53 @@ def test_priority_sample_matches_oracle(ray_session):
     assert list(got["rk"]) == list(range(1, sampling._PRIO_K + 1))
 
 
+def test_link_graph_matches_oracle(ray_session):
+    got = (
+        web_ops.link_graph(SF)
+        .to_pandas()
+        .sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(web_ops.sql_link_graph())
+        .sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # every host emits self-edges (relative nav links resolve to own host)
+    assert (got["src_host"] == got["dst_host"]).sum() == web_ops._N_SOURCES
+    # and cross-host edges from the absolute anchors
+    assert (got["src_host"] != got["dst_host"]).sum() > 0
+    # all links accounted for: 2 nav per doc + 1 + doc_id % 3 anchors
+    assert got["n_links"].sum() == 500 * 2 + sum(1 + i % 3 for i in range(500))
+
+
+def test_line_dedup_matches_oracle(ray_session):
+    got = (
+        web_ops.line_dedup(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(web_ops.sql_line_dedup())
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # the planted banner guarantees the dedup binds on every doc
+    assert (got["n_dropped"] >= 1).all()
+    # first occurrence wins: the banner leads every deduped text
+    assert got["text"].str.startswith(web_ops._BANNER).all()
+    # and the trailing duplicate copy is gone
+    assert not got["text"].str.endswith("\n" + web_ops._BANNER).any()
+
+
+def test_line_dedup_order_preserved():
+    # kernel-level: order of first occurrences is stable
+    assert list(dict.fromkeys(["b", "a", "b", "c", "a"])) == ["b", "a", "c"]
+
+
 def test_priority_sample_weight_monotonicity(ray_session, tmp_path):
     """A doc with overwhelming weight must be sampled first: the smallest
     possible u is 2^-32 (hit here — fmix32(11 ^ seed 11) = 0), so the
