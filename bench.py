@@ -80,6 +80,12 @@ BENCH_QUERIES = [
     "inverted_index",
     "corpus_mix",
     "length_bucketize",
+    "url_dedup",
+    "gopher_filter",
+    "priority_sample",
+    "link_graph",
+    "line_dedup",
+    "substring_dedup",
 ]
 
 

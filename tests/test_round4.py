@@ -387,3 +387,93 @@ def test_dup_components_auto_forced_distributed(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True)
     )
+
+
+# --- exact substring dedup (Lee et al. 2022 keep-one semantics) ------------
+
+
+def _subdup_oracle(sf: str) -> pd.DataFrame:
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import text_ops
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    return (
+        con.execute(text_ops.sql_substring_dedup())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_substring_dedup_matches_oracle(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import text_ops
+
+    sf = "/root/testdata/sf0.001"
+    want = _subdup_oracle(sf)
+    got = (
+        text_ops.substring_dedup(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # the planted passages guarantee the dedup binds: every even doc except
+    # the three per-passage keepers loses at least one full window
+    assert (want["n_removed"] > 0).sum() > 100
+
+
+def test_substring_dedup_join_path_equivalent(ray_session):
+    """dup_broadcast_max=0 forces the bucketed-join plan (no driver-side
+    dup map); results must be bit-identical to the broadcast plan."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import text_ops
+
+    sf = "/root/testdata/sf0.001"
+    want = _subdup_oracle(sf)
+    got = (
+        text_ops.substring_dedup(sf, dup_broadcast_max=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_substring_dedup_keeper_semantics(ray_session, tmp_path):
+    """Planted corpus: three even docs share an 8-token sentence; the
+    min-doc_id holder keeps it, the others lose exactly those 8 tokens."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import text_ops
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.Series([2, 4, 6, 3], dtype="int64"),
+            "text": [
+                f"two pre2a pre2b {shared}",
+                f"four pre4a pre4b {shared}",
+                f"six pre6a pre6b {shared}",
+                "short odd doc",  # odd: no augment; <8 tokens: no windows
+            ],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = (
+        text_ops.substring_dedup(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 2 is the keeper of every shared window (the three augmented
+    # passages differ per doc, so only the planted sentence dedups)
+    assert out.loc[2, "n_removed"] == 0
+    assert shared in out.loc[2, "text_deduped"]
+    for d in (4, 6):
+        assert out.loc[d, "n_removed"] == 8
+        assert shared not in out.loc[d, "text_deduped"]
+        # prefix and the (unique) augmented passage survive
+        assert out.loc[d, "text_deduped"].startswith(
+            {4: "four pre4a pre4b", 6: "six pre6a pre6b"}[d]
+        )
+    assert out.loc[3, "n_removed"] == 0
+    assert out.loc[3, "text_deduped"] == "short odd doc"
