@@ -1257,6 +1257,76 @@ def _subdup_windows(toks: list) -> list:
     ]
 
 
+def _subdup_win_partial(df: pd.DataFrame) -> "pa.Table":
+    # returns an ARROW block: Ray's sort-aggregate over pandas blocks
+    # with object-dtype keys measured ~8x slower than over Arrow
+    # (16 s vs 2 s on this very exchange at sf0.001)
+    import pyarrow as pa
+
+    h_all: list = []
+    d_all: list = []
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        hs = set(_subdup_windows(re.findall(_TOKEN_RE, _subdup_augment(int(doc_id), text))))
+        h_all.extend(hs)
+        d_all.extend([int(doc_id)] * len(hs))
+    part = pd.DataFrame({"h": pd.Series(h_all, dtype=object),
+                         "doc_id": pd.Series(d_all, dtype="int64")})
+    g = part.groupby("h", sort=False)["doc_id"].agg(["count", "min"])
+    return pa.table(
+        {"h": pa.array(g.index, type=pa.string()),
+         "part_docs": pa.array(g["count"].to_numpy().astype("int64")),
+         "min_doc": pa.array(g["min"].to_numpy().astype("int64"))}
+    )
+
+
+def subdup_dup_ds(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Phase-1 dup-window table (h, keeper): per-batch combiner + one
+    grouped exchange.  Shared by ``substring_dedup`` and the resumable
+    runner (``state/op_resume.py``)."""
+    from ray.data.aggregate import Min, Sum
+
+    return (
+        docs.map_batches(_subdup_win_partial, batch_format="pandas")
+        .groupby("h")
+        .aggregate(Sum("part_docs", alias_name="n_docs"),
+                   Min("min_doc", alias_name="keeper"))
+        .map_batches(
+            lambda df: df[df["n_docs"] >= 2][["h", "keeper"]],
+            batch_format="pandas",
+        )
+    )
+
+
+def _subdup_rows(ids, texts, n_toks, n_rm) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"doc_id": pd.Series(ids, dtype="int64"),
+         "text_deduped": pd.Series(texts, dtype=object),
+         "n_tokens": pd.Series(n_toks, dtype="int64"),
+         "n_removed": pd.Series(n_rm, dtype="int64")}
+    )
+
+
+def subdup_scrub_df(df: pd.DataFrame, dup: dict) -> pd.DataFrame:
+    """Broadcast-plan removal pass: drop every occurrence of a dup window
+    in every doc except its keeper.  Pure per-doc work."""
+    import numpy as np
+
+    k = _SUBDUP_K
+    ids, texts, n_toks, n_rm = [], [], [], []
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        doc_id = int(doc_id)
+        toks = re.findall(_TOKEN_RE, _subdup_augment(doc_id, text))
+        mask = np.zeros(len(toks), dtype=bool)
+        for i, h in enumerate(_subdup_windows(toks)):
+            if dup.get(h, doc_id) != doc_id:
+                mask[i : i + k] = True
+        ids.append(doc_id)
+        texts.append(" ".join(t for t, m in zip(toks, mask) if not m))
+        n_toks.append(len(toks))
+        n_rm.append(int(mask.sum()))
+    return _subdup_rows(ids, texts, n_toks, n_rm)
+
+
 def substring_dedup(
     sf_dir: str, *, dup_broadcast_max: int | None = None
 ) -> ray.data.Dataset:
@@ -1268,80 +1338,22 @@ def substring_dedup(
     import numpy as np
     import ray
 
-    from ray.data.aggregate import Min, Sum
-
     max_b = _SUBDUP_BROADCAST_MAX if dup_broadcast_max is None else dup_broadcast_max
     k = _SUBDUP_K
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def win_partial(df: pd.DataFrame) -> "pa.Table":
-        # returns an ARROW block: Ray's sort-aggregate over pandas blocks
-        # with object-dtype keys measured ~8x slower than over Arrow
-        # (16 s vs 2 s on this very exchange at sf0.001)
-        import pyarrow as pa
-
-        h_all: list = []
-        d_all: list = []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            hs = set(_subdup_windows(re.findall(_TOKEN_RE, _subdup_augment(int(doc_id), text))))
-            h_all.extend(hs)
-            d_all.extend([int(doc_id)] * len(hs))
-        part = pd.DataFrame({"h": pd.Series(h_all, dtype=object),
-                             "doc_id": pd.Series(d_all, dtype="int64")})
-        g = part.groupby("h", sort=False)["doc_id"].agg(["count", "min"])
-        return pa.table(
-            {"h": pa.array(g.index, type=pa.string()),
-             "part_docs": pa.array(g["count"].to_numpy().astype("int64")),
-             "min_doc": pa.array(g["min"].to_numpy().astype("int64"))}
-        )
-
-    dups = (
-        docs.map_batches(win_partial, batch_format="pandas")
-        .groupby("h")
-        .aggregate(Sum("part_docs", alias_name="n_docs"),
-                   Min("min_doc", alias_name="keeper"))
-        .map_batches(
-            lambda df: df[df["n_docs"] >= 2][["h", "keeper"]],
-            batch_format="pandas",
-        )
-        .materialize()  # consumed twice (count + one of the two plans)
-    )
+    # consumed twice (count + one of the two plans)
+    dups = subdup_dup_ds(docs).materialize()
     n_dup = dups.count()
 
-    def _scrub_one(doc_id: int, text: str, is_dup) -> tuple:
-        """is_dup(h) -> True iff h is a dup window this doc must drop."""
-        toks = re.findall(_TOKEN_RE, _subdup_augment(doc_id, text))
-        mask = np.zeros(len(toks), dtype=bool)
-        for i, h in enumerate(_subdup_windows(toks)):
-            if is_dup(h):
-                mask[i : i + k] = True
-        kept = " ".join(t for t, m in zip(toks, mask) if not m)
-        return kept, len(toks), int(mask.sum())
-
-    def _rows(ids, texts, n_toks, n_rm) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": pd.Series(ids, dtype="int64"),
-             "text_deduped": pd.Series(texts, dtype=object),
-             "n_tokens": pd.Series(n_toks, dtype="int64"),
-             "n_removed": pd.Series(n_rm, dtype="int64")}
-        )
+    _rows = _subdup_rows
 
     if n_dup <= max_b:
         dup_df = dups.to_pandas()  # proven bounded before materializing
         dup_ref = ray.put(dict(zip(dup_df["h"], dup_df["keeper"].astype(int))))
 
         def scrub(df: pd.DataFrame) -> pd.DataFrame:
-            dup = ray.get(dup_ref)
-            ids, texts, n_toks, n_rm = [], [], [], []
-            for doc_id, text in zip(df["doc_id"], df["text"]):
-                doc_id = int(doc_id)
-                t, n, r = _scrub_one(
-                    doc_id, text,
-                    lambda h: dup.get(h, doc_id) != doc_id,
-                )
-                ids.append(doc_id); texts.append(t)
-                n_toks.append(n); n_rm.append(r)
-            return _rows(ids, texts, n_toks, n_rm)
+            return subdup_scrub_df(df, ray.get(dup_ref))
 
         return docs.map_batches(scrub, batch_format="pandas")
 

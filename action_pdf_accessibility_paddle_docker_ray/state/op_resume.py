@@ -286,3 +286,78 @@ def run_paragraph_dedup_resumable(
         "rows_written": total_rows,
         "wall_sec": round(time.time() - t_run, 3),
     }
+
+
+def run_substring_dedup_resumable(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    n_buckets: int = 8,
+    stop_after_buckets: int | None = None,
+) -> dict:
+    """Resumable ``substring_dedup``: checkpoint the corpus-wide
+    dup-window table (h, keeper) — phase A, the one grouped exchange —
+    then scrub + write per doc bucket (phase B, a pure map over that
+    bucket's rows against the broadcast keeper map)."""
+    import ray
+
+    from ..pipelines.text_ops import _SUBDUP_K, subdup_dup_ds, subdup_scrub_df
+    from ..sources.pages import read_table
+
+    params = {"op": "substring_dedup", "n_buckets": n_buckets, "k": _SUBDUP_K}
+    fingerprint = _table_fingerprint(sf_dir, "documents")
+    state_dir = os.path.join(out_dir, "_state")
+    os.makedirs(state_dir, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+
+    dup_path = os.path.join(state_dir, "dup_windows.parquet")
+    state_reused = _state_valid(state_dir, fingerprint, params)
+    if not state_reused:
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        dup_df = subdup_dup_ds(docs).to_pandas()
+        tmp = dup_path + ".tmp"
+        dup_df.to_parquet(tmp, index=False)
+        os.replace(tmp, dup_path)
+        _atomic_write_json(
+            os.path.join(state_dir, "state.json"),
+            {"fingerprint": fingerprint, "params": params},
+        )
+    else:
+        dup_df = pd.read_parquet(dup_path)
+
+    dup_ref = ray.put(dict(zip(dup_df["h"], dup_df["keeper"].astype(int))))
+
+    done = _load_bucket_manifests(out_dir)
+    buckets_run, skipped, total_rows = 0, 0, 0
+    t_run = time.time()
+    for b in range(n_buckets):
+        e = done.get(b)
+        if e and e["fingerprint"] == fingerprint and e["params"] == params:
+            skipped += 1
+            continue
+        if stop_after_buckets is not None and buckets_run >= stop_after_buckets:
+            break
+        t0 = time.time()
+        nb = n_buckets
+        bucket = b
+
+        def scrub_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["doc_id"].astype("int64") % nb == bucket]
+            return subdup_scrub_df(df, ray.get(dup_ref))
+
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            scrub_bucket, batch_format="pandas"
+        )
+        n_rows = _write_bucket(ds, out_dir, b)
+        _commit_bucket(out_dir, b, fingerprint, params, n_rows, time.time() - t0)
+        total_rows += n_rows
+        buckets_run += 1
+
+    return {
+        "buckets_total": n_buckets,
+        "buckets_skipped": skipped,
+        "buckets_run": buckets_run,
+        "state_reused": state_reused,
+        "rows_written": total_rows,
+        "wall_sec": round(time.time() - t_run, 3),
+    }

@@ -477,3 +477,33 @@ def test_substring_dedup_keeper_semantics(ray_session, tmp_path):
         )
     assert out.loc[3, "n_removed"] == 0
     assert out.loc[3, "text_deduped"] == "short odd doc"
+
+
+def test_substring_dedup_resumable_kill_restart(ray_session, tmp_path):
+    """Kill after 2 of 8 buckets, restart: the dup-window state is
+    reused, only the remaining buckets run, and the union equals the
+    direct op bit-for-bit."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.text_ops import (
+        substring_dedup,
+    )
+    from action_pdf_accessibility_paddle_docker_ray.state.op_resume import (
+        run_substring_dedup_resumable,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "sd")
+    r1 = run_substring_dedup_resumable(sf, out, n_buckets=8, stop_after_buckets=2)
+    assert r1["buckets_run"] == 2 and not r1["state_reused"]
+    r2 = run_substring_dedup_resumable(sf, out, n_buckets=8)
+    assert r2["state_reused"] and r2["buckets_skipped"] == 2
+    assert r2["buckets_run"] == 6
+
+    got = _read_buckets(out).sort_values("doc_id").reset_index(drop=True)
+    want = (
+        substring_dedup(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert got["doc_id"].is_unique
+
+    r3 = run_substring_dedup_resumable(sf, out, n_buckets=8)
+    assert r3["buckets_skipped"] == 8 and r3["buckets_run"] == 0
