@@ -116,13 +116,14 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external driver's correctness gate records only
-    # the FIRST 50 entries, so the highest-value op families (flagship
-    # extraction, dedup, similarity, multimodal, text/sampling/analytics)
-    # come first; the tail holds the salted join variants (logically
-    # identical to their unsalted twins, recorded at positions 46-48) and
-    # the plain TPC-H-style relational demos (green in CORRECTNESS_r01-r03
-    # and pinned by pytest).  All entries remain runnable by
-    # tools/check_correctness.py regardless of position.
+    # the FIRST 50 entries, so the window holds (a) every op that is NEW
+    # this round, (b) every op whose physical plan CHANGED this round
+    # (Arrow combiner rewrites: token_histogram, events_window,
+    # events_sliding, distinct_stats), and (c) the flagship/dedup/
+    # similarity/multimodal families; the tail holds ops byte-unchanged
+    # since their green CORRECTNESS_r03 rows (stateless regex text ops,
+    # salted join twins, TPC-H-style demos), all still pytest-pinned and
+    # runnable by tools/check_correctness.py regardless of position.
     return {
         # flagship extraction (rows-only checks; byte-identity is enforced
         # against the single-process oracle by tests/test_pipeline.py)
@@ -156,17 +157,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": text_ops.bpe_token_count,
         "tfidf_topk": text_ops.tfidf_topk,
         "quality_classifier": text_ops.quality_classifier,
-        "text_quality": text_ops.text_quality,
-        "langid": text_ops.langid,
-        "fingerprint": text_ops.fingerprint,
         "unigram_logprob": text_ops.unigram_logprob,
-        "pii_redact": text_ops.pii_redact,
         "paragraph_dedup": text_ops.paragraph_dedup,
-        "ngram_decontaminate": text_ops.ngram_decontaminate,
         "incremental_dedup": text_ops.incremental_dedup,
         "substring_dedup": text_ops.substring_dedup,
         "bloom_screen": web_ops.bloom_screen,
-        "text_normalize": text_ops.text_normalize,
+        # round-4 search ops (new — inside the window)
+        "bm25_search": text_ops.bm25_search,
+        "semantic_dedup": similarity.semantic_dedup,
+        # Arrow-combiner rewrites this round — fresh rows wanted
+        "token_histogram": text_ops.token_histogram,
+        "events_window": relational.events_window,
+        "events_sliding": relational.events_sliding,
+        "distinct_stats": relational.distinct_stats,
         # round-4 training-data ops
         "doc_chunks": text_ops.doc_chunks,
         "inverted_index": text_ops.inverted_index,
@@ -191,15 +194,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": analytics.table_profile,
         "length_bucketize": analytics.length_bucketize,
         # ---- entries past the driver's 50-entry recording window ----
-        # (token_count / token_histogram / orders_lineitem_join /
-        # repetition_stats displaced this round for the new link_graph /
-        # line_dedup / substring_dedup / bloom_screen — all unchanged in
-        # logic since their green CORRECTNESS_r03 rows and still
-        # pytest-pinned)
+        # (everything below is byte-unchanged since its green
+        # CORRECTNESS_r03 row and still pytest-pinned; displaced for the
+        # round-4 additions and the Arrow-combiner rewrites above)
+        "text_quality": text_ops.text_quality,
+        "langid": text_ops.langid,
+        "fingerprint": text_ops.fingerprint,
+        "pii_redact": text_ops.pii_redact,
+        "ngram_decontaminate": text_ops.ngram_decontaminate,
+        "text_normalize": text_ops.text_normalize,
         "orders_lineitem_join": joins.orders_lineitem_join,
         "repetition_stats": text_ops.repetition_stats,
         "token_count": text_ops.token_count,
-        "token_histogram": text_ops.token_histogram,
         "hash_split": sampling.hash_split,
         "seeded_shuffle": sampling.seeded_shuffle,
         "stratified_sample": sampling.stratified_sample,
@@ -218,10 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_stats": relational.part_brand_stats,
         "top_longest": relational.top_longest,
         "lang_stats": relational.lang_stats,
-        "events_window": relational.events_window,
         "events_sessionize": relational.events_sessionize,
-        "events_sliding": relational.events_sliding,
-        "distinct_stats": relational.distinct_stats,
     }
 
 
@@ -249,6 +252,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": sql_oracles.sql_embedding_dedup(dim, threshold=0.3, planes=6),
         "knn_search_lsh": sql_oracles.sql_knn_search_lsh(dim, k=5, n_queries=10, planes=8),
         "kmeans_clusters": sql_oracles.sql_kmeans_clusters(dim, n_clusters=16),
+        "semantic_dedup": sql_oracles.sql_semantic_dedup(dim, n_clusters=16),
+        "bm25_search": text_ops.sql_bm25_search(),
         "knn_search_ivf": sql_oracles.sql_knn_search_ivf(
             dim, k=5, n_queries=10, n_clusters=16, n_probe=4
         ),

@@ -313,3 +313,66 @@ def knn_search_ivf(
         ds.map_batches(partial, batch_format="pandas"), ["query_id"], final
     ).to_pandas()
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (round 4) — semantic dedup per Abbas et al. 2023
+# (arXiv:2303.09540): k-means-cluster the embedding space, then drop
+# within-cluster ε-near-duplicates so only the pruned corpus trains.
+# Deterministic keep rule: a vector survives iff NO lower-id cluster-mate is
+# ε-similar (round(cos·1000) >= threshold_milli — the same milli-rounded
+# cross-engine cosine compare embedding_dedup's oracle proves out).
+#
+# Scale design: the cluster id IS the shuffle key — the k-means state is the
+# IVF coarse quantizer (integer-exact, broadcast via ray.put), assignment is
+# one streaming pass, and the O(m²) similarity work happens only WITHIN a
+# cluster (m ≈ N/k), chunked to _VERIFY_CHUNK×m so a degenerate cluster
+# never allocates m×m in one task.  At 100 TB you raise n_clusters so the
+# per-cluster working set stays block-sized — same knob as IVF.
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    sf_dir: str, *, n_clusters: int = 16, n_iters: int = 5,
+    threshold_milli: int = 350,
+) -> ray.data.Dataset:
+    """Cluster-then-dedup survivors: (vec_id, cluster), one row per vector
+    that is NOT an ε-near-duplicate of a lower-id vector in its cluster."""
+    from .dedup_ops import _VERIFY_CHUNK
+
+    ensure_picklable()
+    sums, counts = _kmeans_state(sf_dir, n_clusters, n_iters)
+    c_ref = ray.put((sums, counts))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        s, n = ray.get(c_ref)
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        a = _ivf_scores(_ivf_quantize(mat), s, n).argmax(axis=1)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].astype("int64").to_numpy(),
+             "cluster": a.astype("int64"), "embedding": list(mat)}
+        )
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="mergesort")
+        ids = g["vec_id"].to_numpy(dtype="int64")
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
+        norms = np.linalg.norm(mat, axis=1)
+        n = len(ids)
+        dup = np.zeros(n, dtype=bool)
+        # chunked: rows s0:e0 (candidate dups) vs ALL rows; peak CHUNK×n
+        for s0 in range(1, n, _VERIFY_CHUNK):
+            e0 = min(s0 + _VERIFY_CHUNK, n)
+            sims = (mat[s0:e0] @ mat.T) / np.outer(norms[s0:e0], norms)
+            cos_milli = np.round(sims * 1000)
+            earlier = np.arange(n)[None, :] < np.arange(s0, e0)[:, None]
+            dup[s0:e0] = ((cos_milli >= threshold_milli) & earlier).any(axis=1)
+        keep = ~dup
+        return pd.DataFrame(
+            {"vec_id": ids[keep],
+             "cluster": g["cluster"].to_numpy(dtype="int64")[keep]}
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+    return grouped_block_map(assigned, ["cluster"], survivors)

@@ -522,3 +522,22 @@ SELECT url, CAST(page_no AS BIGINT) AS page_no, label, SUM(n_spans)::BIGINT AS n
 FROM (SELECT * FROM sdoc_lab UNION ALL SELECT * FROM html_lab)
 GROUP BY url, page_no, label
 """
+
+
+def sql_semantic_dedup(dim: int, n_clusters: int = 16, n_iters: int = 5,
+                       threshold_milli: int = 350) -> str:
+    """SemDeDup replay: the full quantized-k-means trajectory (shared with
+    the IVF/kmeans oracles) assigns every vector a cluster, then a vector
+    survives iff no lower-id cluster-mate has round(cos·1000) >= τ —
+    mirrors similarity.semantic_dedup's keep rule exactly."""
+    prefix, _ = _ivf_cells_prefix(dim, n_clusters, n_iters)
+    return (
+        prefix +
+        "av AS (SELECT q.vec_id, cells.c AS cluster, q.emb "
+        "FROM q JOIN cells ON cells.vec_id = q.vec_id) "
+        "SELECT v.vec_id, CAST(v.cluster AS BIGINT) AS cluster FROM av v "
+        "WHERE NOT EXISTS (SELECT 1 FROM av u "
+        "WHERE u.cluster = v.cluster AND u.vec_id < v.vec_id "
+        "AND CAST(ROUND(list_cosine_similarity(u.emb, v.emb) * 1000) AS BIGINT) "
+        f">= {threshold_milli})"
+    )

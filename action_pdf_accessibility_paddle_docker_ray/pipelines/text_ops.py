@@ -1467,3 +1467,181 @@ def sql_substring_dedup() -> str:
         "CAST(COALESCE(len(rl.rp), 0) AS BIGINT) AS n_removed "
         "FROM tok t LEFT JOIN rl ON t.doc_id = rl.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text search (round 4)
+#
+# Okapi BM25 (Robertson & Spärck Jones; the standard tf·idf ranking the
+# reference's corpus has no counterpart for) over the documents table, for a
+# fixed deterministic query set.  The classic ln-idf is replaced by a fully
+# INTEGER idf/score pipeline (idf_s = (N-df)·10000 // (df+1); per-term score
+# in exact integer arithmetic with k1=1.2, b=0.75 in milli-units) so the
+# DuckDB oracle replays every division bit-for-bit — the same
+# integer-determinism trade documented for quality_classifier and pagerank.
+#
+# Scale design (two passes, both exchange-bounded):
+#   pass 1: corpus stats — per-batch partials of (N, total tokens) plus the
+#     query tokens' per-batch distinct-doc counts; ≤ |query vocab|+1 rows
+#     per batch reach the driver (counts only, never token-shaped state).
+#   pass 2: the tiny {token: idf} map + corpus constants broadcast once
+#     (ray.put); each batch computes its docs' scores vectorized (flatten →
+#     filter to query vocab → bincount) and emits per-query TOP-K PARTIALS —
+#     ≤ k·|queries| rows per batch into one grouped exchange on query_id.
+# ---------------------------------------------------------------------------
+
+_BM25_K = 5
+# query mix: multi-term, high-df ("the" idf=0 at df=N), and an absent token
+_BM25_QUERIES = (
+    ("join", "hash", "row"),
+    ("scan", "filter"),
+    ("merge", "order", "small", "batch"),
+    ("the", "zzz-absent"),
+    ("vector", "window", "group"),
+)
+
+
+def bm25_search(
+    sf_dir: str, *, k: int = _BM25_K, queries: tuple = _BM25_QUERIES
+) -> ray.data.Dataset:
+    """Integer-exact BM25 top-k: (query_id, doc_id, rank, score_micro).
+
+    Docs whose integer score floors to 0 are dropped (matches the SQL
+    ``WHERE score > 0``); rank ties break by doc_id ascending."""
+    ensure_picklable()
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    qvocab = sorted({t for q in queries for t in q})
+    vset = pa.array(qvocab, type=pa.string())
+
+    def stats_partial(t: "pa.Table") -> "pa.Table":
+        toks = pc.split_pattern_regex(t.column("text"), r"\s+")
+        flat = pc.list_flatten(toks)
+        ids = pc.take(t.column("doc_id"), pc.list_parent_indices(toks))
+        mask = pc.not_equal(flat, "")
+        n_tokens = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+        tbl = pa.table({"doc_id": ids.filter(mask), "token": flat.filter(mask)})
+        qt = tbl.filter(pc.is_in(tbl.column("token"), value_set=vset))
+        g = qt.group_by("token").aggregate([("doc_id", "count_distinct")])
+        return pa.table(
+            {
+                "token": pa.concat_arrays(
+                    [g.column("token").combine_chunks(), pa.array([""])]
+                ),
+                # each input row is one whole document, so batch-local
+                # distinct-doc counts sum exactly across batches
+                "df": pa.array(
+                    g.column("doc_id_count_distinct").to_pylist() + [0], pa.int64()
+                ),
+                "n_docs": pa.array([0] * len(g) + [t.num_rows], pa.int64()),
+                "n_tokens": pa.array([0] * len(g) + [n_tokens], pa.int64()),
+            }
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    parts = docs.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_corpus = int(parts["n_docs"].sum())
+    total_len = int(parts["n_tokens"].sum())
+    df_map = parts[parts["token"] != ""].groupby("token")["df"].sum()
+    idf = {
+        t: ((n_corpus - int(df_map.get(t, 0))) * 10000) // (int(df_map.get(t, 0)) + 1)
+        for t in qvocab
+    }
+    q_ref = ray.put((tuple(queries), idf, n_corpus, total_len))
+
+    def score_partial(t: "pa.Table") -> pd.DataFrame:
+        qs, idf_m, n_c, tot = ray.get(q_ref)
+        toks = pc.split_pattern_regex(t.column("text"), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        mask = pc.and_(pc.not_equal(flat, ""), pc.is_in(flat, value_set=vset))
+        nonempty = pc.not_equal(flat, "")
+        n_rows = t.num_rows
+        dl = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(dl, parent.filter(nonempty).to_numpy(zero_copy_only=False), 1)
+        hit_tok = flat.filter(mask).to_numpy(zero_copy_only=False)
+        hit_doc = parent.filter(mask).to_numpy(zero_copy_only=False)
+        tok_idx = {tk: i for i, tk in enumerate(qvocab)}
+        tf = np.zeros((n_rows, len(qvocab)), dtype=np.int64)
+        if len(hit_tok):
+            cols = np.fromiter((tok_idx[tk] for tk in hit_tok), dtype=np.int64)
+            np.add.at(tf, (hit_doc, cols), 1)
+        # integer BM25: rel_milli = dl·N·1000 // L; den in milli-units
+        rel_milli = (dl * n_c * 1000) // tot if tot else np.zeros_like(dl)
+        den_base = 300 + (9 * rel_milli) // 10
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        rows = {"query_id": [], "doc_id": [], "score": []}
+        for qi, q in enumerate(qs):
+            score = np.zeros(n_rows, dtype=np.int64)
+            for tk in q:
+                tfv = tf[:, tok_idx[tk]]
+                num = idf_m[tk] * 2200 * tfv
+                den = 1000 * tfv + den_base
+                score += num // den
+            keep = score > 0
+            if not keep.any():
+                continue
+            s, d = score[keep], doc_ids[keep]
+            take = min(k, len(s))
+            order = np.lexsort((d, -s))[:take]  # partial top-k
+            rows["query_id"].extend([qi] * take)
+            rows["doc_id"].extend(d[order])
+            rows["score"].extend(s[order])
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(rows["query_id"], dtype="int64"),
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "score": pd.Series(rows["score"], dtype="int64"),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        g = g.head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype("int64").to_numpy(),
+                "doc_id": g["doc_id"].astype("int64").to_numpy(),
+                "rank": np.arange(1, len(g) + 1, dtype="int64"),
+                "score": g["score"].astype("int64").to_numpy(),
+            }
+        )
+
+    partials = docs.map_batches(score_partial, batch_format="pyarrow")
+    return grouped_block_map(partials, ["query_id"], final_topk)
+
+
+def sql_bm25_search(k: int = _BM25_K, queries: tuple = _BM25_QUERIES) -> str:
+    qvocab = sorted({t for q in queries for t in q})
+    in_list = ", ".join(f"'{t}'" for t in qvocab)
+    q_values = ", ".join(
+        f"({qi}, '{tk}')" for qi, q in enumerate(queries) for tk in q
+    )
+    return (
+        r"WITH toks AS (SELECT doc_id, tok FROM documents, "
+        r"UNNEST(regexp_extract_all(text, '\S+')) AS u(tok)), "
+        "st AS (SELECT (SELECT COUNT(*) FROM documents) AS n, "
+        "COUNT(*) AS l FROM toks), "
+        "dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id), "
+        f"q(query_id, tok) AS (VALUES {q_values}), "
+        f"df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks "
+        f"WHERE tok IN ({in_list}) GROUP BY tok), "
+        f"tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks "
+        f"WHERE tok IN ({in_list}) GROUP BY doc_id, tok), "
+        "scored AS (SELECT q.query_id, tf.doc_id, SUM("
+        "(((st.n - df.df) * 10000) // (df.df + 1)) * 2200 * tf.tf "
+        "// (1000 * tf.tf + 300 + (9 * ((dl.dl * st.n * 1000) // st.l)) // 10)"
+        ") AS score "
+        "FROM q JOIN df ON df.tok = q.tok JOIN tf ON tf.tok = q.tok "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st "
+        "GROUP BY q.query_id, tf.doc_id), "
+        "r AS (SELECT query_id, doc_id, score, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank "
+        "FROM scored WHERE score > 0) "
+        "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, "
+        "CAST(rank AS BIGINT) AS rank, CAST(score AS BIGINT) AS score "
+        f"FROM r WHERE rank <= {k}"
+    )

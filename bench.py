@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "line_dedup",
     "substring_dedup",
     "bloom_screen",
+    "bm25_search",
+    "semantic_dedup",
 ]
 
 

@@ -1,0 +1,99 @@
+"""Round-4 search ops — integer-exact BM25 and SemDeDup — vs their DuckDB
+oracles at sf0.001."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from action_pdf_accessibility_paddle_docker_ray.pipelines import (
+    similarity,
+    sql_oracles,
+    text_ops,
+)
+from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+    _embedding_dim,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+def test_bm25_search_matches_oracle(ray_session):
+    got = (
+        text_ops.bm25_search(SF)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(text_ops.sql_bm25_search())
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # binds: every query returns ranked rows at sf0.001 (even the
+    # stopword+absent-token query — "the" is not in every doc, so its idf
+    # is positive; the absent token contributes 0 in both engines)
+    assert len(got) > 0
+    assert got["score"].gt(0).all()
+    assert set(got.columns) == {"query_id", "doc_id", "rank", "score"}
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_bm25_rank_is_dense_per_query(ray_session):
+    got = text_ops.bm25_search(SF).to_pandas()
+    for _, g in got.groupby("query_id"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= text_ops._BM25_K
+
+
+def test_semantic_dedup_matches_oracle(ray_session):
+    got = (
+        similarity.semantic_dedup(SF)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    dim = _embedding_dim(SF)
+    want = (
+        _oracle(sql_oracles.sql_semantic_dedup(dim))
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    # binds: at τ=0.35 milli the synthetic embeddings contain within-cluster
+    # near-dups, so survivors must be a strict subset
+    import pyarrow.parquet as pq
+
+    n_all = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert 0 < len(got) < n_all
+
+
+def test_semantic_dedup_keep_rule(ray_session):
+    """Survivor set honors the any-lower-id rule: re-checking every dropped
+    vector finds an earlier cluster-mate at >= τ, and no survivor has one."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    got = similarity.semantic_dedup(SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    norms = np.linalg.norm(mat, axis=1)
+    sums, counts = similarity._kmeans_state(SF, 16, 5)
+    assign = similarity._ivf_scores(
+        similarity._ivf_quantize(mat), sums, counts
+    ).argmax(axis=1)
+    ids = df["vec_id"].to_numpy()
+    survivors = set(got["vec_id"])
+    # same float ops as the op's survivors kernel: dot / outer(norms)
+    cos_milli = np.round((mat @ mat.T) / np.outer(norms, norms) * 1000)
+    for i, vid in enumerate(ids):
+        earlier = (ids < vid) & (assign == assign[i])
+        has_dup = bool((cos_milli[i][earlier] >= 350).any())
+        assert (vid in survivors) == (not has_dup)
