@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 search ops (new — inside the window)
         "bm25_search": text_ops.bm25_search,
         "semantic_dedup": similarity.semantic_dedup,
+        "dsir_sample": text_ops.dsir_sample,
+        "anchor_stats": web_ops.anchor_stats,
         # Arrow-combiner rewrites this round — fresh rows wanted
         "token_histogram": text_ops.token_histogram,
         "events_window": relational.events_window,
@@ -451,6 +453,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": web_ops.sql_gopher_filter(),
         "link_graph": web_ops.sql_link_graph(),
         "line_dedup": web_ops.sql_line_dedup(),
+        "dsir_sample": text_ops.sql_dsir_sample(),
+        "anchor_stats": web_ops.sql_anchor_stats(),
         "priority_sample": sampling.sql_priority_sample(),
         "hash_split": sampling.sql_hash_split(),
         "bpe_token_count": text_ops.sql_bpe_token_count(),

@@ -1645,3 +1645,168 @@ def sql_bm25_search(k: int = _BM25_K, queries: tuple = _BM25_QUERIES) -> str:
         "CAST(rank AS BIGINT) AS rank, CAST(score AS BIGINT) AS score "
         f"FROM r WHERE rank <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169): importance
+# resampling toward a target distribution under hashed bag-of-ngram unigram
+# models.  Sandbox-deterministic variant: the published method's
+# log-likelihood-ratio weights are replaced by the integer ratio
+# w[b] = ((cnt_target[b]+1) * 1e6) // (cnt_raw[b]+1) per hashed token
+# bucket (add-one smoothing; the global normalizers are rank-invariant and
+# dropped), so every division is exact in both numpy and DuckDB and the
+# selected set is bit-reproducible.  Target distribution = the corpus's
+# lang='en' slice; raw = the whole corpus.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096          # hashed feature buckets (fixed — bounds all state)
+_DSIR_SCALE = 1_000_000
+_DSIR_K = 100
+_DSIR_TARGET_LANG = "en"
+
+
+def _dsir_buckets(tokens: "np.ndarray") -> "np.ndarray":
+    """bucket(token) = fmix32(fnv1a32(token)) % B for an array of UNIQUE
+    tokens (callers dedup first — Zipf makes uniques ≪ occurrences)."""
+    import numpy as np
+
+    from .sampling import fmix32_np
+
+    fnv = np.array([fnv1a_32(t) for t in tokens], dtype=np.uint64)
+    return (fmix32_np(fnv) % np.uint64(_DSIR_B)).astype(np.int64)
+
+
+def dsir_sample(sf_dir: str, *, k: int = _DSIR_K) -> ray.data.Dataset:
+    """Select the ``k`` documents whose hashed-unigram distribution is most
+    target-like (lang='en'), per the DSIR recipe: fit bucket counts on
+    target and raw, weight each token occurrence by the smoothed integer
+    count ratio, score a doc by its mean token weight, keep the top-k by
+    (score desc, doc_id).
+
+    Scale design: phase A folds per-batch (bucket, n_target, n_raw)
+    partials — at most ``_DSIR_B`` rows per block — into ONE grouped
+    exchange whose output is bounded by the FIXED bucket count (4096 rows
+    at any corpus size); the weight table therefore always broadcasts.
+    Phase B is embarrassingly parallel scoring with a per-batch top-k
+    combiner, so the final exchange carries ≤ k rows per block into the
+    single-block ranker (the ``priority_sample`` shape).  Nothing
+    token-shaped or corpus-sized ever reaches the driver."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    import pyarrow as pa
+
+    ensure_picklable()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def bucket_partial(df: pd.DataFrame) -> pa.Table:
+        toks = df.reset_index(drop=True)["text"].str.findall(_TOKEN_RE)
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()),
+                 "part_t": pa.array([], pa.int64()),
+                 "part_r": pa.array([], pa.int64())}
+            )
+        uniq, inv = np.unique(ex.to_numpy(dtype=object), return_inverse=True)
+        b = _dsir_buckets(uniq)[inv]
+        is_t = (
+            (df["lang"].to_numpy(dtype=object) == _DSIR_TARGET_LANG)
+            .astype(np.int64)[ex.index.to_numpy()]
+        )
+        n_t = np.bincount(b, weights=is_t, minlength=_DSIR_B).astype(np.int64)
+        n_r = np.bincount(b, minlength=_DSIR_B).astype(np.int64)
+        nz = np.nonzero(n_r)[0]
+        return pa.table(
+            {"bucket": pa.array(nz, pa.int64()),
+             "part_t": pa.array(n_t[nz], pa.int64()),
+             "part_r": pa.array(n_r[nz], pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(bucket_partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("part_t", alias_name="n_t"), Sum("part_r", alias_name="n_r"))
+        .to_pandas()  # ≤ _DSIR_B rows by construction — fixed-size state
+    )
+    weights = np.zeros(_DSIR_B, dtype=np.int64)
+    b_idx = counts["bucket"].to_numpy().astype(np.int64)
+    weights[b_idx] = (
+        (counts["n_t"].to_numpy().astype(np.int64) + 1) * _DSIR_SCALE
+        // (counts["n_r"].to_numpy().astype(np.int64) + 1)
+    )
+    # buckets with no corpus tokens keep the smoothed empty-ratio weight
+    empty = weights == 0
+    weights[empty] = _DSIR_SCALE  # (0+1)*SCALE // (0+1); never hit by data
+
+    def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df["text"].str.findall(_TOKEN_RE)
+        ex = toks.explode().dropna()
+        score = np.zeros(len(df), dtype=np.int64)
+        n = np.zeros(len(df), dtype=np.int64)
+        if len(ex):
+            uniq, inv = np.unique(ex.to_numpy(dtype=object), return_inverse=True)
+            w = weights[_dsir_buckets(uniq)][inv]
+            rows = ex.index.to_numpy()
+            score = np.bincount(rows, weights=w, minlength=len(df)).astype(np.int64)
+            n = np.bincount(rows, minlength=len(df)).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": n,
+                "dsir_score": np.where(n > 0, score // np.maximum(n, 1), 0),
+            }
+        )
+        out = out[out["n_tokens"] > 0]
+        # combiner: local top-k so the final exchange is ≤ k rows per block
+        out = out.sort_values(
+            ["dsir_score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        return out.head(k)
+
+    scored = ds.map_batches(score_batch, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["dsir_score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": df["n_tokens"].to_numpy(),
+                "dsir_score": df["dsir_score"].to_numpy(),
+                "rk": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    return scored.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
+
+
+def sql_dsir_sample() -> str:
+    from .sql_oracles import _fmix32_ctes, sql_fnv1a32
+
+    frag, final = _fmix32_ctes("dx", "df0", ["token"], "hin", "hv")
+    return (
+        r"WITH t AS (SELECT doc_id, lang, unnest(regexp_extract_all(text, "
+        r"'\S+')) AS token FROM documents), "
+        "tok AS (SELECT DISTINCT token FROM t), "
+        f"df0 AS (SELECT token, {sql_fnv1a32('token')} AS hin FROM tok), "
+        f"{frag}, "
+        f"bk AS (SELECT token, hv % {_DSIR_B} AS b FROM {final}), "
+        "tb AS (SELECT t.doc_id, t.lang, bk.b FROM t JOIN bk USING (token)), "
+        "cnt AS (SELECT b, SUM(CASE WHEN lang = "
+        f"'{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS n_t, "
+        "COUNT(*) AS n_r FROM tb GROUP BY b), "
+        f"wt AS (SELECT b, ((n_t + 1) * {_DSIR_SCALE}) // (n_r + 1) AS w "
+        "FROM cnt), "
+        "s AS (SELECT tb.doc_id, SUM(wt.w) AS sw, COUNT(*) AS n FROM tb "
+        "JOIN wt USING (b) GROUP BY tb.doc_id), "
+        "r AS (SELECT doc_id, n AS n_tokens, sw // n AS dsir_score, "
+        "row_number() OVER (ORDER BY sw // n DESC, doc_id) AS rk FROM s) "
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(dsir_score AS BIGINT) AS dsir_score, CAST(rk AS BIGINT) AS rk "
+        f"FROM r WHERE rk <= {_DSIR_K}"
+    )

@@ -666,3 +666,113 @@ def sql_bloom_screen(m_bits: int | None = None) -> str:
         "CAST(CASE WHEN n.url IN (SELECT url FROM seen) THEN 1 ELSE 0 END "
         "AS BIGINT) AS is_seen FROM newscreen n"
     )
+
+
+# --- anchor-text aggregation -------------------------------------------------
+
+_ANCHOR_RE = re.compile(r'<a href="([^"]*)"[^>]*>([^<]*)</a>')
+
+
+def anchor_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per destination host: inbound-link count, distinct linking hosts,
+    and the most common anchor text (the classic anchor-text signal used
+    for page/host quality and retrieval — e.g. Craswell et al. 2001).
+
+    Reuses ``link_graph``'s deterministic page synthesis; extraction is a
+    single vectorized ``extractall`` of (href, anchor) pairs per batch.
+
+    Scale design: the per-batch combiner collapses to one row per distinct
+    (dst_host, src_host, anchor) per block before the one grouped exchange
+    keyed on dst_host; the in-block fold computes all three aggregates.
+    The triple cardinality is bounded by hosts x hosts x distinct-anchors
+    — on a real crawl anchor text is capped/normalized upstream (the
+    Gopher-style cleanups in this module), and a hot dst_host's group is
+    combiner-pre-reduced so its block holds distinct triples, not raw
+    links.  Output: (dst_host, n_inlinks, n_src_hosts, top_anchor)."""
+    from .util import grouped_block_map
+
+    ensure_picklable()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "dst_host": pd.Series([], dtype="object"),
+                "src_host": pd.Series([], dtype="object"),
+                "anchor": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        df = df.reset_index(drop=True)
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        links = pd.Series([_synth_links(int(i)) for i in ids])
+        html = _PAGE_HEAD + df["text"].astype(str) + _PAGE_MID + links + _PAGE_TAIL
+        m = html.str.extractall(_ANCHOR_RE)
+        if len(m) == 0:
+            return empty
+        hrefs, anchors = m[0], m[1]
+        rows = m.index.get_level_values(0).to_numpy()
+        src = (df["source"] + ".example.com").to_numpy(dtype=object)[rows]
+        rel = hrefs.str.startswith("/").to_numpy()
+        host = hrefs.str.extract(_HOST_RE, expand=False).to_numpy(dtype=object)
+        part = pd.DataFrame(
+            {
+                "dst_host": np.where(rel, src, host),
+                "src_host": src,
+                "anchor": anchors.to_numpy(dtype=object),
+                "n": np.int64(1),
+            }
+        )
+        g = part.groupby(["dst_host", "src_host", "anchor"], sort=False)["n"].sum()
+        return g.reset_index()
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    ds = ds.map_batches(partial, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        n_inlinks = int(g["n"].sum())
+        n_src = int(g["src_host"].nunique())
+        by_anchor = g.groupby("anchor", sort=False)["n"].sum().reset_index()
+        by_anchor = by_anchor.sort_values(
+            ["n", "anchor"], ascending=[False, True], kind="mergesort"
+        )
+        return pd.DataFrame(
+            {
+                "dst_host": [g["dst_host"].iloc[0]],
+                "n_inlinks": pd.array([n_inlinks], dtype="int64"),
+                "n_src_hosts": pd.array([n_src], dtype="int64"),
+                "top_anchor": [by_anchor["anchor"].iloc[0]],
+            }
+        )
+
+    return grouped_block_map(ds, ["dst_host"], fold)
+
+
+def sql_anchor_stats() -> str:
+    link_cases = " || ".join(
+        f"CASE WHEN doc_id % 3 >= {j} THEN "
+        f"'<p><a href=\"https://src' || CAST((doc_id + 1 + {j}) % {_N_SOURCES} AS VARCHAR) "
+        f"|| '.example.com/d/' || CAST(doc_id % 97 AS VARCHAR) || '\">l{j}</a></p>' "
+        "ELSE '' END"
+        for j in range(3)
+    )
+    pat = '<a href="([^"]*)"[^>]*>([^<]*)</a>'
+    return (
+        f"WITH l AS (SELECT source, '{_PAGE_HEAD}' || text || '{_PAGE_MID}' || "
+        f"{link_cases} || '{_PAGE_TAIL}' AS html FROM documents), "
+        f"m AS (SELECT source, unnest(regexp_extract_all(html, '{pat}', 1)) "
+        f"AS href, unnest(regexp_extract_all(html, '{pat}', 2)) AS anchor FROM l), "
+        "e AS (SELECT CASE WHEN starts_with(href, '/') THEN source || '.example.com' "
+        "ELSE regexp_extract(href, '^https?://([^/]+)', 1) END AS dst_host, "
+        "source || '.example.com' AS src_host, anchor FROM m), "
+        "agg AS (SELECT dst_host, CAST(COUNT(*) AS BIGINT) AS n_inlinks, "
+        "CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts "
+        "FROM e GROUP BY dst_host), "
+        "ac AS (SELECT dst_host, anchor, COUNT(*) AS cnt FROM e "
+        "GROUP BY dst_host, anchor), "
+        "top AS (SELECT dst_host, anchor AS top_anchor, row_number() OVER ("
+        "PARTITION BY dst_host ORDER BY cnt DESC, anchor) AS rn FROM ac) "
+        "SELECT a.dst_host, a.n_inlinks, a.n_src_hosts, t.top_anchor "
+        "FROM agg a JOIN top t ON a.dst_host = t.dst_host AND t.rn = 1"
+    )

@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "bloom_screen",
     "bm25_search",
     "semantic_dedup",
+    "dsir_sample",
+    "anchor_stats",
 ]
 
 

@@ -97,3 +97,40 @@ def test_semantic_dedup_keep_rule(ray_session):
         earlier = (ids < vid) & (assign == assign[i])
         has_dup = bool((cos_milli[i][earlier] >= 350).any())
         assert (vid in survivors) == (not has_dup)
+
+
+def test_dsir_sample_matches_oracle(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import text_ops
+
+    got = (
+        text_ops.dsir_sample(SF)
+        .to_pandas()
+        .sort_values("rk")
+        .reset_index(drop=True)
+    )
+    want = _oracle(text_ops.sql_dsir_sample()).sort_values("rk").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert len(got) == text_ops._DSIR_K
+    # scores are integer milli-ratios; the top doc should be target-like
+    assert got["dsir_score"].is_monotonic_decreasing or (
+        got["dsir_score"].diff().dropna() <= 0
+    ).all()
+
+
+def test_dsir_weights_favor_target_language(ray_session):
+    """English docs must dominate the selected set — the point of DSIR."""
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import text_ops
+
+    got = text_ops.dsir_sample(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    langs = con.execute(
+        "SELECT doc_id, lang FROM documents"
+    ).df().set_index("doc_id")["lang"]
+    frac_en_sel = (langs.loc[got["doc_id"]] == "en").mean()
+    frac_en_all = (langs == "en").mean()
+    assert frac_en_sel > frac_en_all

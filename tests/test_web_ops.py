@@ -192,3 +192,28 @@ def test_bloom_screen_saturated_bitmap_still_exact(ray_session):
     fp = ((got["maybe_seen"] == 1) & (got["is_seen"] == 0)).sum()
     fn = ((got["maybe_seen"] == 0) & (got["is_seen"] == 1)).sum()
     assert fp > 0 and fn == 0
+
+
+def test_anchor_stats_matches_oracle(ray_session):
+    got = (
+        web_ops.anchor_stats(SF)
+        .to_pandas()
+        .sort_values("dst_host")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(web_ops.sql_anchor_stats())
+        .sort_values("dst_host")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # one row per destination host; every host receives links
+    assert len(got) == web_ops._N_SOURCES
+    # self-links (2 nav anchors per doc) dominate inbound counts, so each
+    # host's n_src_hosts includes itself plus cross-host linkers
+    assert (got["n_src_hosts"] >= 1).all()
+    # anchor totals account for every link: 2 nav + 1 + doc_id % 3 per doc
+    assert got["n_inlinks"].sum() == 500 * 2 + sum(1 + i % 3 for i in range(500))
+    # top anchor is the nav 'home'/'about' tie broken lexicographically
+    # wherever self-links dominate
+    assert set(got["top_anchor"]).issubset({"home", "about", "l0", "l1", "l2"})
