@@ -122,8 +122,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # events_sliding, distinct_stats), and (c) the flagship/dedup/
     # similarity/multimodal families; the tail holds ops byte-unchanged
     # since their green CORRECTNESS_r03 rows (stateless regex text ops,
-    # salted join twins, TPC-H-style demos), all still pytest-pinned and
-    # runnable by tools/check_correctness.py regardless of position.
+    # salted join twins, TPC-H-style demos, and the four unchanged
+    # sampling/analytics ops displaced for warc_extract/bpe_train), all
+    # still pytest-pinned and runnable by tools/check_correctness.py
+    # regardless of position.
     return {
         # flagship extraction (rows-only checks; byte-identity is enforced
         # against the single-process oracle by tests/test_pipeline.py)
@@ -185,20 +187,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": web_ops.line_dedup,
         "priority_sample": sampling.priority_sample,
         # sampling / packing / mixing
-        "sequence_pack": sampling.sequence_pack,
-        "domain_quota_sample": sampling.domain_quota_sample,
         "corpus_mix": sampling.corpus_mix,
         # analytics
         "pagerank": analytics.pagerank,
-        "token_quantiles": analytics.token_quantiles,
-        "label_centroids": analytics.label_centroids,
         "countmin_tokens": analytics.countmin_tokens,
         "table_profile": analytics.table_profile,
         "length_bucketize": analytics.length_bucketize,
+        # round-4 source format + tokenizer training (new — in-window)
+        "warc_extract": web_ops.warc_extract,
+        "bpe_train": text_ops.bpe_train,
         # ---- entries past the driver's 50-entry recording window ----
         # (everything below is byte-unchanged since its green
         # CORRECTNESS_r03 row and still pytest-pinned; displaced for the
         # round-4 additions and the Arrow-combiner rewrites above)
+        "sequence_pack": sampling.sequence_pack,
+        "domain_quota_sample": sampling.domain_quota_sample,
+        "token_quantiles": analytics.token_quantiles,
+        "label_centroids": analytics.label_centroids,
         "text_quality": text_ops.text_quality,
         "langid": text_ops.langid,
         "fingerprint": text_ops.fingerprint,
@@ -268,6 +273,10 @@ def oracle_sql() -> dict[str, str]:
         "extract_span_stats": sql_oracles.sql_extract_span_stats(
             pages_path_for(SF_ORACLE) + "/*.parquet"
         ),
+        "warc_extract": web_ops.sql_warc_extract(
+            pages_path_for(SF_ORACLE) + "/*.parquet"
+        ),
+        "bpe_train": text_ops.sql_bpe_train(),
         "domain_stats": (
             "SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain, "
             "COUNT(*) AS n_pages "

@@ -1810,3 +1810,212 @@ def sql_dsir_sample() -> str:
         "CAST(dsir_score AS BIGINT) AS dsir_score, CAST(rk AS BIGINT) AS rk "
         f"FROM r WHERE rk <= {_DSIR_K}"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (round 4)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def bpe_train(sf_dir: str, n_merges: int = _BPE_MERGES) -> pd.DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909): learn the first ``n_merges`` merge rules over the
+    corpus.  The op every from-scratch pretraining run performs before
+    tokenizing anything.
+
+    Topology — the only corpus-sized pass is phase 1:
+
+    1. word counts: per-batch ``findall('[a-z]+')`` + ``value_counts``
+       combiners (Arrow blocks out) into ONE grouped exchange — after
+       this, every iteration runs over the VOCABULARY table (words ×
+       symbol lists), which is sublinear in corpus bytes (~10^8 distinct
+       words at web scale vs 10^13 tokens) and stays dataset-resident.
+    2. per merge step: adjacent-pair counts via a zero-copy Arrow
+       flatten (values/offsets arithmetic — no per-word Python in the
+       counting pass) + per-batch combiner → grouped (l, r) sum →
+       per-block top-1 partials, so the driver folds ≤ num_blocks
+       candidate rows to elect the winner (count DESC, l ASC, r ASC);
+       the merge application rewrites ONLY the words a vectorized screen
+       proves contain the pair, then the vocabulary re-materializes
+       (vocab-sized, keeps lineage flat across iterations).
+
+    Overlapping pairs count every adjacency ("aaa" → (a,a) twice);
+    application is greedy left-to-right non-overlapping — both standard
+    BPE, both replayed bit-exactly by the chained recursive-CTE oracle
+    (``sql_bpe_train``).  Output: (step, left_sym, right_sym, pair_n),
+    one row per learned merge."""
+    ensure_picklable()
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    def word_partials(df: pd.DataFrame) -> "pa.Table":
+        words = df["text"].str.lower().str.findall(r"[a-z]+").explode().dropna()
+        counts = words.value_counts()
+        return pa.table(
+            {"word": pa.array(counts.index, type=pa.string()),
+             "part_n": pa.array(counts.to_numpy().astype("int64"))}
+        )
+
+    vocab = (
+        read_table(sf_dir, "documents", columns=["text"])
+        .map_batches(word_partials, batch_format="pandas")
+        .groupby("word")
+        .aggregate(Sum("part_n", alias_name="n"))
+    )
+
+    def to_syms(tbl: "pa.Table") -> "pa.Table":
+        words = tbl["word"].to_pylist()
+        return pa.table(
+            {"word": tbl["word"], "n": tbl["n"],
+             "syms": pa.array([list(w) for w in words],
+                              type=pa.list_(pa.string()))}
+        )
+
+    words_ds = vocab.map_batches(to_syms, batch_format="pyarrow").materialize()
+
+    def _flat(tbl: "pa.Table"):
+        """(values, offsets-normalized, weights-per-position) of the syms
+        list column — shared by the pair counter and the merge screen."""
+        col = tbl.column("syms").combine_chunks()
+        offs = col.offsets.to_numpy().astype(np.int64)
+        vals = col.values.slice(offs[0], offs[-1] - offs[0])
+        vals = np.asarray(vals.to_pandas(), dtype=object)
+        offs = offs - offs[0]
+        n = tbl.column("n").to_numpy()
+        return vals, offs, n
+
+    def _adjacent_mask(vals: "np.ndarray", offs: "np.ndarray") -> "np.ndarray":
+        # position i pairs with i+1 unless i+1 starts the next word
+        if len(vals) < 2:
+            return np.zeros(0, dtype=bool)
+        valid = np.ones(len(vals) - 1, dtype=bool)
+        inner = offs[1:-1]  # word boundaries strictly inside the flat array
+        valid[inner[(inner > 0) & (inner < len(vals))] - 1] = False
+        return valid
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+
+        def pair_partials(tbl: "pa.Table") -> "pa.Table":
+            vals, offs, n = _flat(tbl)
+            valid = _adjacent_mask(vals, offs)
+            if not valid.any():
+                return pa.table({"l": pa.array([], pa.string()),
+                                 "r": pa.array([], pa.string()),
+                                 "c": pa.array([], pa.int64())})
+            wt = np.repeat(n, np.diff(offs))[:-1]
+            part = pd.DataFrame(
+                {"l": vals[:-1][valid], "r": vals[1:][valid], "c": wt[valid]}
+            ).groupby(["l", "r"], sort=False)["c"].sum().reset_index()
+            return pa.Table.from_pandas(part, preserve_index=False)
+
+        def block_best(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return df
+            df = df.sort_values(
+                ["c", "l", "r"], ascending=[False, True, True], kind="mergesort"
+            )
+            return df.head(1)
+
+        cand = (
+            words_ds.map_batches(pair_partials, batch_format="pyarrow")
+            .groupby(["l", "r"])
+            .aggregate(Sum("c", alias_name="c"))
+            .map_batches(block_best, batch_format="pandas")
+            .to_pandas()  # ≤ num_blocks rows — the bounded driver fold
+        )
+        if cand.empty:
+            break
+        cand = cand.sort_values(
+            ["c", "l", "r"], ascending=[False, True, True], kind="mergesort"
+        )
+        left, right, count = (
+            str(cand.iloc[0]["l"]), str(cand.iloc[0]["r"]), int(cand.iloc[0]["c"])
+        )
+        merges.append((step, left, right, count))
+
+        def apply_merge(tbl: "pa.Table", L=left, R=right) -> "pa.Table":
+            vals, offs, _ = _flat(tbl)
+            valid = _adjacent_mask(vals, offs)
+            hit_pos = np.zeros(len(vals), dtype=bool)
+            if valid.any():
+                m = valid & (vals[:-1] == L) & (vals[1:] == R)
+                hit_pos[:-1] = m
+            # which words contain >= 1 occurrence (vectorized screen)
+            hit_word = np.add.reduceat(hit_pos, offs[:-1]) > 0 if len(vals) else []
+            syms_out = tbl.column("syms").to_pylist()
+            for j in np.flatnonzero(hit_word):
+                s = syms_out[j]
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == L and s[i + 1] == R:
+                        out.append(L + R)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms_out[j] = out
+            return pa.table(
+                {"word": tbl["word"], "n": tbl["n"],
+                 "syms": pa.array(syms_out, type=pa.list_(pa.string()))}
+            )
+
+        words_ds = words_ds.map_batches(apply_merge, batch_format="pyarrow").materialize()
+
+    return pd.DataFrame(
+        merges, columns=["step", "left_sym", "right_sym", "pair_n"]
+    ).astype({"step": "int64", "pair_n": "int64"})
+
+
+def sql_bpe_train(n_merges: int = _BPE_MERGES) -> str:
+    """Chained recursive-CTE replay of ``bpe_train``: per step, pair
+    counts via a generate_series explode, argmax via ORDER/LIMIT 1, and
+    the greedy left-to-right merge as a position-walk recursive CTE whose
+    rows finish at i = len(syms)+1 (verified identical on overlap cases
+    like 'aaa')."""
+    # every non-recursive CTE is MATERIALIZED: DuckDB otherwise INLINES
+    # CTE references, and the w{t} <- (s{t-1}, b{t-1} x3) <- w{t-1} chain
+    # would copy the base scan ~4^n_merges times (observed as an fd
+    # explosion on the parquet view before any row flowed)
+    ctes = [
+        "tok AS MATERIALIZED (SELECT unnest(regexp_extract_all(lower(text), "
+        "'[a-z]+')) AS word FROM documents)",
+        "wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n "
+        "FROM tok GROUP BY word)",
+        "w0 AS MATERIALIZED (SELECT word, n, split(word, '') AS syms FROM wc)",
+    ]
+    for t in range(n_merges):
+        ctes.append(
+            f"p{t} AS MATERIALIZED (SELECT syms[i] AS l, syms[i+1] AS r, SUM(n) AS c FROM ("
+            f"SELECT n, syms, unnest(generate_series(1, len(syms)-1)) AS i FROM w{t})"
+            " GROUP BY l, r)"
+        )
+        ctes.append(
+            f"b{t} AS MATERIALIZED (SELECT l, r, CAST(c AS BIGINT) AS c FROM p{t} "
+            "ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        hit = (f"i < len(syms) AND syms[i] = (SELECT l FROM b{t}) "
+               f"AND syms[i+1] = (SELECT r FROM b{t})")
+        ctes.append(
+            f"s{t} AS (SELECT word, n, syms, 1 AS i, CAST([] AS VARCHAR[]) AS out "
+            f"FROM w{t} UNION ALL SELECT word, n, syms, "
+            f"i + CASE WHEN {hit} THEN 2 ELSE 1 END, "
+            f"list_append(out, CASE WHEN {hit} THEN (SELECT l || r FROM b{t}) "
+            f"ELSE syms[i] END) FROM s{t} WHERE i <= len(syms))"
+        )
+        ctes.append(
+            f"w{t+1} AS MATERIALIZED (SELECT word, n, out AS syms FROM s{t} "
+            "WHERE i > len(syms))"
+        )
+    unioned = " UNION ALL ".join(
+        f"SELECT {t+1} AS step, l, r, c FROM b{t}" for t in range(n_merges)
+    )
+    return (
+        "WITH RECURSIVE " + ", ".join(ctes)
+        + f" SELECT step, l AS left_sym, r AS right_sym, c AS pair_n FROM ({unioned}) "
+        "ORDER BY step"
+    )

@@ -776,3 +776,36 @@ def sql_anchor_stats() -> str:
         "SELECT a.dst_host, a.n_inlinks, a.n_src_hosts, t.top_anchor "
         "FROM agg a JOIN top t ON a.dst_host = t.dst_host AND t.rn = 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC ingestion (round 4) — the wire format crawls actually arrive in
+# ---------------------------------------------------------------------------
+
+
+def warc_extract(sf_dir: str) -> ray.data.Dataset:
+    """Ingest the corpus from WARC archives — Common Crawl's wire format —
+    and prove the parse against the parquet ground truth.
+
+    The fixture renders the flagship pages corpus to one ``.warc`` per
+    shard (``sources/warc.py``); this op reads the archives with Ray
+    (one read task per archive → the parse is as wide as the corpus has
+    files, zero exchange) and emits per-record (url, warc_date, n_bytes,
+    payload_md5).  The DuckDB oracle computes the same projection from
+    the parquet shards the archives were rendered from, so a hash match
+    proves length-framed parsing recovered every record byte-exactly."""
+    ensure_picklable()
+    from ..sources.warc import read_warc, warc_path_for
+
+    return read_warc(warc_path_for(sf_dir))
+
+
+def sql_warc_extract(pages_glob: str) -> str:
+    # html is valid utf-8 by construction (corpus.py / flagship.py), so
+    # md5(decode(blob)) hashes exactly the payload bytes on disk
+    return (
+        "SELECT url, strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date, "
+        "CAST(octet_length(html) AS BIGINT) AS n_bytes, "
+        "md5(decode(html)) AS payload_md5 "
+        f"FROM read_parquet('{pages_glob}')"
+    )
