@@ -2019,3 +2019,171 @@ def sql_bpe_train(n_merges: int = _BPE_MERGES) -> str:
         + f" SELECT step, l AS left_sym, r AS right_sym, c AS pair_n FROM ({unioned}) "
         "ORDER BY step"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring (round 4) — the CCNet/KenLM-style perplexity signal
+# ---------------------------------------------------------------------------
+
+_BG_BUCKETS = 512  # (w1, w2) co-partition buckets for the scoring join
+
+
+def bigram_logprob(sf_dir: str) -> ray.data.Dataset:
+    """Bigram language-model scoring — fit an add-one-smoothed bigram LM on
+    the corpus, score every document under it (the perplexity-style
+    quality filter of CCNet / Wenzek et al. 2020, with the KenLM model
+    replaced by the corpus's own bigram table, integer micro-log2 units).
+
+    Distributed shape (nothing token-shaped touches the driver):
+
+    1. fit: per-batch bigram partial counts (BOS-prefixed ``[a-z]+``
+       stream) into ONE grouped (w1, w2) exchange → the model table,
+       bigram-vocabulary-sized and dataset-resident.
+    2. continuation vocabulary V: two model-sized exchanges
+       (distinct-w2 groupby + a scalar count) — V is the only value the
+       driver sees.
+    3. conditional logprobs: sort the model by w1 (the
+       ``grouped_block_map`` colocation invariant — every w1's rows in
+       one block), then a VECTORIZED in-block ``transform('sum')`` gives
+       the context count c1 with zero per-group dispatch;
+       lp = round(log2((c12+1)/(c1+V)) * 1e6) as int64.
+    4. score: doc-side (doc_id, w1, w2, cnt) partials union the lp rows
+       under a hashed (w1, w2) bucket; one grouped exchange co-locates
+       them; an in-block vectorized pandas merge + doc-id partial sum,
+       then the final Arrow-combiner groupby(doc_id).
+
+    Scoring the training corpus means every doc bigram exists in the
+    model, so the join always hits (asserted).  Docs with < 2 stream
+    tokens (i.e. zero [a-z] words) emit no bigrams and are excluded —
+    identically in both engines.  Output: (doc_id, logprob_micro,
+    n_bigrams)."""
+    ensure_picklable()
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def _stream(texts: pd.Series) -> "pd.Series":
+        # token stream per doc with a BOS marker ('<s>' cannot collide
+        # with [a-z]+ tokens)
+        return texts.str.lower().str.findall(r"[a-z]+").map(lambda t: ["<s>"] + t)
+
+    def bigram_partials(df: pd.DataFrame) -> "pa.Table":
+        rows_w1, rows_w2 = [], []
+        for toks in _stream(df["text"]):
+            rows_w1.extend(toks[:-1])
+            rows_w2.extend(toks[1:])
+        part = (
+            pd.DataFrame({"w1": rows_w1, "w2": rows_w2})
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+            .reset_index(name="part_c")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    model = (
+        docs.map_batches(bigram_partials, batch_format="pandas")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("part_c", alias_name="c12"))
+        .materialize()  # consumed twice (V count + lp pass)
+    )
+    # V = |{w2}| — continuation vocabulary; model-sized exchanges, scalar out
+    v_size = int(model.groupby("w2").count().count())
+
+    def lp_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"w1": pd.Series([], dtype=object), "w2": pd.Series([], dtype=object),
+                 "lp": pd.Series([], dtype="int64")}
+            )
+        c1 = df.groupby("w1", sort=False)["c12"].transform("sum").to_numpy()
+        lp = np.round(
+            np.log2((df["c12"].to_numpy() + 1.0) / (c1 + v_size)) * 1e6
+        ).astype("int64")
+        return pd.DataFrame({"w1": df["w1"], "w2": df["w2"], "lp": lp})
+
+    lp_ds = model.sort(["w1"]).map_batches(
+        lp_block, batch_format="pandas", batch_size=None
+    )
+
+    def _bucket(w1: pd.Series, w2: pd.Series) -> "np.ndarray":
+        joined = (w1 + "\x1f" + w2).to_numpy(dtype=object)
+        return (pd.util.hash_array(joined) % _BG_BUCKETS).astype("int64")
+
+    def lp_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"bucket": _bucket(df["w1"], df["w2"]), "side": "l",
+             "doc_id": np.int64(-1), "w1": df["w1"], "w2": df["w2"],
+             "cnt": np.int64(0), "lp": df["lp"].astype("int64")}
+        )
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, rows_w1, rows_w2 = [], [], []
+        for doc_id, toks in zip(df["doc_id"], _stream(df["text"])):
+            ids.extend([int(doc_id)] * (len(toks) - 1))
+            rows_w1.extend(toks[:-1])
+            rows_w2.extend(toks[1:])
+        part = (
+            pd.DataFrame({"doc_id": ids, "w1": rows_w1, "w2": rows_w2})
+            .groupby(["doc_id", "w1", "w2"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pd.DataFrame(
+            {"bucket": _bucket(part["w1"], part["w2"]), "side": "d",
+             "doc_id": part["doc_id"].astype("int64"), "w1": part["w1"],
+             "w2": part["w2"], "cnt": part["cnt"].astype("int64"),
+             "lp": np.int64(0)}
+        )
+
+    both = lp_ds.map_batches(lp_rows, batch_format="pandas").union(
+        docs.map_batches(doc_rows, batch_format="pandas")
+    )
+
+    def score_block(df: pd.DataFrame) -> "pa.Table":
+        d = df[df["side"] == "d"]
+        if len(d) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lp_part": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
+        lut = df[df["side"] == "l"]
+        m = d.merge(lut[["w1", "w2", "lp"]], on=["w1", "w2"], how="left",
+                    suffixes=("", "_m"))
+        # training-corpus scoring: every doc bigram is in the model
+        assert not m["lp_m"].isna().any(), "bigram missing from model"
+        part = pd.DataFrame(
+            {"doc_id": m["doc_id"].to_numpy(),
+             "lp_part": (m["lp_m"].to_numpy().astype("int64") * m["cnt"].to_numpy()),
+             "n_part": m["cnt"].to_numpy()}
+        ).groupby("doc_id", sort=False).sum().reset_index()
+        # Arrow block out: the final aggregate has one group per DOC
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = both.sort(["bucket"]).map_batches(
+        score_block, batch_format="pandas", batch_size=None
+    )
+    return (
+        partials.groupby("doc_id")
+        .aggregate(Sum("lp_part", alias_name="logprob_micro"),
+                   Sum("n_part", alias_name="n_bigrams"))
+    )
+
+
+def sql_bigram_logprob() -> str:
+    return (
+        "WITH toks AS MATERIALIZED (SELECT doc_id, "
+        "['<s>'] || regexp_extract_all(lower(text), '[a-z]+') AS ts FROM documents), "
+        "bg AS MATERIALIZED (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM ("
+        "SELECT doc_id, ts, unnest(generate_series(1, len(ts)-1)) AS i FROM toks)), "
+        "c12 AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 "
+        "FROM bg GROUP BY w1, w2), "
+        "c1 AS MATERIALIZED (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 "
+        "FROM c12 GROUP BY w1), "
+        "v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bg), "
+        "lp AS MATERIALIZED (SELECT w1, w2, CAST(ROUND(log2((c12.c12 + 1.0) / "
+        "(c1.c1 + v.v)) * 1000000) AS BIGINT) AS lp "
+        "FROM c12 JOIN c1 USING (w1) CROSS JOIN v) "
+        "SELECT bg.doc_id, CAST(SUM(lp.lp) AS BIGINT) AS logprob_micro, "
+        "CAST(COUNT(*) AS BIGINT) AS n_bigrams "
+        "FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2 GROUP BY bg.doc_id"
+    )

@@ -158,3 +158,46 @@ def test_bpe_train_matches_oracle(ray_session):
         for s in (row["left_sym"], row["right_sym"]):
             assert len(s) == 1 or s in known
         known.add(row["left_sym"] + row["right_sym"])
+
+
+# --- bigram LM -------------------------------------------------------------
+
+
+def test_bigram_logprob_matches_oracle(ray_session):
+    got = (
+        text_ops.bigram_logprob(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(text_ops.sql_bigram_logprob())
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 500  # every sf0.001 doc has >= 1 bigram
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    # logprobs are negative and scale with doc length
+    assert (got["logprob_micro"] < 0).all()
+    assert (got["n_bigrams"] > 0).all()
+
+
+def test_bigram_logprob_handcrafted(ray_session, tmp_path):
+    # two one-word docs: stream = [<s>, a] each -> model {(<s>,a): 2},
+    # c1(<s>) = 2, V = |{a}| = 1 -> lp = round(log2(3/3)*1e6) = 0
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array(["a", "a"], pa.string())}
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = (
+        text_ops.bigram_logprob(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [1, 2]
+    assert list(got["logprob_micro"]) == [0, 0]
+    assert list(got["n_bigrams"]) == [1, 1]
