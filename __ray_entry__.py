@@ -189,18 +189,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling / packing / mixing
         "corpus_mix": sampling.corpus_mix,
         # analytics
-        "countmin_tokens": analytics.countmin_tokens,
         "table_profile": analytics.table_profile,
         "length_bucketize": analytics.length_bucketize,
         # round-4 source format + tokenizer training (new — in-window)
         "warc_extract": web_ops.warc_extract,
         "bpe_train": text_ops.bpe_train,
+        "bpe_encode": text_ops.bpe_encode,
         "bigram_logprob": text_ops.bigram_logprob,
         # ---- entries past the driver's 50-entry recording window ----
         # (everything below is byte-unchanged since its green
         # CORRECTNESS_r03 row and still pytest-pinned; displaced for the
         # round-4 additions and the Arrow-combiner rewrites above)
         "pagerank": analytics.pagerank,
+        "countmin_tokens": analytics.countmin_tokens,
         "sequence_pack": sampling.sequence_pack,
         "domain_quota_sample": sampling.domain_quota_sample,
         "token_quantiles": analytics.token_quantiles,
@@ -278,6 +279,7 @@ def oracle_sql() -> dict[str, str]:
             pages_path_for(SF_ORACLE) + "/*.parquet"
         ),
         "bpe_train": text_ops.sql_bpe_train(),
+        "bpe_encode": text_ops.sql_bpe_encode(),
         "bigram_logprob": text_ops.sql_bigram_logprob(),
         "domain_stats": (
             "SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain, "

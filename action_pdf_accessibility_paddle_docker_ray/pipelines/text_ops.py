@@ -1819,6 +1819,20 @@ def sql_dsir_sample() -> str:
 _BPE_MERGES = 8
 
 
+def _merge_greedy(s: list, left: str, right: str) -> list:
+    """One BPE merge rule applied greedily left-to-right, non-overlapping —
+    shared by training (apply_merge) and encoding so they cannot drift."""
+    out, i = [], 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
 def bpe_train(sf_dir: str, n_merges: int = _BPE_MERGES) -> pd.DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016,
     arXiv:1508.07909): learn the first ``n_merges`` merge rules over the
@@ -1949,16 +1963,7 @@ def bpe_train(sf_dir: str, n_merges: int = _BPE_MERGES) -> pd.DataFrame:
             hit_word = np.add.reduceat(hit_pos, offs[:-1]) > 0 if len(vals) else []
             syms_out = tbl.column("syms").to_pylist()
             for j in np.flatnonzero(hit_word):
-                s = syms_out[j]
-                out, i = [], 0
-                while i < len(s):
-                    if i + 1 < len(s) and s[i] == L and s[i + 1] == R:
-                        out.append(L + R)
-                        i += 2
-                    else:
-                        out.append(s[i])
-                        i += 1
-                syms_out[j] = out
+                syms_out[j] = _merge_greedy(syms_out[j], L, R)
             return pa.table(
                 {"word": tbl["word"], "n": tbl["n"],
                  "syms": pa.array(syms_out, type=pa.list_(pa.string()))}
@@ -1971,16 +1976,14 @@ def bpe_train(sf_dir: str, n_merges: int = _BPE_MERGES) -> pd.DataFrame:
     ).astype({"step": "int64", "pair_n": "int64"})
 
 
-def sql_bpe_train(n_merges: int = _BPE_MERGES) -> str:
-    """Chained recursive-CTE replay of ``bpe_train``: per step, pair
-    counts via a generate_series explode, argmax via ORDER/LIMIT 1, and
-    the greedy left-to-right merge as a position-walk recursive CTE whose
-    rows finish at i = len(syms)+1 (verified identical on overlap cases
-    like 'aaa')."""
-    # every non-recursive CTE is MATERIALIZED: DuckDB otherwise INLINES
-    # CTE references, and the w{t} <- (s{t-1}, b{t-1} x3) <- w{t-1} chain
-    # would copy the base scan ~4^n_merges times (observed as an fd
-    # explosion on the parquet view before any row flowed)
+def _bpe_cte_prefix(n_merges: int) -> tuple[list[str], str]:
+    """The shared CTE chain of the BPE oracles: returns (cte list, name of
+    the final word→syms table w{n_merges}).
+
+    Every non-recursive CTE is MATERIALIZED: DuckDB otherwise INLINES
+    CTE references, and the w{t} <- (s{t-1}, b{t-1} x3) <- w{t-1} chain
+    would copy the base scan ~4^n_merges times (observed as an fd
+    explosion on the parquet view before any row flowed)."""
     ctes = [
         "tok AS MATERIALIZED (SELECT unnest(regexp_extract_all(lower(text), "
         "'[a-z]+')) AS word FROM documents)",
@@ -2011,6 +2014,16 @@ def sql_bpe_train(n_merges: int = _BPE_MERGES) -> str:
             f"w{t+1} AS MATERIALIZED (SELECT word, n, out AS syms FROM s{t} "
             "WHERE i > len(syms))"
         )
+    return ctes, f"w{n_merges}"
+
+
+def sql_bpe_train(n_merges: int = _BPE_MERGES) -> str:
+    """Chained recursive-CTE replay of ``bpe_train``: per step, pair
+    counts via a generate_series explode, argmax via ORDER/LIMIT 1, and
+    the greedy left-to-right merge as a position-walk recursive CTE whose
+    rows finish at i = len(syms)+1 (verified identical on overlap cases
+    like 'aaa')."""
+    ctes, _ = _bpe_cte_prefix(n_merges)
     unioned = " UNION ALL ".join(
         f"SELECT {t+1} AS step, l, r, c FROM b{t}" for t in range(n_merges)
     )
@@ -2186,4 +2199,77 @@ def sql_bigram_logprob() -> str:
         "SELECT bg.doc_id, CAST(SUM(lp.lp) AS BIGINT) AS logprob_micro, "
         "CAST(COUNT(*) AS BIGINT) AS n_bigrams "
         "FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2 GROUP BY bg.doc_id"
+    )
+
+
+class _BpeEncoder:
+    """Actor-pool encoder: holds the broadcast merge table + a distinct-word
+    memo that amortizes across every batch the actor sees (the tokenizer
+    equivalent of a loaded model — the same seam as _HashedLinearScorer)."""
+
+    def __init__(self, merges_ref):
+        import ray
+
+        self.merges = ray.get(merges_ref)
+        self.memo: dict[str, int] = {}
+
+    def _encode_len(self, word: str) -> int:
+        v = self.memo.get(word)
+        if v is None:
+            s = list(word)
+            for left, right in self.merges:
+                s = _merge_greedy(s, left, right)
+            v = self.memo[word] = len(s)
+        return v
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, n_words, n_tokens = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            words = re.findall(r"[a-z]+", text.lower())
+            if not words:
+                continue  # no-word docs are absent in both engines
+            ids.append(int(doc_id))
+            n_words.append(len(words))
+            n_tokens.append(sum(self._encode_len(w) for w in words))
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"),
+             "n_words": pd.Series(n_words, dtype="int64"),
+             "n_bpe_tokens": pd.Series(n_tokens, dtype="int64")}
+        )
+
+
+def bpe_encode(sf_dir: str, n_merges: int = _BPE_MERGES) -> ray.data.Dataset:
+    """Apply the learned BPE tokenizer to the corpus — the train→encode
+    composition every pretraining pipeline runs: ``bpe_train`` learns the
+    merge table (M rows on the driver — the one legitimately driver-sized
+    artifact), ``ray.put`` broadcasts it once, and an actor pool encodes
+    each document, memoizing per distinct word so repeated words cost a
+    dict hit, not a merge scan.  Embarrassingly parallel — zero exchange
+    after training.  Output: (doc_id, n_words, n_bpe_tokens); the oracle
+    reuses the training CTE chain's final word→syms table and joins the
+    exploded doc words against it."""
+    ensure_picklable()
+    import ray
+
+    merges = bpe_train(sf_dir, n_merges)
+    merges_ref = ray.put(
+        [(str(l), str(r)) for l, r in zip(merges["left_sym"], merges["right_sym"])]
+    )
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _BpeEncoder,
+        batch_format="pandas",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"merges_ref": merges_ref},
+    )
+
+
+def sql_bpe_encode(n_merges: int = _BPE_MERGES) -> str:
+    ctes, final_w = _bpe_cte_prefix(n_merges)
+    return (
+        "WITH RECURSIVE " + ", ".join(ctes) + ", "
+        "docw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        "'[a-z]+')) AS word FROM documents) "
+        "SELECT docw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        f"CAST(SUM(len(w.syms)) AS BIGINT) AS n_bpe_tokens "
+        f"FROM docw JOIN {final_w} w USING (word) GROUP BY docw.doc_id"
     )

@@ -201,3 +201,41 @@ def test_bigram_logprob_handcrafted(ray_session, tmp_path):
     assert list(got["doc_id"]) == [1, 2]
     assert list(got["logprob_micro"]) == [0, 0]
     assert list(got["n_bigrams"]) == [1, 1]
+
+
+def test_bpe_encode_matches_oracle(ray_session):
+    got = (
+        text_ops.bpe_encode(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(text_ops.sql_bpe_encode())
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 500
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    # merging can only shrink: len(word) >= encoded len >= 1
+    assert (got["n_bpe_tokens"] >= got["n_words"]).all()
+
+
+def test_bpe_encode_applies_merges_in_order(ray_session, tmp_path):
+    # same corpus as the train unit test: merges are (a,a), (a,b), (aa,ab)
+    # -> "aaab" encodes to [aa, ab] then [aaab]: 1 token; "ab" -> [ab]: 1
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array(["aaab aaab aaab aaab aaab", "ab ab"], pa.string())}
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = (
+        text_ops.bpe_encode(str(tmp_path), n_merges=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_words"]) == [5, 2]
+    assert list(got["n_bpe_tokens"]) == [5, 2]  # every word -> 1 token
