@@ -156,7 +156,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_window_features": audio_window_features,
         # text analysis (SQL-checked)
         "exact_dedup": text_ops.exact_dedup,
-        "bpe_token_count": text_ops.bpe_token_count,
         "tfidf_topk": text_ops.tfidf_topk,
         "quality_classifier": text_ops.quality_classifier,
         "unigram_logprob": text_ops.unigram_logprob,
@@ -182,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # seeded_shuffle/stratified_sample are unchanged since their green
         # CORRECTNESS_r03 rows and moved just past the cutoff)
         "url_dedup": web_ops.url_dedup,
+        "robots_filter": web_ops.robots_filter,
         "gopher_filter": web_ops.gopher_filter,
         "link_graph": web_ops.link_graph,
         "line_dedup": web_ops.line_dedup,
@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 additions and the Arrow-combiner rewrites above)
         "pagerank": analytics.pagerank,
         "countmin_tokens": analytics.countmin_tokens,
+        "bpe_token_count": text_ops.bpe_token_count,
         "sequence_pack": sampling.sequence_pack,
         "domain_quota_sample": sampling.domain_quota_sample,
         "token_quantiles": analytics.token_quantiles,
@@ -463,6 +464,9 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": text_ops.sql_paragraph_dedup(),
         "ngram_decontaminate": text_ops.sql_ngram_decontaminate(),
         "url_dedup": web_ops.sql_url_dedup(),
+        "robots_filter": web_ops.sql_robots_filter(
+            pages_path_for(SF_ORACLE) + "/*.parquet"
+        ),
         "gopher_filter": web_ops.sql_gopher_filter(),
         "link_graph": web_ops.sql_link_graph(),
         "line_dedup": web_ops.sql_line_dedup(),

@@ -809,3 +809,58 @@ def sql_warc_extract(pages_glob: str) -> str:
         "md5(decode(html)) AS payload_md5 "
         f"FROM read_parquet('{pages_glob}')"
     )
+
+
+# ---------------------------------------------------------------------------
+# Robots-exclusion screen (round 4) — crawl compliance before fetch
+# ---------------------------------------------------------------------------
+
+
+def robots_filter(sf_dir: str) -> ray.data.Dataset:
+    """Robots-exclusion compliance screen over the crawl frontier — the
+    filter every polite crawler applies before fetching.
+
+    The per-host rule table is synthesized deterministically (a
+    (host, first-path-segment) pair is disallowed iff
+    fnv1a_32(host + '|' + seg) % 4 == 0 — ~25% of pairs, so the op
+    provably binds), standing in for parsed robots.txt records exactly as
+    the stubbed decoders stand in for codecs: the operator under test is
+    the vectorized url → (host, seg) parse + memoized rule lookup.  Zero
+    exchange; only the url column leaves storage (pruned read).  Output:
+    (url, host, seg, allowed)."""
+    ensure_picklable()
+    from ..functions.fnv import fnv1a_32
+    from .flagship import pages_path_for
+
+    def screen(df: pd.DataFrame) -> pd.DataFrame:
+        host = df["url"].str.extract(r"^[a-z]+://([^/]+)", expand=False).fillna("")
+        seg = df["url"].str.extract(
+            r"^[a-z]+://[^/]+/([^/?#]*)", expand=False
+        ).fillna("")
+        key = host + "|" + seg
+        # rule lookup memoized per distinct (host, seg) — the parsed
+        # robots table a real crawler would hold per actor
+        rules = {k: int(fnv1a_32(k) % 4 != 0) for k in key.unique()}
+        return pd.DataFrame(
+            {"url": df["url"], "host": host, "seg": seg,
+             "allowed": key.map(rules).astype("int64")}
+        )
+
+    path = pages_path_for(sf_dir)
+    return ray.data.read_parquet(path, columns=["url"]).map_batches(
+        screen, batch_format="pandas"
+    )
+
+
+def sql_robots_filter(pages_glob: str) -> str:
+    from .sql_oracles import sql_fnv1a32
+
+    fnv = sql_fnv1a32("host || '|' || seg")
+    return (
+        "WITH u AS (SELECT url, "
+        "regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host, "
+        "regexp_extract(url, '^[a-z]+://[^/]+/([^/?#]*)', 1) AS seg "
+        f"FROM read_parquet('{pages_glob}')) "
+        f"SELECT url, host, seg, CAST(({fnv}) % 4 != 0 AS BIGINT) AS allowed "
+        "FROM u"
+    )

@@ -91,6 +91,10 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "dsir_sample",
     "anchor_stats",
+    "warc_extract",
+    "bpe_train",
+    "bpe_encode",
+    "bigram_logprob",
 ]
 
 

@@ -217,3 +217,34 @@ def test_anchor_stats_matches_oracle(ray_session):
     # top anchor is the nav 'home'/'about' tie broken lexicographically
     # wherever self-links dominate
     assert set(got["top_anchor"]).issubset({"home", "about", "l0", "l1", "l2"})
+
+
+# --- robots_filter -----------------------------------------------------------
+
+
+def test_robots_filter_matches_oracle(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.flagship import (
+        pages_path_for,
+    )
+
+    got = (
+        web_ops.robots_filter(SF)
+        .to_pandas()
+        .sort_values(["url", "allowed"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = (
+        con.execute(web_ops.sql_robots_filter(pages_path_for(SF) + "/*.parquet"))
+        .df()
+        .sort_values(["url", "allowed"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    # the synthesized rule table binds: both outcomes occur
+    assert got["allowed"].nunique() == 2
+    # every (host, seg) pair is decided consistently across its urls
+    per_pair = got.groupby(["host", "seg"])["allowed"].nunique()
+    assert (per_pair == 1).all()
