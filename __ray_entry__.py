@@ -158,7 +158,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": text_ops.exact_dedup,
         "tfidf_topk": text_ops.tfidf_topk,
         "quality_classifier": text_ops.quality_classifier,
-        "unigram_logprob": text_ops.unigram_logprob,
         "paragraph_dedup": text_ops.paragraph_dedup,
         "incremental_dedup": text_ops.incremental_dedup,
         "substring_dedup": text_ops.substring_dedup,
@@ -193,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_bucketize": analytics.length_bucketize,
         # round-4 source format + tokenizer training (new — in-window)
         "warc_extract": web_ops.warc_extract,
+        "warc_index": web_ops.warc_index,
         "bpe_train": text_ops.bpe_train,
         "bpe_encode": text_ops.bpe_encode,
         "bigram_logprob": text_ops.bigram_logprob,
@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": analytics.pagerank,
         "countmin_tokens": analytics.countmin_tokens,
         "bpe_token_count": text_ops.bpe_token_count,
+        "unigram_logprob": text_ops.unigram_logprob,
         "sequence_pack": sampling.sequence_pack,
         "domain_quota_sample": sampling.domain_quota_sample,
         "token_quantiles": analytics.token_quantiles,
@@ -277,6 +278,9 @@ def oracle_sql() -> dict[str, str]:
             pages_path_for(SF_ORACLE) + "/*.parquet"
         ),
         "warc_extract": web_ops.sql_warc_extract(
+            pages_path_for(SF_ORACLE) + "/*.parquet"
+        ),
+        "warc_index": web_ops.sql_warc_index(
             pages_path_for(SF_ORACLE) + "/*.parquet"
         ),
         "bpe_train": text_ops.sql_bpe_train(),

@@ -864,3 +864,38 @@ def sql_robots_filter(pages_glob: str) -> str:
         f"SELECT url, host, seg, CAST(({fnv}) % 4 != 0 AS BIGINT) AS allowed "
         "FROM u"
     )
+
+
+def warc_index(sf_dir: str) -> ray.data.Dataset:
+    """CDX-style random-access index over the WARC corpus: one row per
+    record with (url, warc_file, offset, rec_bytes, n_bytes), so any url
+    is served by a single ranged read — Common Crawl's cluster.idx/CDXJ
+    access pattern.  Zero exchange (offsets fall out of the
+    Content-Length walk each read task already does).  The oracle proves
+    the offsets WITHOUT parsing: record size is a closed form of the url
+    and payload lengths (107 fixed header bytes + len(url) +
+    len(str(n_bytes)) + n_bytes), so a windowed cumulative sum over the
+    parquet shards in file row order must reproduce every byte offset
+    the parser measured."""
+    ensure_picklable()
+    from ..sources.warc import read_warc_index, warc_path_for
+
+    return read_warc_index(warc_path_for(sf_dir))
+
+
+def sql_warc_index(pages_glob: str) -> str:
+    return (
+        "WITH r AS (SELECT url, CAST(octet_length(html) AS BIGINT) AS n, "
+        "filename, file_row_number FROM read_parquet("
+        f"'{pages_glob}', filename=true, file_row_number=true)), "
+        "s AS (SELECT url, n, "
+        r"regexp_replace(regexp_extract(filename, '([^/]+)$', 1), "
+        r"'\.parquet$', '.warc') AS warc_file, "
+        "107 + length(url) + length(CAST(n AS VARCHAR)) + n AS rec_bytes, "
+        "file_row_number AS frn FROM r) "
+        "SELECT url, warc_file, "
+        "CAST(SUM(rec_bytes) OVER (PARTITION BY warc_file ORDER BY frn "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - rec_bytes "
+        "AS BIGINT) AS \"offset\", "
+        "CAST(rec_bytes AS BIGINT) AS rec_bytes, n AS n_bytes FROM s"
+    )

@@ -98,12 +98,15 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
             headers[k.decode("ascii")] = v.decode("utf-8")
         length = int(headers["Content-Length"])
         payload = data[head_end + 4 : head_end + 4 + length]
+        end = head_end + 4 + length + 4  # payload + record-ending CRLFCRLF
         yield {
             "url": headers["WARC-Target-URI"],
             "warc_date": headers["WARC-Date"],
             "payload": payload,
+            "offset": pos,  # byte position of the record in the archive
+            "rec_bytes": end - pos,
         }
-        pos = head_end + 4 + length + 4  # payload + record-ending CRLFCRLF
+        pos = end
 
 
 def read_warc(path: str):
@@ -134,3 +137,36 @@ def read_warc(path: str):
 
     ds = ray.data.read_binary_files(path, file_extensions=["warc"])
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def read_warc_index(path: str):
+    """Build the CDX-style random-access index of a WARC corpus: one row
+    per record with (url, warc_file, offset, rec_bytes, n_bytes).  A
+    fetcher can then serve any url with a single ranged read — the
+    standard Common-Crawl access pattern (their cluster.idx/CDXJ files).
+    Same zero-exchange topology as ``read_warc``; the parser already
+    walks Content-Length frames, so offsets are free."""
+    import ray.data
+
+    def index(batch: pa.Table) -> pa.Table:
+        urls, files, offs, recs, sizes = [], [], [], [], []
+        for blob, p in zip(batch["bytes"].to_pylist(), batch["path"].to_pylist()):
+            base = os.path.basename(p)
+            for rec in parse_warc_bytes(blob):
+                urls.append(rec["url"])
+                files.append(base)
+                offs.append(rec["offset"])
+                recs.append(rec["rec_bytes"])
+                sizes.append(len(rec["payload"]))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_file": pa.array(files, pa.string()),
+                "offset": pa.array(offs, pa.int64()),
+                "rec_bytes": pa.array(recs, pa.int64()),
+                "n_bytes": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_binary_files(path, file_extensions=["warc"], include_paths=True)
+    return ds.map_batches(index, batch_format="pyarrow")

@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "dsir_sample",
     "anchor_stats",
     "warc_extract",
+    "warc_index",
+    "robots_filter",
     "bpe_train",
     "bpe_encode",
     "bigram_logprob",

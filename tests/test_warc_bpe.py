@@ -19,6 +19,7 @@ from action_pdf_accessibility_paddle_docker_ray.pipelines.flagship import (
 from action_pdf_accessibility_paddle_docker_ray.sources.warc import (
     parse_warc_bytes,
     read_warc,
+    read_warc_index,
     warc_path_for,
     write_warc,
 )
@@ -239,3 +240,41 @@ def test_bpe_encode_applies_merges_in_order(ray_session, tmp_path):
     )
     assert list(got["n_words"]) == [5, 2]
     assert list(got["n_bpe_tokens"]) == [5, 2]  # every word -> 1 token
+
+
+def test_warc_index_ranged_reads_recover_records(ray_session):
+    # the point of a CDX index: a single ranged read at (offset,
+    # rec_bytes) must yield exactly one parseable record for the url
+    import os
+
+    idx = read_warc_index(warc_path_for(SF)).to_pandas()
+    assert len(idx) > 0
+    sample = idx.sort_values(["warc_file", "offset"]).groupby("warc_file").tail(1)
+    root = warc_path_for(SF)
+    for _, row in sample.iterrows():
+        with open(os.path.join(root, row["warc_file"]), "rb") as f:
+            f.seek(int(row["offset"]))
+            blob = f.read(int(row["rec_bytes"]))
+        recs = list(parse_warc_bytes(blob))
+        assert len(recs) == 1
+        assert recs[0]["url"] == row["url"]
+        assert len(recs[0]["payload"]) == row["n_bytes"]
+
+
+def test_warc_index_matches_closed_form_oracle(ray_session):
+    import duckdb
+
+    got = (
+        web_ops.warc_index(SF)
+        .to_pandas()
+        .sort_values(["warc_file", "offset"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = (
+        con.execute(web_ops.sql_warc_index(pages_path_for(SF) + "/*.parquet"))
+        .df()
+        .sort_values(["warc_file", "offset"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
