@@ -2039,9 +2039,12 @@ def sql_bpe_train(n_merges: int = _BPE_MERGES) -> str:
 # ---------------------------------------------------------------------------
 
 _BG_BUCKETS = 512  # (w1, w2) co-partition buckets for the scoring join
+_BG_BROADCAST_MAX = 1_000_000  # bigram-model rows provably safe to broadcast
 
 
-def bigram_logprob(sf_dir: str) -> ray.data.Dataset:
+def bigram_logprob(
+    sf_dir: str, *, model_broadcast_max: int | None = None
+) -> ray.data.Dataset:
     """Bigram language-model scoring — fit an add-one-smoothed bigram LM on
     the corpus, score every document under it (the perplexity-style
     quality filter of CCNet / Wenzek et al. 2020, with the KenLM model
@@ -2060,10 +2063,16 @@ def bigram_logprob(sf_dir: str) -> ray.data.Dataset:
        one block), then a VECTORIZED in-block ``transform('sum')`` gives
        the context count c1 with zero per-group dispatch;
        lp = round(log2((c12+1)/(c1+V)) * 1e6) as int64.
-    4. score: doc-side (doc_id, w1, w2, cnt) partials union the lp rows
-       under a hashed (w1, w2) bucket; one grouped exchange co-locates
-       them; an in-block vectorized pandas merge + doc-id partial sum,
-       then the final Arrow-combiner groupby(doc_id).
+    4. score.  Auto-switch on a distributed model-row count (the
+       ``unigram_logprob`` pattern): a model proven ≤
+       ``model_broadcast_max`` rows broadcasts its {(w1,w2): lp} dict
+       once via ``ray.put`` and every batch scores in place — zero
+       further exchanges; a larger model takes the open-web path —
+       doc-side (doc_id, w1, w2, cnt) partials union the lp rows under
+       a hashed (w1, w2) bucket, one grouped exchange co-locates them,
+       an in-block vectorized pandas merge + doc-id partial sum, then
+       the final Arrow-combiner groupby(doc_id).  Both paths are
+       bit-identical (equivalence-tested).
 
     Scoring the training corpus means every doc bigram exists in the
     model, so the join always hits (asserted).  Docs with < 2 stream
@@ -2118,6 +2127,30 @@ def bigram_logprob(sf_dir: str) -> ray.data.Dataset:
     lp_ds = model.sort(["w1"]).map_batches(
         lp_block, batch_format="pandas", batch_size=None
     )
+
+    max_b = _BG_BROADCAST_MAX if model_broadcast_max is None else model_broadcast_max
+    if model.count() <= max_b:  # distributed count proves the bound FIRST
+        import ray
+
+        lp_df = lp_ds.to_pandas()
+        lp_ref = ray.put(dict(zip(zip(lp_df["w1"], lp_df["w2"]), lp_df["lp"])))
+
+        def score_direct(df: pd.DataFrame) -> pd.DataFrame:
+            lp = ray.get(lp_ref)
+            ids, lps, ns = [], [], []
+            for doc_id, toks in zip(df["doc_id"], _stream(df["text"])):
+                if len(toks) < 2:
+                    continue
+                ids.append(int(doc_id))
+                lps.append(sum(lp[(a, b)] for a, b in zip(toks[:-1], toks[1:])))
+                ns.append(len(toks) - 1)
+            return pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "logprob_micro": pd.Series(lps, dtype="int64"),
+                 "n_bigrams": pd.Series(ns, dtype="int64")}
+            )
+
+        return docs.map_batches(score_direct, batch_format="pandas")
 
     def _bucket(w1: pd.Series, w2: pd.Series) -> "np.ndarray":
         joined = (w1 + "\x1f" + w2).to_numpy(dtype=object)

@@ -278,3 +278,20 @@ def test_warc_index_matches_closed_form_oracle(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_bigram_logprob_both_paths_identical(ray_session):
+    # force the bucketed-join path and compare to the broadcast default
+    a = (
+        text_ops.bigram_logprob(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        text_ops.bigram_logprob(SF, model_broadcast_max=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
