@@ -136,8 +136,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_span_stats": _extract_span_stats,
         # web-corpus composition over the derived pages corpus
         "domain_stats": domain_stats,
-        # HTML-arm round-trip with a SQL oracle (byte-exact text recovery)
-        "html_extract": text_ops.html_extract,
         # dedup family (SQL oracles recompute the LSH/verify in DuckDB)
         "minhash_dedup": dedup_ops.minhash_dedup,
         "dedup_corpus": dedup_ops.dedup_corpus,
@@ -150,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_search_lsh": similarity.knn_search_lsh,
         "knn_search_ivf": similarity.knn_search_ivf,
         "kmeans_clusters": similarity.kmeans_clusters,
+        "embedding_quantize": similarity.embedding_quantize,
         # multimodal stub stage (actor pool over binary payloads)
         "image_features": image_features,
         "video_frame_sample": video_frame_sample,
@@ -204,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_tokens": analytics.countmin_tokens,
         "bpe_token_count": text_ops.bpe_token_count,
         "unigram_logprob": text_ops.unigram_logprob,
+        # HTML-arm round-trip with a SQL oracle (byte-exact text recovery)
+        "html_extract": text_ops.html_extract,
         "sequence_pack": sampling.sequence_pack,
         "domain_quota_sample": sampling.domain_quota_sample,
         "token_quantiles": analytics.token_quantiles,
@@ -263,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": sql_oracles.sql_embedding_dedup(dim, threshold=0.3, planes=6),
         "knn_search_lsh": sql_oracles.sql_knn_search_lsh(dim, k=5, n_queries=10, planes=8),
         "kmeans_clusters": sql_oracles.sql_kmeans_clusters(dim, n_clusters=16),
+        "embedding_quantize": similarity.sql_embedding_quantize(),
         "semantic_dedup": sql_oracles.sql_semantic_dedup(dim, n_clusters=16),
         "bm25_search": text_ops.sql_bm25_search(),
         "knn_search_ivf": sql_oracles.sql_knn_search_ivf(

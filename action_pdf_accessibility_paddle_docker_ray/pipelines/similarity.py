@@ -376,3 +376,71 @@ def semantic_dedup(
 
     assigned = ds.map_batches(assign, batch_format="pandas")
     return grouped_block_map(assigned, ["cluster"], survivors)
+
+
+def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
+    """Int8 scalar quantization of the embedding table — the compression
+    pass every large-scale vector index runs before storage (e.g. the
+    SQ8 codec of IVF-SQ indexes): per-dimension [min, max] fitted over
+    the corpus, each value mapped to floor((v - mn) * 255 / (mx - mn)).
+
+    Topology: per-batch per-dimension min/max partials (dim rows per
+    batch) into one tiny grouped exchange; the fitted (mn, mx) vectors —
+    dim-sized, provably driver-safe — broadcast once via ``ray.put``;
+    coding is embarrassingly parallel numpy.  All arithmetic is float64
+    with the same op order as the SQL replay, so codes match
+    bit-for-bit.  Output: a per-vector code fingerprint
+    (vec_id, code_sum, code_sqsum, dim) — the full code column is what a
+    sink would write; the fingerprint is what the oracle can hash."""
+    ensure_picklable()
+    from ray.data.aggregate import Max, Min
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def stat_partials(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        return pd.DataFrame(
+            {"d": np.arange(1, mat.shape[1] + 1, dtype=np.int64),
+             "part_mn": mat.min(axis=0), "part_mx": mat.max(axis=0)}
+        )
+
+    stats = (
+        ds.map_batches(stat_partials, batch_format="pandas")
+        .groupby("d")
+        .aggregate(Min("part_mn", alias_name="mn"), Max("part_mx", alias_name="mx"))
+        .to_pandas()  # dim rows — provably driver-safe
+        .sort_values("d")
+    )
+    mn = stats["mn"].to_numpy()
+    mx = stats["mx"].to_numpy()
+    span_ref = ray.put((mn, mx))
+
+    def code(df: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = ray.get(span_ref)
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        width = hi - lo
+        safe = np.where(width > 0, width, 1.0)
+        codes = np.floor((mat - lo) * 255.0 / safe)
+        codes = np.where(width > 0, codes, 0.0).astype(np.int64)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].astype("int64"),
+             "code_sum": codes.sum(axis=1),
+             "code_sqsum": (codes * codes).sum(axis=1),
+             "dim": np.int64(mat.shape[1])}
+        )
+
+    return ds.map_batches(code, batch_format="pandas")
+
+
+def sql_embedding_quantize() -> str:
+    return (
+        "WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v, "
+        "unnest(generate_series(1, len(embedding))) AS d FROM embeddings), "
+        "s AS (SELECT d, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY d), "
+        "c AS (SELECT vec_id, CASE WHEN s.mx > s.mn THEN "
+        "CAST(floor((x.v - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT) "
+        "ELSE 0 END AS code FROM x JOIN s USING (d)) "
+        "SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum, "
+        "CAST(SUM(code * code) AS BIGINT) AS code_sqsum, "
+        "CAST(COUNT(*) AS BIGINT) AS dim FROM c GROUP BY vec_id"
+    )

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "anchor_stats",
     "warc_extract",
     "warc_index",
+    "embedding_quantize",
     "robots_filter",
     "bpe_train",
     "bpe_encode",

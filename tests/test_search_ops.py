@@ -134,3 +134,44 @@ def test_dsir_weights_favor_target_language(ray_session):
     frac_en_sel = (langs.loc[got["doc_id"]] == "en").mean()
     frac_en_all = (langs == "en").mean()
     assert frac_en_sel > frac_en_all
+
+
+def test_embedding_quantize_matches_oracle(ray_session):
+    got = (
+        similarity.embedding_quantize(SF)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(similarity.sql_embedding_quantize())
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 500
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    # int8 range respected: max possible sqsum is dim * 255^2
+    dim = int(got["dim"].iloc[0])
+    assert (got["code_sqsum"] <= dim * 255 * 255).all()
+    assert (got["code_sum"] >= 0).all()
+
+
+def test_embedding_quantize_constant_dim_is_zero(ray_session, tmp_path):
+    # a constant dimension has mx == mn -> all codes 0, never a div-by-zero
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {"vec_id": pa.array([1, 2], pa.int64()),
+         "embedding": pa.array([[1.0, 5.0], [1.0, 7.0]],
+                               type=pa.list_(pa.float32()))}
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = (
+        similarity.embedding_quantize(str(tmp_path))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # dim 1 constant -> code 0; dim 2 spans [5,7] -> codes 0 and 255
+    assert list(got["code_sum"]) == [0, 255]
