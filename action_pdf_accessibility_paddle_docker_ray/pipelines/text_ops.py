@@ -2084,18 +2084,33 @@ def bigram_logprob(
     import pyarrow as pa
     from ray.data.aggregate import Sum
 
-    def _stream(texts: pd.Series) -> "pd.Series":
-        # token stream per doc with a BOS marker ('<s>' cannot collide
-        # with [a-z]+ tokens)
-        return texts.str.lower().str.findall(r"[a-z]+").map(lambda t: ["<s>"] + t)
+    def _doc_bigrams(df: pd.DataFrame):
+        """Fully vectorized batch → (doc_id, w1, w2) bigram arrays with the
+        BOS marker ('<s>' cannot collide with [a-z]+ tokens): one explode,
+        shifted same-row compare for interior pairs, first-token mask for
+        the BOS pairs — no per-doc Python loop on this corpus-sized path."""
+        df = df.reset_index(drop=True)
+        ex = df["text"].str.lower().str.findall(r"[a-z]+").explode().dropna()
+        pos = ex.index.to_numpy()  # batch row position per token
+        vals = ex.to_numpy(dtype=object)
+        docs_arr = df["doc_id"].to_numpy()
+        if len(vals) == 0:
+            empty = np.array([], dtype=object)
+            return np.array([], dtype="int64"), empty, empty
+        same = pos[:-1] == pos[1:]
+        first = np.ones(len(vals), dtype=bool)
+        first[1:] = ~same
+        ids = np.concatenate([pos[first], pos[:-1][same]])
+        w1 = np.concatenate(
+            [np.full(int(first.sum()), "<s>", dtype=object), vals[:-1][same]]
+        )
+        w2 = np.concatenate([vals[first], vals[1:][same]])
+        return docs_arr[ids].astype("int64"), w1, w2
 
     def bigram_partials(df: pd.DataFrame) -> "pa.Table":
-        rows_w1, rows_w2 = [], []
-        for toks in _stream(df["text"]):
-            rows_w1.extend(toks[:-1])
-            rows_w2.extend(toks[1:])
+        _, w1, w2 = _doc_bigrams(df)
         part = (
-            pd.DataFrame({"w1": rows_w1, "w2": rows_w2})
+            pd.DataFrame({"w1": w1, "w2": w2})
             .groupby(["w1", "w2"], sort=False)
             .size()
             .reset_index(name="part_c")
@@ -2133,21 +2148,31 @@ def bigram_logprob(
         import ray
 
         lp_df = lp_ds.to_pandas()
-        lp_ref = ray.put(dict(zip(zip(lp_df["w1"], lp_df["w2"]), lp_df["lp"])))
+        lp_ref = ray.put(
+            dict(zip(lp_df["w1"] + "\x1f" + lp_df["w2"], lp_df["lp"]))
+        )
 
         def score_direct(df: pd.DataFrame) -> pd.DataFrame:
             lp = ray.get(lp_ref)
-            ids, lps, ns = [], [], []
-            for doc_id, toks in zip(df["doc_id"], _stream(df["text"])):
-                if len(toks) < 2:
-                    continue
-                ids.append(int(doc_id))
-                lps.append(sum(lp[(a, b)] for a, b in zip(toks[:-1], toks[1:])))
-                ns.append(len(toks) - 1)
+            ids, w1, w2 = _doc_bigrams(df)
+            if len(ids) == 0:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "logprob_micro": pd.Series([], dtype="int64"),
+                     "n_bigrams": pd.Series([], dtype="int64")}
+                )
+            # vectorized dict lookup (Series.map runs the hash probes in C)
+            lps = pd.Series(w1 + "\x1f" + w2).map(lp).to_numpy("int64")
+            g = (
+                pd.DataFrame({"doc_id": ids, "lp": lps})
+                .groupby("doc_id", sort=False)["lp"]
+                .agg(["sum", "size"])
+                .reset_index()
+            )
             return pd.DataFrame(
-                {"doc_id": pd.Series(ids, dtype="int64"),
-                 "logprob_micro": pd.Series(lps, dtype="int64"),
-                 "n_bigrams": pd.Series(ns, dtype="int64")}
+                {"doc_id": g["doc_id"].astype("int64"),
+                 "logprob_micro": g["sum"].astype("int64"),
+                 "n_bigrams": g["size"].astype("int64")}
             )
 
         return docs.map_batches(score_direct, batch_format="pandas")
@@ -2164,13 +2189,9 @@ def bigram_logprob(
         )
 
     def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
-        ids, rows_w1, rows_w2 = [], [], []
-        for doc_id, toks in zip(df["doc_id"], _stream(df["text"])):
-            ids.extend([int(doc_id)] * (len(toks) - 1))
-            rows_w1.extend(toks[:-1])
-            rows_w2.extend(toks[1:])
+        ids, w1, w2 = _doc_bigrams(df)
         part = (
-            pd.DataFrame({"doc_id": ids, "w1": rows_w1, "w2": rows_w2})
+            pd.DataFrame({"doc_id": ids, "w1": w1, "w2": w2})
             .groupby(["doc_id", "w1", "w2"], sort=False)
             .size()
             .reset_index(name="cnt")
