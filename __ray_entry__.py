@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": sampling.sequence_pack,
         "domain_quota_sample": sampling.domain_quota_sample,
         "token_quantiles": analytics.token_quantiles,
+        "approx_quantiles": analytics.approx_quantiles,
         "label_centroids": analytics.label_centroids,
         "text_quality": text_ops.text_quality,
         "langid": text_ops.langid,
@@ -488,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": sampling.sql_sequence_pack(),
         "pagerank": analytics.sql_pagerank(),
         "token_quantiles": analytics.sql_token_quantiles(),
+        "approx_quantiles": analytics.sql_approx_quantiles(),
         "label_centroids": analytics.sql_label_centroids(),
         "countmin_tokens": analytics.sql_countmin_tokens(),
         "table_profile": analytics.sql_table_profile(),

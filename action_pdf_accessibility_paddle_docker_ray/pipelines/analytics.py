@@ -710,3 +710,118 @@ def sql_length_bucketize() -> str:
         "FROM d JOIN q ON q.lang = d.lang "
         "GROUP BY d.doc_id, d.lang, d.n_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# approx_quantiles: quantiles of a continuous column via a deterministic
+# hash-threshold sample (the third sketch family next to HLL distinct and
+# Count-Min frequency)
+# ---------------------------------------------------------------------------
+
+_AQ_TARGET = 200  # target sample size (< the 500-row gate table, so it binds)
+_AQ_Q = 1_000_000  # micro-units per embedding component
+_M32_AQ = 1 << 32
+
+
+def approx_quantiles(sf_dir: str, *, target: int = _AQ_TARGET) -> pd.DataFrame:
+    """Deciles of the embedding squared L2 norm from a deterministic
+    hash-threshold sample.
+
+    ``token_quantiles`` is exact because token counts are small integers
+    (the histogram is bounded); a *continuous* column (a norm, a score, a
+    byte length at 100 TB) has corpus-sized distinct values, so the exact
+    histogram plan degenerates into a global sort.  The sketch plan every
+    engine ships for this is a bounded uniform sample: keep a row iff
+    ``fmix32(vec_id mod 2^32) < floor(target * 2^32 / n)`` — a pure
+    per-row predicate (one scalar ``count()`` reaches the driver first),
+    so the scan streams with ZERO exchange and emits ~``target`` rows
+    regardless of corpus size; the decile estimate is the exact k-th
+    order statistic of the sample (rank ``ceil(d*m/10)``).  Driver
+    traffic is bounded by the sample (~2x target whp), the same
+    documented-bound contract as the broadcast joins.
+
+    The value is the squared norm in micro^2 units —
+    ``sum(floor(x*1e6+0.5)^2)`` per vector, integer end-to-end — so the
+    sample membership AND the quantile values are bit-identical in numpy
+    and DuckDB (no float sqrt, no float sum order).
+
+    Output: (decile, value_q, n_sample) for deciles 1..9.
+    """
+    ensure_picklable()
+    from .sampling import fmix32_np
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = emb.count()  # one scalar to the driver
+    empty = pd.DataFrame(
+        {
+            "decile": pd.Series([], dtype="int64"),
+            "value_q": pd.Series([], dtype="int64"),
+            "n_sample": pd.Series([], dtype="int64"),
+        }
+    )
+    if n == 0:  # empty shard (resume/retry path)
+        return empty
+    thr = min(_M32_AQ, (target * _M32_AQ) // n)
+
+    def sample_batch(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"s": pd.Series([], dtype="int64")})
+        h = fmix32_np(df["vec_id"].to_numpy(dtype=np.uint64) % _M32_AQ)
+        keep = h < np.uint64(thr)
+        if not keep.any():
+            return pd.DataFrame({"s": pd.Series([], dtype="int64")})
+        mat = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in df["embedding"][keep]]
+        )
+        q = np.floor(mat * _AQ_Q + 0.5).astype(np.int64)
+        return pd.DataFrame({"s": (q * q).sum(axis=1)})
+
+    # streaming filter, no exchange; the fold below touches only the
+    # ~target sampled value rows (documented driver bound)
+    vals = np.sort(
+        emb.map_batches(sample_batch, batch_format="pandas")
+        .to_pandas()["s"]
+        .to_numpy(dtype=np.int64)
+    )
+    m = len(vals)
+    if m == 0:
+        return empty
+    deciles = np.arange(1, 10, dtype=np.int64)
+    ranks = (deciles * m + 9) // 10  # ceil(d*m/10), 1-based
+    return pd.DataFrame(
+        {
+            "decile": deciles,
+            "value_q": vals[ranks - 1],
+            "n_sample": np.full(9, m, dtype=np.int64),
+        }
+    )
+
+
+def sql_approx_quantiles(*, target: int = _AQ_TARGET) -> str:
+    """Replay the sampler bit-for-bit: the fmix32 membership predicate,
+    the micro^2 squared norm, and the ceil-rank order statistic."""
+    from .sql_oracles import _fmix32_ctes
+
+    frag, final = _fmix32_ctes("aq", "src", ["vec_id"], "h0", "hv")
+    qexpr = (
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+    )
+    return (
+        f"WITH src AS (SELECT vec_id, vec_id % {_M32_AQ} AS h0 "
+        "FROM embeddings), "
+        f"{frag}, "
+        f"cnt AS (SELECT count(*) AS n FROM embeddings), "
+        f"thr AS (SELECT LEAST({_M32_AQ}, ({target} * {_M32_AQ}::HUGEINT) // n) "
+        "AS t FROM cnt), "
+        f"samp AS (SELECT e.vec_id, CAST(list_sum(list_transform(e.embedding, "
+        f"x -> {qexpr} * {qexpr})) AS BIGINT) AS s "
+        f"FROM embeddings e JOIN {final} hh ON e.vec_id = hh.vec_id "
+        "WHERE hh.hv < (SELECT t FROM thr)), "
+        "m AS (SELECT count(*) AS c FROM samp), "
+        "r AS (SELECT s, row_number() OVER (ORDER BY s, vec_id) AS rn FROM samp) "
+        "SELECT CAST(d.d AS BIGINT) AS decile, r.s AS value_q, "
+        "CAST(m.c AS BIGINT) AS n_sample "
+        "FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) d(d) "
+        "CROSS JOIN m JOIN r ON r.rn = (d.d * m.c + 9) // 10 "
+        "ORDER BY decile"
+    )

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "bpe_train",
     "bpe_encode",
     "bigram_logprob",
+    "approx_quantiles",
 ]
 
 

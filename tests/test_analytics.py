@@ -303,3 +303,60 @@ def test_text_normalize_matches_duckdb(ray_session, tmp_path):
     assert got.loc[0, "norm_text"] == "hello world"
     assert got.loc[1, "norm_text"] == "a b c"
     assert got.loc[2, "norm_text"] == "trim me"
+
+
+def _write_emb(tmp_path, vec_ids, vecs, labels=None):
+    t = pa.table(
+        {
+            "vec_id": pa.array(vec_ids, pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels or [0] * len(vec_ids), pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+
+def test_approx_quantiles_matches_oracle_and_binds(ray_session):
+    """sf0.001 run: sample smaller than the table (the sampler binds),
+    deciles bit-match the DuckDB replay of filter + norm + rank."""
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        approx_quantiles,
+        sql_approx_quantiles,
+    )
+
+    got = approx_quantiles(SF)
+    assert list(got["decile"]) == list(range(1, 10))
+    assert (got["value_q"].diff().dropna() >= 0).all()  # monotone deciles
+    m = int(got["n_sample"].iloc[0])
+    assert 0 < m < 500  # the hash threshold binds on the 500-row table
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = con.execute(sql_approx_quantiles()).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+
+
+def test_approx_quantiles_small_table_full_sample(ray_session, tmp_path):
+    """target >= n: threshold saturates, every row sampled, deciles are
+    the exact order statistics (hand-computed on known norms)."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        approx_quantiles,
+    )
+
+    # squared micro-norms: (k * 1e6)^2 for k = 1..10
+    vecs = [[float(k)] + [0.0] * 3 for k in range(1, 11)]
+    _write_emb(tmp_path, list(range(10)), vecs)
+    got = approx_quantiles(str(tmp_path), target=1000)
+    assert int(got["n_sample"].iloc[0]) == 10
+    # rank ceil(d*10/10) = d  ->  value (d * 1e6)^2
+    want = [(d * 1_000_000) ** 2 for d in range(1, 10)]
+    assert list(got["value_q"]) == want
