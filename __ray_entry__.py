@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": web_ops.gopher_filter,
         "link_graph": web_ops.link_graph,
         "line_dedup": web_ops.line_dedup,
+        "host_boilerplate": web_ops.host_boilerplate,
         "priority_sample": sampling.priority_sample,
         # sampling / packing / mixing
         "corpus_mix": sampling.corpus_mix,
@@ -191,10 +192,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_bucketize": analytics.length_bucketize,
         # round-4 source format + tokenizer training (new — in-window)
         "warc_extract": web_ops.warc_extract,
-        "warc_index": web_ops.warc_index,
         "bpe_train": text_ops.bpe_train,
-        "bpe_encode": text_ops.bpe_encode,
         "bigram_logprob": text_ops.bigram_logprob,
+        "approx_quantiles": analytics.approx_quantiles,
+        "bpe_encode": text_ops.bpe_encode,
+        "warc_index": web_ops.warc_index,
         # ---- entries past the driver's 50-entry recording window ----
         # (everything below is byte-unchanged since its green
         # CORRECTNESS_r03 row and still pytest-pinned; displaced for the
@@ -208,7 +210,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": sampling.sequence_pack,
         "domain_quota_sample": sampling.domain_quota_sample,
         "token_quantiles": analytics.token_quantiles,
-        "approx_quantiles": analytics.approx_quantiles,
         "label_centroids": analytics.label_centroids,
         "text_quality": text_ops.text_quality,
         "langid": text_ops.langid,
@@ -477,6 +478,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": web_ops.sql_gopher_filter(),
         "link_graph": web_ops.sql_link_graph(),
         "line_dedup": web_ops.sql_line_dedup(),
+        "host_boilerplate": web_ops.sql_host_boilerplate(),
         "dsir_sample": text_ops.sql_dsir_sample(),
         "anchor_stats": web_ops.sql_anchor_stats(),
         "priority_sample": sampling.sql_priority_sample(),

@@ -899,3 +899,310 @@ def sql_warc_index(pages_glob: str) -> str:
         "AS BIGINT) AS \"offset\", "
         "CAST(rec_bytes AS BIGINT) AS rec_bytes, n AS n_bytes FROM s"
     )
+
+
+# --- Host-level boilerplate line removal -----------------------------------
+
+# The per-host template-chrome filter (CCNet / C4 lineage): a line that
+# appears in a large fraction of one host's pages is navigation/footer
+# chrome, not content — remove it from every page of that host while
+# leaving the same line alone on hosts where it is rare.  Differs from
+# line_dedup (within-doc first-occurrence) and paragraph_dedup
+# (corpus-global keep-first): the predicate here is a PER-HOST document
+# frequency ratio, the signature host-local statistic.
+#
+# The sandbox corpus has no shared lines across docs, so each doc is
+# augmented with deterministic per-source nav lines j=1..3, carried by a
+# doc iff fmix32((doc_id*2654435761 + j) mod 2^32) mod 100 < P_j with
+# P = (90, 70, 30) — lines 1-2 cross the 60% threshold and get removed,
+# line 3 stays, so the op provably binds (same pattern as line_dedup's
+# cookie banner).  The DuckDB oracle replays synthesis, the md5 line
+# keys, both frequency aggregates, and the rebuild.
+
+_HB_MUL = 2654435761  # Knuth multiplicative constant, also used by bloom
+_HB_PCTS = (90, 70, 30)
+_HB_THRESH = 60  # remove when 100*df >= thresh*host_docs
+_HB_BROADCAST_MAX = 2_000_000  # max boilerplate rows shipped as a dict
+
+
+def _hb_boiler_mask(doc_ids: np.ndarray, j: int) -> np.ndarray:
+    from .sampling import fmix32_np
+
+    h = fmix32_np((doc_ids.astype(np.uint64) * np.uint64(_HB_MUL) + np.uint64(j)) % (1 << 32))
+    return (h % np.uint64(100)) < np.uint64(_HB_PCTS[j - 1])
+
+
+def _hb_doc_lines(doc_id: int, source: str, text: str, masks) -> list[str]:
+    lines = [f"nav {source} item {j}" for j in (1, 2, 3) if masks[j - 1]]
+    lines.extend(text.split("\n"))
+    return lines
+
+
+def host_boilerplate(sf_dir: str, *, thresh: int = _HB_THRESH) -> ray.data.Dataset:
+    """Remove lines present in >= thresh% of a source's documents.
+
+    Scale plan (100 TB): stage A is a per-batch combiner emitting one
+    (source, line_md5, c) row per batch-distinct line — document
+    frequency, not occurrence count — plus one (source, '#docs', c)
+    marker row, into ONE grouped exchange; a second, distinct-line-sized
+    exchange grouped by source alone turns (df, host_docs) into the
+    boilerplate line table.  That table is output-sized (a line needs
+    df >= 0.6*host_docs, so there are at most lines_per_doc/0.6 per
+    host); a distributed count picks the scrub plan: under
+    ``_HB_BROADCAST_MAX`` the (source, line_md5) set broadcasts via
+    ``ray.put`` and every doc scrubs in a streaming pass with zero
+    further exchange; above it, occurrence rows and boilerplate rows
+    co-partition in a tagged-sides grouped join, and survivors regroup
+    per doc_id (sort on exactly [doc_id] — the colocation invariant) to
+    rebuild the text, with nothing line-shaped on the driver.
+
+    Output: (doc_id, text, n_lines, n_removed) — clean text preserves
+    original line order.
+    """
+    ensure_picklable()
+    import hashlib
+
+    import ray
+
+    from .util import grouped_block_map
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def _doc_rows(df: pd.DataFrame):
+        """Yield (doc_id, source, ordered lines, hashes) per doc."""
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        masks = np.column_stack([_hb_boiler_mask(ids, j) for j in (1, 2, 3)])
+        for i, (doc_id, source, text) in enumerate(
+            zip(ids, df["source"], df["text"])
+        ):
+            lines = _hb_doc_lines(int(doc_id), source, text, masks[i])
+            hs = [hashlib.md5(ln.encode()).hexdigest() for ln in lines]
+            yield int(doc_id), source, lines, hs
+
+    def df_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "lh": pd.Series([], dtype="object"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        rows_s, rows_h = [], []
+        for _, source, _, hs in _doc_rows(df):
+            rows_s.extend([source] * (len(set(hs)) + 1))
+            rows_h.extend(set(hs))
+            rows_h.append("#docs")  # 5-char marker cannot collide with md5 hex
+        part = (
+            pd.DataFrame({"source": rows_s, "lh": rows_h})
+            .groupby(["source", "lh"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return part
+
+    freq = docs.map_batches(df_partials, batch_format="pandas")
+
+    def sum_group(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "lh"], as_index=False, sort=False)["c"].sum()
+
+    # exchange 1: (source, lh) document frequencies
+    freq = freq.sort(["source", "lh"]).map_batches(
+        sum_group, batch_format="pandas", batch_size=None
+    )
+
+    def pick_bp(g: pd.DataFrame) -> pd.DataFrame:
+        nd = int(g.loc[g["lh"] == "#docs", "c"].iloc[0])
+        lines = g[g["lh"] != "#docs"]
+        bp = lines[lines["c"].to_numpy() * 100 >= thresh * nd]
+        return bp[["source", "lh"]]
+
+    # exchange 2 (distinct-line-sized): per-source threshold decision
+    bp = grouped_block_map(freq, ["source"], pick_bp)
+
+    n_bp = bp.count()  # one scalar to the driver
+    if n_bp <= _HB_BROADCAST_MAX:
+        bp_df = bp.to_pandas()
+        bp_ref = ray.put(set(bp_df["source"] + "\x1f" + bp_df["lh"]))
+
+        def scrub(df: pd.DataFrame) -> pd.DataFrame:
+            bps = ray.get(bp_ref)
+            out_id, out_txt, out_n, out_rm = [], [], [], []
+            for doc_id, source, lines, hs in _doc_rows(df):
+                kept = [
+                    ln
+                    for ln, h in zip(lines, hs)
+                    if source + "\x1f" + h not in bps
+                ]
+                out_id.append(doc_id)
+                out_txt.append("\n".join(kept))
+                out_n.append(len(lines))
+                out_rm.append(len(lines) - len(kept))
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array(out_id, dtype="int64"),
+                    "text": pd.array(out_txt, dtype="object"),
+                    "n_lines": pd.array(out_n, dtype="int64"),
+                    "n_removed": pd.array(out_rm, dtype="int64"),
+                }
+            )
+
+        return docs.map_batches(scrub, batch_format="pandas")
+
+    # join plan: tagged-sides co-partition on (source, lh), then per-doc
+    # rebuild under the [doc_id] sort-colocation invariant
+    def occ_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "source": [], "lh": [], "idx": [], "line": []}
+        for doc_id, source, lines, hs in _doc_rows(df):
+            rows["doc_id"].extend([doc_id] * len(lines))
+            rows["source"].extend([source] * len(lines))
+            rows["lh"].extend(hs)
+            rows["idx"].extend(range(len(lines)))
+            rows["line"].extend(lines)
+        out = pd.DataFrame(rows)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["idx"] = out["idx"].astype("int64")
+        out["tag"] = np.int64(1)
+        return out
+
+    occ = docs.map_batches(occ_rows, batch_format="pandas")
+    bp_tagged = bp.map_batches(
+        lambda df: df.assign(
+            doc_id=np.int64(-1),
+            idx=np.int64(-1),
+            line="",
+            tag=np.int64(0),
+        )[["doc_id", "source", "lh", "idx", "line", "tag"]],
+        batch_format="pandas",
+    )
+
+    def drop_marked(df: pd.DataFrame) -> pd.DataFrame:
+        # whole-block vectorized: groups with a tag-0 row lose their occ rows
+        marked = df.groupby(["source", "lh"], sort=False)["tag"].transform("min")
+        return df[(df["tag"] == 1) & (marked == 1)]
+
+    survivors = (
+        occ.union(bp_tagged)
+        .sort(["source", "lh"])
+        .map_batches(drop_marked, batch_format="pandas", batch_size=None)
+    )
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "kept_text": pd.Series([], dtype="object"),
+                    "n_kept": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["doc_id", "idx"], kind="mergesort")
+        g = df.groupby("doc_id", sort=False)
+        out = g["line"].agg("\n".join).reset_index(name="kept_text")
+        out["n_kept"] = g.size().to_numpy(dtype=np.int64)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    kept = (
+        survivors.select_columns(["doc_id", "idx", "line"])
+        .sort(["doc_id"])
+        .map_batches(rebuild, batch_format="pandas", batch_size=None)
+    )
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            (doc_id, len(lines)) for doc_id, _, lines, _ in _doc_rows(df)
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+                "n_lines": pd.array([r[1] for r in rows], dtype="int64"),
+            }
+        )
+
+    tot = docs.map_batches(totals, batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "text": df["kept_text"].fillna("").astype("object"),
+                "n_lines": df["n_lines"].astype("int64"),
+                "n_removed": (
+                    df["n_lines"] - df["n_kept"].fillna(0)
+                ).astype("int64"),
+            }
+        )
+        return out
+
+    def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        # per-doc_id colocated block: one tot row + at most one kept row
+        g = df.groupby("doc_id", sort=False).agg(
+            kept_text=("kept_text", "first"),
+            n_kept=("n_kept", "max"),
+            n_lines=("n_lines", "max"),
+        ).reset_index()
+        return finish(g)
+
+    tot2 = tot.map_batches(
+        lambda df: df.assign(kept_text=None, n_kept=np.int64(0))[
+            ["doc_id", "kept_text", "n_kept", "n_lines"]
+        ],
+        batch_format="pandas",
+    )
+    kept2 = kept.map_batches(
+        lambda df: df.assign(n_lines=np.int64(0))[
+            ["doc_id", "kept_text", "n_kept", "n_lines"]
+        ],
+        batch_format="pandas",
+    )
+    return (
+        tot2.union(kept2)
+        .sort(["doc_id"])
+        .map_batches(merge_block, batch_format="pandas", batch_size=None)
+    )
+
+
+def sql_host_boilerplate(*, thresh: int = _HB_THRESH) -> str:
+    """Replay synthesis (fmix32 inclusion masks), md5 line keys, both
+    frequency aggregates, the threshold predicate, and the ordered
+    rebuild."""
+    from .sql_oracles import _fmix32_ctes
+
+    frag, final = _fmix32_ctes("hb", "hb_src", ["doc_id", "j"], "h0", "hv")
+    pcts = ",".join(f"({j}, {p})" for j, p in enumerate(_HB_PCTS, start=1))
+    return (
+        "WITH hb_src AS (SELECT d.doc_id, j.j, CAST((CAST(d.doc_id AS HUGEINT)"
+        f" * {_HB_MUL} + j.j) % 4294967296 AS BIGINT) AS h0 "
+        "FROM documents d CROSS JOIN (VALUES (1),(2),(3)) j(j)), "
+        f"{frag}, "
+        f"pct(j, p) AS (VALUES {pcts}), "
+        f"boiler AS (SELECT f.doc_id, f.j AS ord, "
+        "'nav ' || d.source || ' item ' || f.j AS line "
+        f"FROM {final} f JOIN documents d USING (doc_id) JOIN pct USING (j) "
+        "WHERE f.hv % 100 < pct.p), "
+        "content AS (SELECT doc_id, 3 + k AS ord, part AS line FROM ("
+        "SELECT doc_id, unnest(string_split(text, chr(10))) AS part, "
+        "generate_subscripts(string_split(text, chr(10)), 1) AS k "
+        "FROM documents)), "
+        "lines AS (SELECT * FROM boiler UNION ALL SELECT * FROM content), "
+        "keyed AS (SELECT l.doc_id, d.source, l.ord, l.line, md5(l.line) AS lh "
+        "FROM lines l JOIN documents d USING (doc_id)), "
+        "nd AS (SELECT source, count(DISTINCT doc_id) AS host_docs "
+        "FROM documents GROUP BY source), "
+        "df AS (SELECT source, lh, count(DISTINCT doc_id) AS c "
+        "FROM keyed GROUP BY source, lh), "
+        "bp AS (SELECT df.source, df.lh FROM df JOIN nd USING (source) "
+        f"WHERE df.c * 100 >= {thresh} * nd.host_docs), "
+        "kept AS (SELECT k.* FROM keyed k LEFT JOIN bp "
+        "ON k.source = bp.source AND k.lh = bp.lh WHERE bp.lh IS NULL) "
+        "SELECT d.doc_id, coalesce(agg.txt, '') AS text, "
+        "CAST(tot.n AS BIGINT) AS n_lines, "
+        "CAST(tot.n - coalesce(agg.nk, 0) AS BIGINT) AS n_removed "
+        "FROM documents d "
+        "JOIN (SELECT doc_id, count(*) AS n FROM keyed GROUP BY doc_id) tot "
+        "USING (doc_id) "
+        "LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) "
+        "AS txt, count(*) AS nk FROM kept GROUP BY doc_id) agg "
+        "USING (doc_id)"
+    )

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "bigram_logprob",
     "approx_quantiles",
+    "host_boilerplate",
 ]
 
 

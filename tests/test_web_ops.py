@@ -248,3 +248,80 @@ def test_robots_filter_matches_oracle(ray_session):
     # every (host, seg) pair is decided consistently across its urls
     per_pair = got.groupby(["host", "seg"])["allowed"].nunique()
     assert (per_pair == 1).all()
+
+
+def test_host_boilerplate_matches_oracle(ray_session):
+    got = (
+        web_ops.host_boilerplate(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(web_ops.sql_host_boilerplate())
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+    # the planted 90%-frequency nav line guarantees removals happen
+    assert got["n_removed"].sum() > 0
+    # rare nav line 3 (30% < 60% threshold) is never removed: any doc
+    # carrying it keeps it
+    carrying = got["text"].str.contains("item 3", regex=False)
+    assert carrying.any()
+    # content (the original text) always survives — it is unique per doc
+    assert (got["text"].str.len() > 0).all()
+
+
+def test_host_boilerplate_join_plan_equivalent(ray_session, monkeypatch):
+    """Forcing the broadcast bound to zero routes through the tagged-sides
+    grouped join + per-doc rebuild; output identical to the broadcast plan."""
+    a = (
+        web_ops.host_boilerplate(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(web_ops, "_HB_BROADCAST_MAX", 0)
+    b = (
+        web_ops.host_boilerplate(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_host_boilerplate_threshold_semantics(ray_session, tmp_path):
+    """Hand-built host: a line in 3/4 docs (75% >= 60%) is removed from
+    all of them; a line in 1/4 docs (25%) survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    common, rare = "shared footer", "one-off line"
+    texts = [
+        f"{common}\nbody a",
+        f"{common}\nbody b",
+        f"{common}\nbody c\n{rare}",
+        "body d",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["hostA"] * 4),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (
+        web_ops.host_boilerplate(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        assert common not in row["text"]
+    assert rare in got.loc[2, "text"]
+    # synthesized nav lines also obey the per-host ratio on this 4-doc host
+    assert (got["n_lines"] - got["n_removed"] >= 1).all()
