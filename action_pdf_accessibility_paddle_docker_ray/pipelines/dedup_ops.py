@@ -1270,3 +1270,168 @@ def sql_dup_components(max_hamming: int = 3) -> str:
         "WHERE r.label < e.v) "
         "SELECT node AS doc_id, MIN(label) AS rep_id FROM r GROUP BY node"
     )
+
+
+def dedup_keep_best(
+    sf_dir: str, *, num_perm: int = 126, bands: int = 42, threshold: float = 0.7,
+    shingle_k: int = 5, drop_broadcast_max: int = _DROP_BROADCAST_MAX,
+) -> "ray.data.Dataset":
+    """Fuzzy dedup with KEEP-BEST selection: within each near-dup cluster
+    keep the highest-quality member — here the longest document
+    (``n_chars``, ties to the min ``doc_id``) — instead of
+    ``dedup_corpus``'s min-id representative.  This is the selection rule
+    production pipelines actually run (the canonical page is the fullest
+    crawl of the content, not the lowest-numbered one).
+
+    Scale plan: the (doc_id, rep_id) cluster table is output-sized;
+    under ``drop_broadcast_max`` it broadcasts via ``ray.put`` and one
+    streaming pass over the corpus emits the clustered docs' (rep_id,
+    doc_id, n_chars) rows — cluster-table-sized, never corpus-sized —
+    into ONE grouped exchange whose per-cluster argmax picks winners
+    (vectorized in-block sort + drop_duplicates, zero per-group
+    dispatch); the winner-complement drop set then reuses
+    ``dedup_corpus``'s broadcast-or-anti-join keep filter.  Above the
+    bound the cluster map stays a Dataset and the same rows come from a
+    tagged-sides grouped join on doc_id.  Nothing cluster-shaped reaches
+    the driver beyond the proven-bounded broadcast.
+
+    Output: (doc_id,) of every surviving document.
+    """
+    import ray
+
+    from .util import grouped_block_map
+
+    comp = minhash_dedup_components_ds(
+        sf_dir, num_perm=num_perm, bands=bands, threshold=threshold,
+        shingle_k=shingle_k,
+    ).materialize()
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    n_comp = comp.count()  # scalar
+    if n_comp <= drop_broadcast_max:
+        comp_df = comp.to_pandas()
+        rep_ref = ray.put(
+            dict(zip(comp_df["doc_id"].astype(int), comp_df["rep_id"].astype(int)))
+        )
+
+        def cluster_rows(df: pd.DataFrame) -> pd.DataFrame:
+            rep = ray.get(rep_ref)
+            m = df["doc_id"].isin(rep.keys())
+            sub = df[m]
+            return pd.DataFrame(
+                {
+                    "rep_id": sub["doc_id"].map(rep).astype("int64"),
+                    "doc_id": sub["doc_id"].astype("int64"),
+                    "n_chars": sub["n_chars"].astype("int64"),
+                }
+            )
+
+        members = docs.map_batches(cluster_rows, batch_format="pandas")
+    else:
+        def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "rep_id": np.full(len(df), -1, dtype=np.int64),
+                    "n_chars": df["n_chars"].astype("int64"),
+                }
+            )
+
+        def tag_comp(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "rep_id": df["rep_id"].astype("int64"),
+                    "n_chars": np.full(len(df), -1, dtype=np.int64),
+                }
+            )
+
+        def join_one(df: pd.DataFrame) -> pd.DataFrame:
+            # colocated per doc_id: at most one comp row + one docs row
+            g = df.groupby("doc_id", sort=False).agg(
+                rep_id=("rep_id", "max"), n_chars=("n_chars", "max")
+            ).reset_index()
+            g = g[g["rep_id"] >= 0]  # clustered docs only
+            return g[["rep_id", "doc_id", "n_chars"]].astype("int64")
+
+        both = docs.map_batches(tag_docs, batch_format="pandas").union(
+            comp.map_batches(tag_comp, batch_format="pandas")
+        )
+        members = (
+            both.sort(["doc_id"])
+            .map_batches(join_one, batch_format="pandas", batch_size=None)
+        )
+
+    def pick_losers(df: pd.DataFrame) -> pd.DataFrame:
+        # in-block complete per rep_id (sort key = exactly ["rep_id"]):
+        # winner = max n_chars, tie min doc_id; emit the rest as drops
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        df = df.sort_values(
+            ["rep_id", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        losers = df[df.duplicated("rep_id", keep="first")]
+        return pd.DataFrame({"doc_id": losers["doc_id"].astype("int64")})
+
+    drop_ds = (
+        members.sort(["rep_id"])
+        .map_batches(pick_losers, batch_format="pandas", batch_size=None)
+        .materialize()
+    )
+    n_drop = drop_ds.count()
+    ids = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    if n_drop <= drop_broadcast_max:
+        drop = frozenset(
+            int(d)
+            for d in drop_ds.to_pandas().get("doc_id", pd.Series([], dtype="int64"))
+        )
+        drop_ref = ray.put(drop)
+
+        def keep_fn(df: pd.DataFrame) -> pd.DataFrame:
+            dropped = ray.get(drop_ref)
+            keep = ~df["doc_id"].isin(dropped)
+            return pd.DataFrame({"doc_id": df["doc_id"][keep].astype("int64")})
+
+        return ids.map_batches(keep_fn, batch_format="pandas")
+
+    def tag_ids(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "is_drop": np.zeros(len(df), dtype=np.int64)}
+        )
+
+    def tag_drop(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "is_drop": np.ones(len(df), dtype=np.int64)}
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["is_drop"] > 0).any():
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])]})
+
+    both = ids.map_batches(tag_ids, batch_format="pandas").union(
+        drop_ds.map_batches(tag_drop, batch_format="pandas")
+    )
+    return grouped_block_map(both, ["doc_id"], resolve)
+
+
+def sql_dedup_keep_best(threshold: float = 0.7, k: int = 5) -> str:
+    """Cluster table from the minhash replay, per-cluster argmax on
+    (n_chars DESC, doc_id), survivors = corpus minus non-winners."""
+    from .sql_oracles import sql_minhash_dedup
+
+    comp = sql_minhash_dedup(threshold=threshold, k=k)
+    return (
+        f"WITH comp AS ({comp}), "
+        "w AS (SELECT c.rep_id, c.doc_id, d.n_chars, "
+        "row_number() OVER (PARTITION BY c.rep_id "
+        "ORDER BY d.n_chars DESC, c.doc_id) AS rn "
+        "FROM comp c JOIN documents d USING (doc_id)) "
+        "SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN "
+        "(SELECT doc_id FROM w WHERE rn > 1)"
+    )

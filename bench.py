@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "bigram_logprob",
     "approx_quantiles",
     "host_boilerplate",
+    "dedup_keep_best",
 ]
 
 

@@ -507,3 +507,82 @@ def test_substring_dedup_resumable_kill_restart(ray_session, tmp_path):
 
     r3 = run_substring_dedup_resumable(sf, out, n_buckets=8)
     assert r3["buckets_skipped"] == 8 and r3["buckets_run"] == 0
+
+
+# --- dedup_keep_best --------------------------------------------------------
+
+
+def test_dedup_keep_best_matches_oracle(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import dedup_ops
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        dedup_ops.dedup_keep_best(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(dedup_ops.sql_dedup_keep_best())
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # and the rule genuinely differs from min-id selection on this corpus
+    dc = dedup_ops.dedup_corpus(sf).to_pandas()
+    assert set(got["doc_id"]) != set(dc["doc_id"])
+    assert len(got) == len(dc)  # same survivor count, different members
+
+
+def test_dedup_keep_best_join_plan_equivalent(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import dedup_ops
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        dedup_ops.dedup_keep_best(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        dedup_ops.dedup_keep_best(sf, drop_broadcast_max=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_dedup_keep_best_keeps_longest(ray_session, tmp_path):
+    """Hand-built cluster: three near-identical docs of different lengths
+    — the longest survives, not the lowest id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import dedup_ops
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 20
+    texts = [base, base + "iota kappa " * 30, base + "iota ", "unrelated " * 40]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = set(
+        dedup_ops.dedup_keep_best(str(tmp_path)).to_pandas()["doc_id"]
+    )
+    assert 1 in got  # the longest cluster member wins
+    assert 0 not in got and 2 not in got
+    assert 3 in got  # unclustered doc untouched
