@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": web_ops.link_graph,
         "line_dedup": web_ops.line_dedup,
         "host_boilerplate": web_ops.host_boilerplate,
+        "host_components": web_ops.host_components,
         "priority_sample": sampling.priority_sample,
         # sampling / packing / mixing
         "corpus_mix": sampling.corpus_mix,
@@ -481,6 +482,7 @@ def oracle_sql() -> dict[str, str]:
         "link_graph": web_ops.sql_link_graph(),
         "line_dedup": web_ops.sql_line_dedup(),
         "host_boilerplate": web_ops.sql_host_boilerplate(),
+        "host_components": web_ops.sql_host_components(),
         "dsir_sample": text_ops.sql_dsir_sample(),
         "anchor_stats": web_ops.sql_anchor_stats(),
         "priority_sample": sampling.sql_priority_sample(),

@@ -1206,3 +1206,139 @@ def sql_host_boilerplate(*, thresh: int = _HB_THRESH) -> str:
         "AS txt, count(*) AS nk FROM kept GROUP BY doc_id) agg "
         "USING (doc_id)"
     )
+
+
+# --- Host-graph connected components ---------------------------------------
+
+
+def host_components(sf_dir: str, *, cluster_mode: str = "auto") -> ray.data.Dataset:
+    """Connected components of the (undirected) host link graph — the site-
+    cluster / link-farm detection pass a crawl pipeline runs over its
+    ``link_graph`` output before trusting PageRank or per-host quotas.
+
+    Node ids are ``fnv1a_32(host)`` so the component machinery
+    (``dedup_ops.cluster_components`` — distributed-pair-count auto-switch,
+    dataset-resident min-label propagation with pointer doubling) is reused
+    unchanged; at web scale (≥10^6 hosts) the 32-bit id space needs the
+    documented swap to a 64-bit hash at this one seam.  The component label
+    is the minimum member id.  Hosts with no off-host edges come back as
+    singleton components labelled with their own id (one tagged-sides
+    grouped join on id — the host-table-sized exchange, never corpus-
+    sized).  Output: (host, comp_id).
+    """
+    ensure_picklable()
+    from ..functions.fnv import fnv1a_32
+    from .dedup_ops import cluster_components
+    from .util import grouped_block_map
+
+    edges = link_graph(sf_dir)
+
+    def host_id_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # (id, host) node rows from both endpoints, batch-distinct; the
+        # per-unique-host Python hash is memoized (hosts << rows)
+        memo: dict[str, int] = {}
+
+        def hid(h: str) -> int:
+            v = memo.get(h)
+            if v is None:
+                v = memo[h] = fnv1a_32(h)
+            return v
+
+        hosts = pd.unique(
+            np.concatenate([df["src_host"].to_numpy(), df["dst_host"].to_numpy()])
+        ) if len(df) else np.array([], dtype=object)
+        return pd.DataFrame(
+            {
+                "id": pd.array([hid(h) for h in hosts], dtype="int64"),
+                "host": pd.array(hosts, dtype="object"),
+            }
+        )
+
+    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+        memo: dict[str, int] = {}
+
+        def hid(h: str) -> int:
+            v = memo.get(h)
+            if v is None:
+                v = memo[h] = fnv1a_32(h)
+            return v
+
+        m = df["src_host"] != df["dst_host"] if len(df) else []
+        sub = df[m] if len(df) else df
+        return pd.DataFrame(
+            {
+                "a": pd.array([hid(h) for h in sub["src_host"]], dtype="int64"),
+                "b": pd.array([hid(h) for h in sub["dst_host"]], dtype="int64"),
+            }
+        )
+
+    edges = edges.materialize()
+    nodes = edges.map_batches(host_id_rows, batch_format="pandas")
+    pairs = edges.map_batches(pair_rows, batch_format="pandas")
+    comp = cluster_components(pairs, cluster_mode=cluster_mode, as_dataset=True)
+
+    # tagged-sides grouped join on id: node rows carry the host string,
+    # comp rows carry the label; absent label -> singleton (own id)
+    def tag_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id": df["id"].astype("int64"),
+                "host": df["host"].astype("object"),
+                "cid": np.full(len(df), -1, dtype=np.int64),
+            }
+        )
+
+    def tag_comp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id": df["doc_id"].astype("int64"),
+                "host": pd.array([None] * len(df), dtype="object"),
+                "cid": df["rep_id"].astype("int64"),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        hosts = g["host"].dropna()
+        if hosts.empty:  # defensive: comp row without a node row
+            return pd.DataFrame(
+                {"host": pd.Series([], dtype="object"),
+                 "comp_id": pd.Series([], dtype="int64")}
+            )
+        cid = int(g["cid"].max())
+        if cid < 0:
+            cid = int(g["id"].iloc[0])  # isolated host: own component
+        return pd.DataFrame({"host": [hosts.iloc[0]], "comp_id": [cid]})
+
+    both = nodes.map_batches(tag_nodes, batch_format="pandas").union(
+        comp.map_batches(tag_comp, batch_format="pandas")
+    )
+    return grouped_block_map(both, ["id"], resolve)
+
+
+def sql_host_components() -> str:
+    """Replay: link-graph synthesis + fnv1a-32 host ids + recursive min-
+    label reachability (the sql_minhash_dedup pattern) + singleton fill."""
+    from .sql_oracles import sql_fnv1a32
+
+    lg = sql_link_graph()
+    fnv = sql_fnv1a32("hch")
+    # CTE names prefixed hc_ — sql_link_graph's own WITH uses l/h/e, and
+    # same-named CTEs across nesting levels confuse the binder
+    return (
+        f"WITH RECURSIVE hc_lg AS ({lg}), "
+        "hc_hosts AS (SELECT DISTINCT hch FROM (SELECT src_host AS hch "
+        "FROM hc_lg UNION SELECT dst_host FROM hc_lg)), "
+        f"hc_id AS (SELECT hch AS host, {fnv} AS id FROM hc_hosts), "
+        "hc_e0 AS (SELECT a.id AS a, b.id AS b FROM hc_lg "
+        "JOIN hc_id a ON hc_lg.src_host = a.host "
+        "JOIN hc_id b ON hc_lg.dst_host = b.host "
+        "WHERE hc_lg.src_host != hc_lg.dst_host), "
+        "hc_e AS (SELECT a, b FROM hc_e0 UNION SELECT b, a FROM hc_e0), "
+        "hc_reach(src, dst) AS (SELECT a, b FROM hc_e "
+        "UNION SELECT r.src, hc_e.b FROM hc_reach r JOIN hc_e "
+        "ON r.dst = hc_e.a), "
+        "hc_comp AS (SELECT src AS id, least(src, MIN(dst)) AS cid "
+        "FROM hc_reach GROUP BY src) "
+        "SELECT hc_id.host, CAST(coalesce(hc_comp.cid, hc_id.id) AS BIGINT) "
+        "AS comp_id FROM hc_id LEFT JOIN hc_comp USING (id)"
+    )

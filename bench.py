@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "approx_quantiles",
     "host_boilerplate",
     "dedup_keep_best",
+    "host_components",
 ]
 
 

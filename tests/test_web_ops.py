@@ -325,3 +325,60 @@ def test_host_boilerplate_threshold_semantics(ray_session, tmp_path):
     assert rare in got.loc[2, "text"]
     # synthesized nav lines also obey the per-host ratio on this 4-doc host
     assert (got["n_lines"] - got["n_removed"] >= 1).all()
+
+
+def test_host_components_matches_oracle(ray_session):
+    got = (
+        web_ops.host_components(SF)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(web_ops.sql_host_components())
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # distributed propagation path agrees with the driver union-find
+    dist = (
+        web_ops.host_components(SF, cluster_mode="distributed")
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, dist)
+
+
+def test_host_components_multi_and_singleton(ray_session, tmp_path):
+    """Constructed corpus: a self-loop-only host becomes a singleton
+    (own-id label); two disjoint edges form two separate components."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from action_pdf_accessibility_paddle_docker_ray.functions.fnv import fnv1a_32
+
+    # doc 0 from source 'src1' links only to src1.example.com (self-loop);
+    # doc 3 from 'alpha' links to src4.example.com (one real edge)
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 3], pa.int64()),
+            "text": pa.array(["x", "y"]),
+            "lang": pa.array(["en"] * 2),
+            "source": pa.array(["src1", "alpha"]),
+            "n_chars": pa.array([1, 1], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (
+        web_ops.host_components(str(tmp_path))
+        .to_pandas()
+        .set_index("host")["comp_id"]
+        .to_dict()
+    )
+    h_src1 = fnv1a_32("src1.example.com")
+    h_alpha = fnv1a_32("alpha.example.com")
+    h_src4 = fnv1a_32("src4.example.com")
+    assert got["src1.example.com"] == h_src1  # singleton: own id
+    assert got["alpha.example.com"] == got["src4.example.com"] == min(h_alpha, h_src4)
+    assert len(got) == 3 and len(set(got.values())) == 2
