@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_search": similarity.knn_search,
         "knn_search_lsh": similarity.knn_search_lsh,
         "knn_search_ivf": similarity.knn_search_ivf,
+        "knn_search_sq": similarity.knn_search_sq,
         "kmeans_clusters": similarity.kmeans_clusters,
         "embedding_quantize": similarity.embedding_quantize,
         # multimodal stub stage (actor pool over binary payloads)
@@ -270,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_search_lsh": sql_oracles.sql_knn_search_lsh(dim, k=5, n_queries=10, planes=8),
         "kmeans_clusters": sql_oracles.sql_kmeans_clusters(dim, n_clusters=16),
         "embedding_quantize": similarity.sql_embedding_quantize(),
+        "knn_search_sq": similarity.sql_knn_search_sq(),
         "semantic_dedup": sql_oracles.sql_semantic_dedup(dim, n_clusters=16),
         "bm25_search": text_ops.sql_bm25_search(),
         "knn_search_ivf": sql_oracles.sql_knn_search_ivf(

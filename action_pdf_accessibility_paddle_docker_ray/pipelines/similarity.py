@@ -444,3 +444,109 @@ def sql_embedding_quantize() -> str:
         "CAST(SUM(code * code) AS BIGINT) AS code_sqsum, "
         "CAST(COUNT(*) AS BIGINT) AS dim FROM c GROUP BY vec_id"
     )
+
+
+def knn_search_sq(sf_dir: str, *, k: int = 5, n_queries: int = 10) -> ray.data.Dataset:
+    """Exact top-k cosine search over the INT8-QUANTIZED corpus — the
+    asymmetric distance computation (ADC) pass of an SQ8 vector index:
+    queries stay full precision, every corpus vector is scored through
+    its scalar-quantization reconstruction ``mn + code*(mx-mn)/255``.
+
+    Composes ``embedding_quantize``'s fit (per-dim min/max partials into
+    one dim-sized exchange, dim-sized spans broadcast once) with
+    ``knn_search``'s per-batch partial-top-k scan — coding, decoding and
+    scoring are all inside the one streaming pass, so the only exchanges
+    are the dim-sized fit and the (queries x k)-sized top-k fold.  Codes
+    and reconstructions use float64 with the SQL replay's exact op
+    order.  Output: (query_id, neighbor_id, rank).
+    """
+    ensure_picklable()
+    from ray.data.aggregate import Max, Min
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def stat_partials(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        return pd.DataFrame(
+            {"d": np.arange(1, mat.shape[1] + 1, dtype=np.int64),
+             "part_mn": mat.min(axis=0), "part_mx": mat.max(axis=0)}
+        )
+
+    stats = (
+        ds.map_batches(stat_partials, batch_format="pandas")
+        .groupby("d")
+        .aggregate(Min("part_mn", alias_name="mn"), Max("part_mx", alias_name="mx"))
+        .to_pandas()  # dim rows — provably driver-safe
+        .sort_values("d")
+    )
+    lo = stats["mn"].to_numpy()
+    width = stats["mx"].to_numpy() - lo
+
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    state_ref = ray.put((q_ids, q_norm, lo, width))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids, qn, mn, w = ray.get(state_ref)
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        safe = np.where(w > 0, w, 1.0)
+        codes = np.floor((mat - mn) * 255.0 / safe)
+        codes = np.where(w > 0, codes, 0.0)
+        recon = mn + (codes * w) / 255.0
+        norms = np.linalg.norm(recon, axis=1, keepdims=True)
+        recon = recon / np.where(norms > 0, norms, 1.0)
+        sims = qn @ recon.T
+        vec_ids = df["vec_id"].to_numpy()
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi, qid in enumerate(ids):
+            mask = vec_ids != qid
+            s = sims[qi][mask]
+            v = vec_ids[mask]
+            if len(s) == 0:
+                continue
+            take = min(k, len(s))
+            order = np.lexsort((v, -s))[:take]
+            rows["query_id"].extend([int(qid)] * take)
+            rows["neighbor_id"].extend(v[order].astype("int64"))
+            rows["sim"].extend(s[order])
+        return pd.DataFrame(rows)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
+        df = df.head(k)
+        return pd.DataFrame(
+            {
+                "query_id": df["query_id"].astype("int64").to_numpy(),
+                "neighbor_id": df["neighbor_id"].astype("int64").to_numpy(),
+                "rank": np.arange(1, len(df) + 1, dtype="int64"),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas")
+    return grouped_block_map(partials, ["query_id"], final_topk)
+
+
+def sql_knn_search_sq(k: int = 5, n_queries: int = 10) -> str:
+    """Replay fit (per-dim min/max), SQ8 code + reconstruction with the
+    Ray side's exact float64 op order, then full-precision-query cosine
+    ranking over the reconstructed vectors."""
+    return (
+        "WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v, "
+        "unnest(generate_series(1, len(embedding))) AS d FROM embeddings), "
+        "s AS (SELECT d, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY d), "
+        "r AS (SELECT vec_id, d, CASE WHEN s.mx > s.mn THEN "
+        "s.mn + (floor((x.v - s.mn) * 255.0 / (s.mx - s.mn)) * (s.mx - s.mn)) "
+        "/ 255.0 ELSE s.mn END AS rv FROM x JOIN s USING (d)), "
+        "rec AS (SELECT vec_id, list(rv ORDER BY d) AS rvec FROM r "
+        "GROUP BY vec_id), "
+        f"q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+        f"ORDER BY vec_id LIMIT {n_queries}), "
+        "sims AS (SELECT q.query_id, rec.vec_id AS neighbor_id, "
+        "list_cosine_similarity("
+        "list_transform(q.embedding, y -> CAST(y AS DOUBLE)), rec.rvec) AS sim "
+        "FROM q CROSS JOIN rec WHERE rec.vec_id != q.query_id), "
+        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+        "FROM sims) "
+        f"SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}"
+    )

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "host_boilerplate",
     "dedup_keep_best",
     "host_components",
+    "knn_search_sq",
 ]
 
 

@@ -175,3 +175,38 @@ def test_embedding_quantize_constant_dim_is_zero(ray_session, tmp_path):
     )
     # dim 1 constant -> code 0; dim 2 spans [5,7] -> codes 0 and 255
     assert list(got["code_sum"]) == [0, 255]
+
+
+def test_knn_search_sq_matches_oracle(ray_session):
+    """SQ8 asymmetric search: Ray result equals the DuckDB replay of
+    fit + code + reconstruct + cosine rank; quantization binds (ranking
+    differs from full-precision knn for at least one query)."""
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import similarity
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        similarity.knn_search_sq(sf)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = (
+        con.execute(similarity.sql_knn_search_sq())
+        .fetchdf()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    full = (
+        similarity.knn_search(sf)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert not got.equals(full)
