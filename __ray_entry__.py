@@ -39,6 +39,9 @@ from action_pdf_accessibility_paddle_docker_ray.pipelines.flagship import (  # n
     domain_stats,
     pages_path_for,
 )
+from action_pdf_accessibility_paddle_docker_ray.sources import (  # noqa: E402
+    pages as pages_src,
+)
 from action_pdf_accessibility_paddle_docker_ray.stages.multimodal import (  # noqa: E402
     audio_window_features,
     image_features,
@@ -109,6 +112,10 @@ def _extract_spans(sf_dir: str):
     )
 
 
+def _orc_roundtrip(sf_dir: str):
+    return pages_src.orc_roundtrip(sf_dir)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _extract_docs(SF0001)
@@ -149,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_search_lsh": similarity.knn_search_lsh,
         "knn_search_ivf": similarity.knn_search_ivf,
         "knn_search_sq": similarity.knn_search_sq,
+        "orc_roundtrip": _orc_roundtrip,
         "kmeans_clusters": similarity.kmeans_clusters,
         "embedding_quantize": similarity.embedding_quantize,
         # multimodal stub stage (actor pool over binary payloads)
@@ -272,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": sql_oracles.sql_kmeans_clusters(dim, n_clusters=16),
         "embedding_quantize": similarity.sql_embedding_quantize(),
         "knn_search_sq": similarity.sql_knn_search_sq(),
+        "orc_roundtrip": pages_src.sql_orc_roundtrip(),
         "semantic_dedup": sql_oracles.sql_semantic_dedup(dim, n_clusters=16),
         "bm25_search": text_ops.sql_bm25_search(),
         "knn_search_ivf": sql_oracles.sql_knn_search_ivf(

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "host_components",
     "knn_search_sq",
+    "orc_roundtrip",
 ]
 
 

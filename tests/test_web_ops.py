@@ -382,3 +382,53 @@ def test_host_components_multi_and_singleton(ray_session, tmp_path):
     assert got["src1.example.com"] == h_src1  # singleton: own id
     assert got["alpha.example.com"] == got["src4.example.com"] == min(h_alpha, h_src4)
     assert len(got) == 3 and len(set(got.values())) == 2
+
+
+def test_orc_roundtrip_and_dispatch(ray_session, tmp_path):
+    """documents -> ORC sink -> sniffed read_any -> byte-equal frame;
+    pruned read ships only the requested columns."""
+    import pandas as pd
+
+    from action_pdf_accessibility_paddle_docker_ray.sources import pages as P
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "orc_out")
+    docs = P.read_table(sf, "documents")
+    P.write_any(docs, out, fmt="orc")
+    back = (
+        P.read_any(out)  # extensionless dir: sniffed as orc
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    orig = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[orig.columns.tolist()], orig)
+    pruned = P.read_any(out, columns=["doc_id", "lang"], fmt="orc")
+    assert set(pruned.schema().names) == {"doc_id", "lang"}
+
+
+def test_orc_roundtrip_query_matches_oracle(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.sources import pages as P
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        P.orc_roundtrip(sf)
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(P.sql_orc_roundtrip())
+        .fetchdf()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
