@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": text_ops.bpe_train,
         "bigram_logprob": text_ops.bigram_logprob,
         "approx_quantiles": analytics.approx_quantiles,
+        "key_skew_profile": analytics.key_skew_profile,
         "bpe_encode": text_ops.bpe_encode,
         "warc_index": web_ops.warc_index,
         # ---- entries past the driver's 50-entry recording window ----
@@ -507,6 +508,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": analytics.sql_pagerank(),
         "token_quantiles": analytics.sql_token_quantiles(),
         "approx_quantiles": analytics.sql_approx_quantiles(),
+        "key_skew_profile": analytics.sql_key_skew_profile(),
         "label_centroids": analytics.sql_label_centroids(),
         "countmin_tokens": analytics.sql_countmin_tokens(),
         "table_profile": analytics.sql_table_profile(),

@@ -825,3 +825,74 @@ def sql_approx_quantiles(*, target: int = _AQ_TARGET) -> str:
         "CROSS JOIN m JOIN r ON r.rn = (d.d * m.c + 9) // 10 "
         "ORDER BY decile"
     )
+
+
+# ---------------------------------------------------------------------------
+# key_skew_profile: the pre-shuffle hot-key diagnostic
+# ---------------------------------------------------------------------------
+
+
+def key_skew_profile(sf_dir: str, *, topk: int = 10) -> pd.DataFrame:
+    """Top-k hottest shuffle keys of the events table (``user_id``) with
+    their exact counts and milli-share of all rows — the diagnostic an
+    engine runs BEFORE picking salt factors for a skewed groupby/join
+    (every salted op in `joins.py` assumes someone measured the skew).
+
+    Scale plan: per-batch (key, count) combiner partials into ONE grouped
+    exchange (key-cardinality-sized, narrow rows); the global top-k is a
+    distributed ``sort().limit()`` over the counts table — the same
+    pruned top-k shape as ``top_longest``; one scalar (total rows) plus
+    k rows reach the driver.  Output: (rank, user_id, n_rows, pct_milli).
+    """
+    ensure_picklable()
+    import ray.data as rd
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    total = ds.count()  # one scalar
+    if total == 0:
+        return pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "pct_milli": pd.Series([], dtype="int64"),
+            }
+        )
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False).size().reset_index(name="c")
+        g["user_id"] = g["user_id"].astype("int64")
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    counts = _grouped_sum(
+        ds.map_batches(partials, batch_format="pandas"), ["user_id"]
+    )
+    top = (
+        counts.sort(["c", "user_id"], descending=[True, False])
+        .limit(topk)
+        .to_pandas()
+    )
+    top = top.reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "user_id": top["user_id"].astype("int64"),
+            "n_rows": top["c"].astype("int64"),
+            "pct_milli": (top["c"].to_numpy(dtype=np.int64) * 1000) // total,
+        }
+    )
+
+
+def sql_key_skew_profile(topk: int = 10) -> str:
+    return (
+        "WITH c AS (SELECT user_id, count(*) AS n FROM events "
+        "GROUP BY user_id), "
+        "t AS (SELECT count(*) AS total FROM events), "
+        "r AS (SELECT user_id, n, row_number() OVER "
+        "(ORDER BY n DESC, user_id) AS rank FROM c) "
+        "SELECT CAST(rank AS BIGINT) AS rank, user_id, "
+        "CAST(n AS BIGINT) AS n_rows, "
+        "CAST((n * 1000) // t.total AS BIGINT) AS pct_milli "
+        f"FROM r CROSS JOIN t WHERE rank <= {topk}"
+    )

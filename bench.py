@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "host_components",
     "knn_search_sq",
     "orc_roundtrip",
+    "key_skew_profile",
 ]
 
 

@@ -360,3 +360,49 @@ def test_approx_quantiles_small_table_full_sample(ray_session, tmp_path):
     # rank ceil(d*10/10) = d  ->  value (d * 1e6)^2
     want = [(d * 1_000_000) ** 2 for d in range(1, 10)]
     assert list(got["value_q"]) == want
+
+
+def test_key_skew_profile_matches_oracle(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        key_skew_profile,
+        sql_key_skew_profile,
+    )
+
+    got = key_skew_profile(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = con.execute(sql_key_skew_profile()).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+    assert (got["n_rows"].diff().dropna() <= 0).all()  # descending counts
+
+
+def test_key_skew_profile_planted_hot_key(ray_session, tmp_path):
+    """A planted 80%-hot key dominates rank 1 with the right milli-share."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        key_skew_profile,
+    )
+
+    users = [7] * 80 + list(range(100, 120))
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(users)), pa.int64()),
+            "ts": pa.array([0] * len(users), pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(["x"] * len(users)),
+            "value": pa.array([0.0] * len(users)),
+            "props": pa.array(["{}"] * len(users)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = key_skew_profile(str(tmp_path))
+    assert int(got.loc[0, "user_id"]) == 7
+    assert int(got.loc[0, "n_rows"]) == 80
+    assert int(got.loc[0, "pct_milli"]) == 800
