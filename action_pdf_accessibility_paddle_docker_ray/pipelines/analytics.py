@@ -78,6 +78,48 @@ def _edge_dsts(node: np.ndarray, n_nodes: int, min_id: int) -> list[np.ndarray]:
     ]
 
 
+def _pr_step(
+    ranks: ray.data.Dataset, n_nodes: int, min_id: int, base: int
+) -> ray.data.Dataset:
+    """One PageRank iteration: contribution fan-out with a batch-local
+    combiner, one grouped exchange, rank update.  Shared by ``pagerank``
+    and the per-iteration-checkpointing resumable runner
+    (``state/op_resume.py``)."""
+
+    def contribs(df: pd.DataFrame) -> pd.DataFrame:
+        node = df["node"].to_numpy(dtype=np.int64)
+        share = df["r"].to_numpy(dtype=np.int64) // np.int64(_PR_OUT_DEGREE)
+        dsts = _edge_dsts(node, n_nodes, min_id)
+        out = pd.DataFrame(
+            {
+                "node": np.concatenate(dsts + [node]),
+                "c": np.concatenate(
+                    [share] * _PR_OUT_DEGREE + [np.zeros(len(df), dtype=np.int64)]
+                ),
+                "own": np.concatenate(
+                    [np.zeros(len(df) * _PR_OUT_DEGREE, dtype=np.int64),
+                     np.ones(len(df), dtype=np.int64)]
+                ),
+            }
+        )
+        # batch-local combiner: collapse duplicate dsts before the exchange
+        return out.groupby("node", as_index=False, sort=False).sum()
+
+    def update(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["own"] > 0]
+        return pd.DataFrame(
+            {
+                "node": df["node"].to_numpy(dtype=np.int64),
+                "r": np.int64(base)
+                + (np.int64(_PR_DAMP_NUM) * df["c"].to_numpy(dtype=np.int64))
+                // np.int64(_PR_DAMP_DEN),
+            }
+        )
+
+    summed = _grouped_sum(ranks.map_batches(contribs, batch_format="pandas"), ["node"])
+    return summed.map_batches(update, batch_format="pandas")
+
+
 def pagerank(sf_dir: str, *, iters: int = _PR_ITERS) -> ray.data.Dataset:
     """Integer-exact PageRank over the deterministic document link graph.
 
@@ -126,41 +168,8 @@ def pagerank(sf_dir: str, *, iters: int = _PR_ITERS) -> ray.data.Dataset:
     n_blocks = max(1, n_nodes // 250_000)
     ranks = ids.map_batches(init_rows, batch_format="pandas").repartition(n_blocks)
 
-    def contribs(df: pd.DataFrame) -> pd.DataFrame:
-        node = df["node"].to_numpy(dtype=np.int64)
-        share = df["r"].to_numpy(dtype=np.int64) // np.int64(_PR_OUT_DEGREE)
-        dsts = _edge_dsts(node, n_nodes, min_id)
-        out = pd.DataFrame(
-            {
-                "node": np.concatenate(dsts + [node]),
-                "c": np.concatenate(
-                    [share] * _PR_OUT_DEGREE + [np.zeros(len(df), dtype=np.int64)]
-                ),
-                "own": np.concatenate(
-                    [np.zeros(len(df) * _PR_OUT_DEGREE, dtype=np.int64),
-                     np.ones(len(df), dtype=np.int64)]
-                ),
-            }
-        )
-        # batch-local combiner: collapse duplicate dsts before the exchange
-        return out.groupby("node", as_index=False, sort=False).sum()
-
-    def update(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["own"] > 0]
-        return pd.DataFrame(
-            {
-                "node": df["node"].to_numpy(dtype=np.int64),
-                "r": np.int64(base)
-                + (np.int64(_PR_DAMP_NUM) * df["c"].to_numpy(dtype=np.int64))
-                // np.int64(_PR_DAMP_DEN),
-            }
-        )
-
     for _ in range(iters):
-        summed = _grouped_sum(
-            ranks.map_batches(contribs, batch_format="pandas"), ["node"]
-        )
-        ranks = summed.map_batches(update, batch_format="pandas")
+        ranks = _pr_step(ranks, n_nodes, min_id, base)
 
     def rename(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": df["node"], "rank_q": df["r"]})

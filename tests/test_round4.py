@@ -586,3 +586,36 @@ def test_dedup_keep_best_keeps_longest(ray_session, tmp_path):
     assert 1 in got  # the longest cluster member wins
     assert 0 not in got and 2 not in got
     assert 3 in got  # unclustered doc untouched
+
+
+# --- resumable pagerank -----------------------------------------------------
+
+
+def test_pagerank_resumable_kill_restart(ray_session, tmp_path):
+    """Kill after 2 of 5 iterations; the restart resumes from iteration 2
+    and the final ranks are bit-identical to the straight pipeline."""
+    import pyarrow.dataset as pads
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import pagerank
+    from action_pdf_accessibility_paddle_docker_ray.state.op_resume import (
+        run_pagerank_resumable,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "pr")
+    r1 = run_pagerank_resumable(sf, out, iters=5, stop_after_iters=2)
+    assert r1["resumed_from"] == 0 and r1["iters_run"] == 2
+    r2 = run_pagerank_resumable(sf, out, iters=5)
+    assert r2["resumed_from"] == 2 and r2["iters_run"] == 3
+    got = (
+        pads.dataset(str(tmp_path / "pr" / "ranks"))
+        .to_table()
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = pagerank(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["doc_id", "rank_q"]], want, check_dtype=False)
+    # a third run with everything committed re-runs nothing
+    r3 = run_pagerank_resumable(sf, out, iters=5)
+    assert r3["resumed_from"] == 5 and r3["iters_run"] == 0
