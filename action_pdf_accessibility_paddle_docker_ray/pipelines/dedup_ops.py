@@ -1435,3 +1435,119 @@ def sql_dedup_keep_best(threshold: float = 0.7, k: int = 5) -> str:
         "SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN "
         "(SELECT doc_id FROM w WHERE rn > 1)"
     )
+
+
+def incremental_fuzzy_dedup(
+    sf_dir: str, *, num_perm: int = 126, bands: int = 42, threshold: float = 0.7,
+    shingle_k: int = 5, drop_broadcast_max: int = _DROP_BROADCAST_MAX,
+) -> "ray.data.Dataset":
+    """Incremental NEAR-dup screening of a new crawl against the kept
+    corpus — the fuzzy sibling of ``text_ops.incremental_dedup`` (exact
+    content anti-join): a new document is dropped iff its exact
+    char-k-gram Jaccard against ANY existing document reaches
+    ``threshold``.  Same deterministic id-median split as the exact op
+    (lower half = existing corpus, upper half = new crawl; two scalars to
+    the driver).
+
+    Plan: ONE shared LSH banding pass over both sides (the same
+    r=3/b=42 recall math as ``minhash_dedup`` — ~2e-8 boundary miss),
+    then only CROSS-SIDE candidates (a < split <= b) reach the exact
+    verify, so intra-side duplicate mass — the bulk of a crawl's pair
+    space — never pays verification here; internal new-side near-dups
+    are ``dedup_corpus``'s job on the surviving half.  The drop set
+    (new ids with a verified existing near-dup) is output-sized:
+    broadcast under ``drop_broadcast_max``, else a tagged-sides grouped
+    anti-join.  Output: (doc_id,) of surviving new-crawl documents.
+    """
+    import ray
+
+    from .util import grouped_block_map
+
+    ensure_picklable()
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    lo, hi = docs.min("doc_id"), docs.max("doc_id")
+    split = (lo + hi + 1) // 2
+
+    cands = lsh_candidate_pairs(
+        docs, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        est_prefilter=threshold - 0.25,
+    )
+
+    def cross_only(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["a"] < split) & (df["b"] >= split)
+        return df[m]
+
+    cross = cands.map_batches(cross_only, batch_format="pandas")
+    verified = exact_jaccard_verify(cross, docs, k=shingle_k, threshold=threshold)
+
+    def drop_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": pd.unique(df["b"].to_numpy()).astype("int64")}
+        )
+
+    drop_ds = verified.map_batches(drop_rows, batch_format="pandas").materialize()
+    n_drop = drop_ds.count()
+
+    def new_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"][df["doc_id"] >= split].astype("int64")}
+        )
+
+    new_ids = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        new_side, batch_format="pandas"
+    )
+
+    if n_drop <= drop_broadcast_max:
+        drop = frozenset(
+            int(d)
+            for d in drop_ds.to_pandas().get("doc_id", pd.Series([], dtype="int64"))
+        )
+        drop_ref = ray.put(drop)
+
+        def keep_fn(df: pd.DataFrame) -> pd.DataFrame:
+            dropped = ray.get(drop_ref)
+            return pd.DataFrame(
+                {"doc_id": df["doc_id"][~df["doc_id"].isin(dropped)].astype("int64")}
+            )
+
+        return new_ids.map_batches(keep_fn, batch_format="pandas")
+
+    def tag_ids(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "is_drop": np.zeros(len(df), dtype=np.int64)}
+        )
+
+    def tag_drop(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "is_drop": np.ones(len(df), dtype=np.int64)}
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["is_drop"] > 0).any():
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])]})
+
+    both = new_ids.map_batches(tag_ids, batch_format="pandas").union(
+        drop_ds.map_batches(tag_drop, batch_format="pandas")
+    )
+    return grouped_block_map(both, ["doc_id"], resolve)
+
+
+def sql_incremental_fuzzy_dedup(threshold: float = 0.7, k: int = 5) -> str:
+    """Exact cross-side Jaccard anti-join in DuckDB (banding recall is
+    exact at gate similarity levels — same argument as minhash_dedup)."""
+    from .sql_oracles import _gramset_cte
+
+    return (
+        f"WITH {_gramset_cte(k)}, "
+        "sp AS (SELECT (MIN(doc_id) + MAX(doc_id) + 1) // 2 AS s "
+        "FROM documents), "
+        "dropped AS (SELECT DISTINCT b.doc_id FROM g a JOIN g b "
+        "ON a.doc_id < (SELECT s FROM sp) AND b.doc_id >= (SELECT s FROM sp) "
+        "WHERE len(list_intersect(a.grams, b.grams))::DOUBLE "
+        f"/ len(list_distinct(list_concat(a.grams, b.grams))) >= {threshold}) "
+        "SELECT d.doc_id FROM documents d WHERE d.doc_id >= (SELECT s FROM sp) "
+        "AND d.doc_id NOT IN (SELECT doc_id FROM dropped)"
+    )

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "knn_search_sq",
     "orc_roundtrip",
     "key_skew_profile",
+    "incremental_fuzzy_dedup",
 ]
 
 

@@ -619,3 +619,70 @@ def test_pagerank_resumable_kill_restart(ray_session, tmp_path):
     # a third run with everything committed re-runs nothing
     r3 = run_pagerank_resumable(sf, out, iters=5)
     assert r3["resumed_from"] == 5 and r3["iters_run"] == 0
+
+
+# --- incremental_fuzzy_dedup ------------------------------------------------
+
+
+def test_incremental_fuzzy_dedup_matches_oracle(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import dedup_ops
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        dedup_ops.incremental_fuzzy_dedup(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(dedup_ops.sql_incremental_fuzzy_dedup())
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the screen binds: some new docs are near-dups of the existing half
+    n_new = 250
+    assert 0 < len(got) < n_new
+    # anti-join path identical
+    b = (
+        dedup_ops.incremental_fuzzy_dedup(sf, drop_broadcast_max=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, b)
+
+
+def test_incremental_fuzzy_dedup_planted(ray_session, tmp_path):
+    """A new doc that is a light edit of an existing doc is dropped; a
+    genuinely novel new doc survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import dedup_ops
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 10
+    novel = "completely different content about distributed dataflow systems " * 10
+    # ids 0,1 = existing; 10,11 = new (split = (0+11+1)//2 = 6)
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 10, 11], pa.int64()),
+            "text": pa.array([base, novel[::-1], base + "tail edit", novel]),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([1] * 4, pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = set(
+        dedup_ops.incremental_fuzzy_dedup(str(tmp_path)).to_pandas()["doc_id"]
+    )
+    assert 10 not in got  # near-dup of existing doc 0
+    assert 11 in got  # novel content survives
