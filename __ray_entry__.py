@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_decontaminate": text_ops.ngram_decontaminate,
         "text_normalize": text_ops.text_normalize,
         "orders_lineitem_join": joins.orders_lineitem_join,
+        "customer_big_orders_left_join": joins.customer_big_orders_left_join,
         "repetition_stats": text_ops.repetition_stats,
         "token_count": text_ops.token_count,
         "hash_split": sampling.hash_split,
@@ -408,6 +409,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(SUM(l.l_quantity), 0) AS BIGINT) AS sum_qty "
             "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "GROUP BY o.o_orderpriority"
+        ),
+        "customer_big_orders_left_join": (
+            joins.sql_customer_big_orders_left_join()
         ),
         "events_asof_order": (
             "SELECT e.event_id, epoch_us(o.o_orderdate) AS order_ts_us "

@@ -332,3 +332,115 @@ def events_asof_order(sf_dir: str, *, salt: int = 1) -> ray.data.Dataset:
         )
 
     return grouped_block_map(both, ["key"], asof_key)
+
+
+_BIG_ORDER_MIN = 300_000.0
+
+
+def customer_big_orders_left_join(sf_dir: str) -> ray.data.Dataset:
+    """LEFT OUTER join — the missing outer member of the join family:
+    per market segment, how many customers exist, how many have placed
+    NO large order (``o_totalprice > 300000`` — the outer leg that an
+    inner join would silently drop), and how many large orders the
+    segment placed in total.
+
+    Scale plan: the order side is row-filtered AT THE READ (pyarrow
+    predicate pushdown — non-qualifying row groups never leave storage)
+    and per-batch count-combined to one (custkey, n) row per batch;
+    both sides co-partition on ``custkey % JOIN_BUCKETS`` — one grouped
+    exchange; each bucket does a vectorized left merge with zero-fill;
+    segment partials fold in a 5-row final groupby.  Output:
+    (c_mktsegment, n_customers, n_no_big, n_big_orders).
+    """
+    ensure_picklable()
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    big = read_table(
+        sf_dir, "orders", columns=["o_custkey"],
+        filter_expr=(pads.field("o_totalprice") > _BIG_ORDER_MIN),
+    )
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["c_custkey"].astype("int64"),
+                "bucket": (df["c_custkey"] % JOIN_BUCKETS).astype("int64"),
+                "side": "c",
+                "segment": df["c_mktsegment"],
+                "cnt": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        # batch-local combiner: one (custkey, count) row per batch
+        g = df.groupby("o_custkey", sort=False).size().reset_index(name="cnt")
+        return pd.DataFrame(
+            {
+                "key": g["o_custkey"].astype("int64"),
+                "bucket": (g["o_custkey"] % JOIN_BUCKETS).astype("int64"),
+                "side": "o",
+                "segment": "",
+                "cnt": g["cnt"].astype("int64"),
+            }
+        )
+
+    both = cust.map_batches(tag_cust, batch_format="pandas").union(
+        big.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["side"] == "c"][["key", "segment"]]
+        if len(c) == 0:
+            return pd.DataFrame(
+                {"segment": pd.Series([], dtype="object"),
+                 "p_cust": pd.Series([], dtype="int64"),
+                 "p_nobig": pd.Series([], dtype="int64"),
+                 "p_orders": pd.Series([], dtype="int64")}
+            )
+        o = (
+            df[df["side"] == "o"]
+            .groupby("key", as_index=False, sort=False)["cnt"]
+            .sum()
+        )
+        j = c.merge(o, on="key", how="left")  # LEFT: unmatched keep NaN
+        j["cnt"] = j["cnt"].fillna(0).astype("int64")
+        g = j.groupby("segment", sort=False).agg(
+            p_cust=("cnt", "size"),
+            p_nobig=("cnt", lambda s: int((s == 0).sum())),
+            p_orders=("cnt", "sum"),
+        )
+        return g.reset_index()
+
+    partials = grouped_block_map(both, ["bucket"], join_bucket)
+    agg = partials.groupby("segment").aggregate(
+        Sum("p_cust", alias_name="n_customers"),
+        Sum("p_nobig", alias_name="n_no_big"),
+        Sum("p_orders", alias_name="n_big_orders"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": df["segment"],
+                "n_customers": df["n_customers"].astype("int64"),
+                "n_no_big": df["n_no_big"].astype("int64"),
+                "n_big_orders": df["n_big_orders"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def sql_customer_big_orders_left_join() -> str:
+    return (
+        "WITH big AS (SELECT o_custkey, count(*) AS c FROM orders "
+        f"WHERE o_totalprice > {_BIG_ORDER_MIN} GROUP BY o_custkey) "
+        "SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers, "
+        "CAST(SUM(CASE WHEN b.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_no_big, "
+        "CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS n_big_orders "
+        "FROM customer c LEFT JOIN big b ON c.c_custkey = b.o_custkey "
+        "GROUP BY c.c_mktsegment"
+    )

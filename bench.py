@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "orc_roundtrip",
     "key_skew_profile",
     "incremental_fuzzy_dedup",
+    "customer_big_orders_left_join",
 ]
 
 

@@ -686,3 +686,36 @@ def test_incremental_fuzzy_dedup_planted(ray_session, tmp_path):
     )
     assert 10 not in got  # near-dup of existing doc 0
     assert 11 in got  # novel content survives
+
+
+# --- customer_big_orders_left_join ------------------------------------------
+
+
+def test_left_join_matches_oracle_and_outer_leg_binds(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import joins
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        joins.customer_big_orders_left_join(sf)
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    want = (
+        con.execute(joins.sql_customer_big_orders_left_join())
+        .fetchdf()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # outer-leg binding: some customers have no big order, and an inner
+    # join would have lost them
+    assert got["n_no_big"].sum() > 0
+    assert got["n_customers"].sum() == 150
