@@ -158,17 +158,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_search_ivf": similarity.knn_search_ivf,
         "knn_search_sq": similarity.knn_search_sq,
         "orc_roundtrip": _orc_roundtrip,
-        "kmeans_clusters": similarity.kmeans_clusters,
         "embedding_quantize": similarity.embedding_quantize,
         # multimodal stub stage (actor pool over binary payloads)
         "image_features": image_features,
         "video_frame_sample": video_frame_sample,
         "audio_window_features": audio_window_features,
         # text analysis (SQL-checked)
-        "exact_dedup": text_ops.exact_dedup,
+        "bigram_logprob": text_ops.bigram_logprob,
+        "approx_quantiles": analytics.approx_quantiles,
+        "key_skew_profile": analytics.key_skew_profile,
+        "customer_big_orders_left_join": joins.customer_big_orders_left_join,
         "tfidf_topk": text_ops.tfidf_topk,
-        "quality_classifier": text_ops.quality_classifier,
-        "paragraph_dedup": text_ops.paragraph_dedup,
         "incremental_dedup": text_ops.incremental_dedup,
         "substring_dedup": text_ops.substring_dedup,
         "bloom_screen": web_ops.bloom_screen,
@@ -205,10 +205,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 source format + tokenizer training (new — in-window)
         "warc_extract": web_ops.warc_extract,
         "bpe_train": text_ops.bpe_train,
-        "bigram_logprob": text_ops.bigram_logprob,
-        "approx_quantiles": analytics.approx_quantiles,
-        "key_skew_profile": analytics.key_skew_profile,
         "bpe_encode": text_ops.bpe_encode,
+        # displaced from the recording window this session: unchanged
+        # since their green CORRECTNESS_r03 rows, still pytest-pinned
+        "kmeans_clusters": similarity.kmeans_clusters,
+        "exact_dedup": text_ops.exact_dedup,
+        "quality_classifier": text_ops.quality_classifier,
+        "paragraph_dedup": text_ops.paragraph_dedup,
         "warc_index": web_ops.warc_index,
         # ---- entries past the driver's 50-entry recording window ----
         # (everything below is byte-unchanged since its green
@@ -231,7 +234,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_decontaminate": text_ops.ngram_decontaminate,
         "text_normalize": text_ops.text_normalize,
         "orders_lineitem_join": joins.orders_lineitem_join,
-        "customer_big_orders_left_join": joins.customer_big_orders_left_join,
         "repetition_stats": text_ops.repetition_stats,
         "token_count": text_ops.token_count,
         "hash_split": sampling.hash_split,
