@@ -427,7 +427,18 @@ def exact_jaccard_verify(
     import ray
 
     pairs = pairs.materialize()  # consumed twice (count + verify)
-    if pairs.count() <= broadcast_limit:
+    n_cands = pairs.count()
+    if n_cands == 0:  # empty shard (resume/retry path): no candidates
+        import ray.data as _rd
+
+        return _rd.from_pandas(
+            pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"),
+                 "b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")}
+            )
+        )
+    if n_cands <= broadcast_limit:
         # broadcast path: one distributed filtered scan gathers the texts
         # of the involved docs (bounded by the candidate count), broadcast
         # once; pairs verify in place with no exchange
@@ -1308,6 +1319,8 @@ def dedup_keep_best(
     docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
     n_comp = comp.count()  # scalar
+    if n_comp == 0:  # no clusters (or empty shard): every doc survives
+        return read_table(sf_dir, "documents", columns=["doc_id"])
     if n_comp <= drop_broadcast_max:
         comp_df = comp.to_pandas()
         rep_ref = ray.put(
@@ -1466,6 +1479,10 @@ def incremental_fuzzy_dedup(
     ensure_picklable()
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     lo, hi = docs.min("doc_id"), docs.max("doc_id")
+    if lo is None:  # empty shard (resume/retry path)
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        )
     split = (lo + hi + 1) // 2
 
     cands = lsh_candidate_pairs(

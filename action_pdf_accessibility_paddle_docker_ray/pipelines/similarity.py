@@ -409,8 +409,17 @@ def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
         .groupby("d")
         .aggregate(Min("part_mn", alias_name="mn"), Max("part_mx", alias_name="mx"))
         .to_pandas()  # dim rows — provably driver-safe
-        .sort_values("d")
     )
+    if stats.empty:  # empty shard (resume/retry path)
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"vec_id": pd.Series([], dtype="int64"),
+                 "code_sum": pd.Series([], dtype="int64"),
+                 "code_sqsum": pd.Series([], dtype="int64"),
+                 "dim": pd.Series([], dtype="int64")}
+            )
+        )
+    stats = stats.sort_values("d")
     mn = stats["mn"].to_numpy()
     mx = stats["mx"].to_numpy()
     span_ref = ray.put((mn, mx))
@@ -477,8 +486,16 @@ def knn_search_sq(sf_dir: str, *, k: int = 5, n_queries: int = 10) -> ray.data.D
         .groupby("d")
         .aggregate(Min("part_mn", alias_name="mn"), Max("part_mx", alias_name="mx"))
         .to_pandas()  # dim rows — provably driver-safe
-        .sort_values("d")
     )
+    if stats.empty:  # empty shard (resume/retry path)
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "neighbor_id": pd.Series([], dtype="int64"),
+                 "rank": pd.Series([], dtype="int64")}
+            )
+        )
+    stats = stats.sort_values("d")
     lo = stats["mn"].to_numpy()
     width = stats["mx"].to_numpy() - lo
 

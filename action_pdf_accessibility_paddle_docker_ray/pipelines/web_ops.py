@@ -1022,8 +1022,11 @@ def host_boilerplate(sf_dir: str, *, thresh: int = _HB_THRESH) -> ray.data.Datas
 
     n_bp = bp.count()  # one scalar to the driver
     if n_bp <= _HB_BROADCAST_MAX:
-        bp_df = bp.to_pandas()
-        bp_ref = ray.put(set(bp_df["source"] + "\x1f" + bp_df["lh"]))
+        if n_bp == 0:  # empty shard / no boilerplate (resume-retry path)
+            bp_ref = ray.put(set())
+        else:
+            bp_df = bp.to_pandas()
+            bp_ref = ray.put(set(bp_df["source"] + "\x1f" + bp_df["lh"]))
 
         def scrub(df: pd.DataFrame) -> pd.DataFrame:
             bps = ray.get(bp_ref)

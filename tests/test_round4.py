@@ -719,3 +719,87 @@ def test_left_join_matches_oracle_and_outer_leg_binds(ray_session):
     # join would have lost them
     assert got["n_no_big"].sum() > 0
     assert got["n_customers"].sum() == 150
+
+
+# --- empty-shard safety (resume/retry path) ---------------------------------
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("empty_sf")
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string()),
+             "lang": pa.array([], pa.string()), "source": pa.array([], pa.string()),
+             "n_chars": pa.array([], pa.int64())}
+        ), str(d / "documents.parquet"))
+    pq.write_table(
+        pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "embedding": pa.array([], pa.list_(pa.float32())),
+             "label": pa.array([], pa.int32())}
+        ), str(d / "embeddings.parquet"))
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array([], pa.int64()), "ts": pa.array([], pa.int64()),
+             "user_id": pa.array([], pa.int64()),
+             "event_type": pa.array([], pa.string()),
+             "value": pa.array([], pa.float64()),
+             "props": pa.array([], pa.string())}
+        ), str(d / "events.parquet"))
+    pq.write_table(
+        pa.table(
+            {"c_custkey": pa.array([], pa.int64()), "c_name": pa.array([], pa.string()),
+             "c_nationkey": pa.array([], pa.int64()),
+             "c_acctbal": pa.array([], pa.float64()),
+             "c_mktsegment": pa.array([], pa.string())}
+        ), str(d / "customer.parquet"))
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array([], pa.int64()), "o_custkey": pa.array([], pa.int64()),
+             "o_orderstatus": pa.array([], pa.string()),
+             "o_totalprice": pa.array([], pa.float64()),
+             "o_orderdate": pa.array([], pa.timestamp("us")),
+             "o_orderpriority": pa.array([], pa.string())}
+        ), str(d / "orders.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "opname",
+    ["approx_quantiles", "key_skew_profile", "host_boilerplate",
+     "host_components", "dedup_keep_best", "incremental_fuzzy_dedup",
+     "knn_search_sq", "embedding_quantize",
+     "customer_big_orders_left_join", "orc_roundtrip"],
+)
+def test_session_ops_empty_shard_safe(ray_session, empty_sf, opname):
+    """Every op added this session returns 0 rows (no crash) on empty
+    input tables — the shape a resume/retry shard presents."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import (
+        analytics,
+        dedup_ops,
+        joins,
+        similarity,
+        web_ops,
+    )
+    from action_pdf_accessibility_paddle_docker_ray.sources import pages as P
+
+    fns = {
+        "approx_quantiles": analytics.approx_quantiles,
+        "key_skew_profile": analytics.key_skew_profile,
+        "host_boilerplate": web_ops.host_boilerplate,
+        "host_components": web_ops.host_components,
+        "dedup_keep_best": dedup_ops.dedup_keep_best,
+        "incremental_fuzzy_dedup": dedup_ops.incremental_fuzzy_dedup,
+        "knn_search_sq": similarity.knn_search_sq,
+        "embedding_quantize": similarity.embedding_quantize,
+        "customer_big_orders_left_join": joins.customer_big_orders_left_join,
+        "orc_roundtrip": P.orc_roundtrip,
+    }
+    r = fns[opname](empty_sf)
+    if hasattr(r, "to_pandas"):
+        r = r.to_pandas()
+    assert len(r) == 0
