@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_screen": web_ops.bloom_screen,
         # round-4 search ops (new — inside the window)
         "bm25_search": text_ops.bm25_search,
+        "rerank_search": text_ops.rerank_search,
         "semantic_dedup": similarity.semantic_dedup,
         "dsir_sample": text_ops.dsir_sample,
         "anchor_stats": web_ops.anchor_stats,
@@ -289,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": pages_src.sql_orc_roundtrip(),
         "semantic_dedup": sql_oracles.sql_semantic_dedup(dim, n_clusters=16),
         "bm25_search": text_ops.sql_bm25_search(),
+        "rerank_search": text_ops.sql_rerank_search(),
         "knn_search_ivf": sql_oracles.sql_knn_search_ivf(
             dim, k=5, n_queries=10, n_clusters=16, n_probe=4
         ),

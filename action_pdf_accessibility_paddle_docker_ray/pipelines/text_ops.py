@@ -2327,3 +2327,162 @@ def sql_bpe_encode(n_merges: int = _BPE_MERGES) -> str:
         f"CAST(SUM(len(w.syms)) AS BIGINT) AS n_bpe_tokens "
         f"FROM docw JOIN {final_w} w USING (word) GROUP BY docw.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# rerank_search: the retrieve -> rerank composition (bi-encoder retrieval +
+# cross-encoder rerank, the standard two-stage search stack).  The
+# "cross-encoder" is the deterministic stand-in at the exact seam a real
+# model would load (quality_classifier precedent): its logit is the
+# candidate's total query-term frequency in integer micro-units plus an
+# fmix32 interaction hash as the sub-unit tie-break, so DuckDB replays the
+# whole model bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_RERANK_K = 3
+_RERANK_MUL = 2654435761
+
+
+class _RerankStage:
+    """Cross-encoder rerank stage: query structures + the hash 'model'
+    built ONCE per actor in __init__ (the model-load seam); per-batch
+    scoring in __call__."""
+
+    def __init__(self, queries: tuple, cand_ref) -> None:
+        import ray
+
+        self.queries = [tuple(q) for q in queries]
+        self.cands = ray.get(cand_ref)  # {doc_id: [query_id, ...]}
+
+    def __call__(self, df: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        from .sampling import fmix32_np
+
+        rows_q, rows_d, rows_s = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            qids = self.cands.get(int(doc_id))
+            if not qids:
+                continue
+            toks = [t for t in re.split(r"\s+", text) if t]
+            counts: dict[str, int] = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            for qid in qids:
+                tf = sum(counts.get(term, 0) for term in self.queries[qid])
+                h = int(
+                    fmix32_np(
+                        np.array(
+                            [(int(doc_id) * _RERANK_MUL + qid) % (1 << 32)],
+                            dtype=np.uint64,
+                        )
+                    )[0]
+                )
+                rows_q.append(qid)
+                rows_d.append(int(doc_id))
+                rows_s.append(tf * 1_000_000 + h % 1_000_000)
+        return pd.DataFrame(
+            {
+                "query_id": pd.array(rows_q, dtype="int64"),
+                "doc_id": pd.array(rows_d, dtype="int64"),
+                "score2": pd.array(rows_s, dtype="int64"),
+            }
+        )
+
+
+def rerank_search(
+    sf_dir: str, *, k: int = _BM25_K, rerank_k: int = _RERANK_K,
+    queries: tuple = _BM25_QUERIES,
+) -> ray.data.Dataset:
+    """Two-stage search: BM25 retrieves ``k`` candidates per query, an
+    actor-pool "cross-encoder" rescans only the candidate documents and
+    reranks them by true query-term frequency (micro-units) plus an
+    fmix32 interaction tie-break, keeping ``rerank_k``.
+
+    Scale design: the candidate table is parameter-bounded
+    (n_queries × k rows — the one legitimately driver-sized artifact,
+    same contract as the broadcast query matrix in ``knn_search``); it
+    broadcasts as a {doc_id: queries} map, the document scan filters to
+    candidate docs only (the rerank never touches the corpus beyond
+    them), scoring is a stateful actor-pool stage, and the final
+    per-query ranking is a candidate-sized grouped exchange.  Output:
+    (query_id, doc_id, rerank, score2).
+    """
+    ensure_picklable()
+    import ray
+
+    from .util import grouped_block_map
+
+    cands = bm25_search(sf_dir, k=k, queries=queries).to_pandas()
+    cand_map: dict[int, list[int]] = {}
+    for qid, did in zip(cands["query_id"], cands["doc_id"]):
+        cand_map.setdefault(int(did), []).append(int(qid))
+    cand_ref = ray.put(cand_map)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = docs.map_batches(
+        _RerankStage,
+        fn_constructor_args=(queries, cand_ref),
+        batch_format="pandas",
+        concurrency=(1, 2),
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = g.sort_values(["score2", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(rerank_k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype("int64").to_numpy(),
+                "doc_id": g["doc_id"].astype("int64").to_numpy(),
+                "rerank": np.arange(1, len(g) + 1, dtype="int64"),
+                "score2": g["score2"].astype("int64").to_numpy(),
+            }
+        )
+
+    return grouped_block_map(scored, ["query_id"], finish)
+
+
+def sql_rerank_search(
+    k: int = _BM25_K, rerank_k: int = _RERANK_K, queries: tuple = _BM25_QUERIES
+) -> str:
+    """Replay retrieval (the BM25 oracle), candidate-only term counts, the
+    fmix32 interaction hash, and the rerank window."""
+    from .sql_oracles import _fmix32_ctes
+
+    bm25 = sql_bm25_search(k=k, queries=queries)
+    qvocab = sorted({t for q in queries for t in q})
+    in_list = ", ".join(f"'{t}'" for t in qvocab)
+    q_values = ", ".join(
+        f"({qi}, '{tk}')" for qi, q in enumerate(queries) for tk in q
+    )
+    frag, final = _fmix32_ctes(
+        "rr", "rr_h0", ["query_id", "doc_id", "tf"], "h0", "hv"
+    )
+    return (
+        f"WITH rr_cands AS ({bm25}), "
+        r"rr_toks AS (SELECT d.doc_id, u.tok FROM documents d, "
+        r"UNNEST(regexp_extract_all(d.text, '\S+')) AS u(tok) "
+        "WHERE d.doc_id IN (SELECT doc_id FROM rr_cands)), "
+        f"rr_q(query_id, tok) AS (VALUES {q_values}), "
+        f"rr_occ AS (SELECT doc_id, tok, COUNT(*) AS c FROM rr_toks "
+        f"WHERE tok IN ({in_list}) GROUP BY doc_id, tok), "
+        "rr_tf AS (SELECT c.query_id, c.doc_id, "
+        "CAST(COALESCE(SUM(o.c), 0) AS BIGINT) AS tf "
+        "FROM rr_cands c JOIN rr_q ON rr_q.query_id = c.query_id "
+        "LEFT JOIN rr_occ o ON o.doc_id = c.doc_id AND o.tok = rr_q.tok "
+        "GROUP BY c.query_id, c.doc_id), "
+        "rr_h0 AS (SELECT query_id, doc_id, tf, "
+        f"CAST((CAST(doc_id AS HUGEINT) * {_RERANK_MUL} + query_id) "
+        "% 4294967296 AS BIGINT) AS h0 FROM rr_tf), "
+        f"{frag}, "
+        f"rr_sc AS (SELECT query_id, doc_id, "
+        f"tf * 1000000 + hv % 1000000 AS score2 FROM {final}), "
+        "rr_r AS (SELECT query_id, doc_id, score2, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score2 DESC, doc_id) AS rerank "
+        "FROM rr_sc) "
+        "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, "
+        "CAST(rerank AS BIGINT) AS rerank, CAST(score2 AS BIGINT) AS score2 "
+        f"FROM rr_r WHERE rerank <= {rerank_k}"
+    )

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "key_skew_profile",
     "incremental_fuzzy_dedup",
     "customer_big_orders_left_join",
+    "rerank_search",
 ]
 
 

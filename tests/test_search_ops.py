@@ -210,3 +210,38 @@ def test_knn_search_sq_matches_oracle(ray_session):
         .reset_index(drop=True)
     )
     assert not got.equals(full)
+
+
+def test_rerank_search_matches_oracle_and_reorders(ray_session):
+    """Two-stage search: the rerank output matches the DuckDB replay of
+    BM25 + candidate term counts + interaction hash, and the rerank
+    genuinely changes at least one query's top result vs raw BM25."""
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import text_ops
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        text_ops.rerank_search(sf)
+        .to_pandas()
+        .sort_values(["query_id", "rerank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(text_ops.sql_rerank_search())
+        .fetchdf()
+        .sort_values(["query_id", "rerank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    bm = text_ops.bm25_search(sf).to_pandas()
+    top1_bm = bm[bm["rank"] == 1].set_index("query_id")["doc_id"]
+    top1_rr = got[got["rerank"] == 1].set_index("query_id")["doc_id"]
+    assert (top1_bm != top1_rr).any()
+    # reranked set is always a subset of the retrieved candidates
+    cand = set(zip(bm["query_id"], bm["doc_id"]))
+    assert set(zip(got["query_id"], got["doc_id"])) <= cand
