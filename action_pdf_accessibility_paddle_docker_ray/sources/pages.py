@@ -230,3 +230,19 @@ def sql_orc_roundtrip() -> str:
         "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
         "FROM documents GROUP BY lang"
     )
+
+
+def write_compacted(
+    ds: ray.data.Dataset, path: str, *, target_bytes: int = 128 << 20
+) -> int:
+    """Size-targeted parquet sink — the small-files fixer: repartition so
+    each output file lands near ``target_bytes`` of in-memory data, then
+    write one file per block.  A 100 TB run that naively writes one file
+    per task block produces millions of KB-scale files (ruinous for any
+    downstream listing/read); a single giant file serializes the read.
+    ``ds.size_bytes()`` comes from block metadata (no extra pass when the
+    dataset is materialized).  Returns the file count."""
+    ds = ds.materialize()
+    n_files = max(1, -(-ds.size_bytes() // target_bytes))  # ceil
+    ds.repartition(n_files).write_parquet(path)
+    return n_files

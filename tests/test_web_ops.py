@@ -432,3 +432,25 @@ def test_orc_roundtrip_query_matches_oracle(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_write_compacted_targets_file_size(ray_session, tmp_path):
+    """Small target -> multiple near-even files; huge target -> one file;
+    rows always preserved."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from action_pdf_accessibility_paddle_docker_ray.sources import pages as P
+
+    docs = P.read_table(SF, "documents")
+    small = str(tmp_path / "small")
+    n_small = P.write_compacted(docs, small, target_bytes=64 << 10)
+    files = [f for f in os.listdir(small) if f.endswith(".parquet")]
+    assert n_small > 1 and len(files) == n_small
+    assert pads.dataset(small).count_rows() == 500
+    big = str(tmp_path / "big")
+    n_big = P.write_compacted(P.read_table(SF, "documents"), big,
+                              target_bytes=1 << 30)
+    assert n_big == 1
+    assert pads.dataset(big).count_rows() == 500
