@@ -1568,3 +1568,106 @@ def sql_incremental_fuzzy_dedup(threshold: float = 0.7, k: int = 5) -> str:
         "SELECT d.doc_id FROM documents d WHERE d.doc_id >= (SELECT s FROM sp) "
         "AND d.doc_id NOT IN (SELECT doc_id FROM dropped)"
     )
+
+
+_CP_MUL = 2654435761
+
+
+def contrastive_pairs(
+    sf_dir: str, *, num_perm: int = 126, bands: int = 42, threshold: float = 0.7,
+    shingle_k: int = 5,
+) -> "ray.data.Dataset":
+    """Mine (anchor, positive, negative) training triplets from the
+    near-dup clusters — the contrastive-pair construction step of an
+    embedding-training pipeline: near-duplicates are free positives
+    (same content, different crawl/edit), negatives are hash-sampled
+    from the rest of the corpus.
+
+    positives: (anchor = cluster rep, positive = every other member) —
+    a pure per-row map over the output-sized cluster table.  negative:
+    the ``fmix32(anchor*c + positive)``-th id of the [lo, hi] id range
+    with anchor and positive EXCLUDED by exact index arithmetic
+    (k ∈ [0, n-3] shifts past each excluded id it reaches) — no
+    rejection loop, no membership state; a negative may, with
+    probability ~cluster_size/n, land on another member of the same
+    cluster — the same accepted false-negative rate as in-batch
+    negatives, documented rather than patched.  Everything after the
+    minhash clustering is stateless per-row arithmetic; nothing beyond
+    the two id-range scalars reaches the driver.
+
+    Output: (anchor_id, positive_id, negative_id).
+    """
+    ensure_picklable()
+    from .sampling import fmix32_np
+
+    ids = read_table(sf_dir, "documents", columns=["doc_id"])
+    n = ids.count()
+    empty = pd.DataFrame(
+        {
+            "anchor_id": pd.Series([], dtype="int64"),
+            "positive_id": pd.Series([], dtype="int64"),
+            "negative_id": pd.Series([], dtype="int64"),
+        }
+    )
+    if n < 3:  # no room for a negative
+        return ray.data.from_pandas(empty)
+    lo = ids.min("doc_id")
+
+    comp = minhash_dedup_components_ds(
+        sf_dir, num_perm=num_perm, bands=bands, threshold=threshold,
+        shingle_k=shingle_k,
+    )
+
+    def triplets(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["doc_id"] != df["rep_id"]
+        if not m.any():
+            return empty
+        a = df["rep_id"][m].to_numpy(dtype=np.int64)
+        p = df["doc_id"][m].to_numpy(dtype=np.int64)
+        h = fmix32_np(
+            (a.astype(np.uint64) * np.uint64(_CP_MUL) + p.astype(np.uint64))
+            % (1 << 32)
+        )
+        k = (h % np.uint64(n - 2)).astype(np.int64)
+        mn = np.minimum(a, p)
+        mx = np.maximum(a, p)
+        x = np.int64(lo) + k
+        x = x + (x >= mn)
+        x = x + (x >= mx)
+        return pd.DataFrame(
+            {
+                "anchor_id": a,
+                "positive_id": p,
+                "negative_id": x.astype(np.int64),
+            }
+        )
+
+    return comp.map_batches(triplets, batch_format="pandas")
+
+
+def sql_contrastive_pairs(threshold: float = 0.7, k: int = 5) -> str:
+    """Replay clusters (minhash oracle), the fmix32 draw, and the exact
+    two-exclusion index shift."""
+    from .sql_oracles import _fmix32_ctes, sql_minhash_dedup
+
+    comp = sql_minhash_dedup(threshold=threshold, k=k)
+    frag, final = _fmix32_ctes("cp", "cp_h0", ["anchor_id", "positive_id"], "h0", "hv")
+    return (
+        f"WITH cp_comp AS ({comp}), "
+        "cp_st AS (SELECT count(*) AS n, min(doc_id) AS lo FROM documents), "
+        "cp_pairs AS (SELECT rep_id AS anchor_id, doc_id AS positive_id "
+        "FROM cp_comp WHERE doc_id != rep_id), "
+        "cp_h0 AS (SELECT anchor_id, positive_id, "
+        f"CAST((CAST(anchor_id AS HUGEINT) * {_CP_MUL} + positive_id) "
+        "% 4294967296 AS BIGINT) AS h0 FROM cp_pairs), "
+        f"{frag}, "
+        f"cp_k AS (SELECT anchor_id, positive_id, "
+        f"(SELECT lo FROM cp_st) + hv % ((SELECT n FROM cp_st) - 2) AS x0 "
+        f"FROM {final}), "
+        "cp_x1 AS (SELECT anchor_id, positive_id, "
+        "x0 + CASE WHEN x0 >= least(anchor_id, positive_id) THEN 1 ELSE 0 END "
+        "AS x1 FROM cp_k) "
+        "SELECT anchor_id, positive_id, "
+        "CAST(x1 + CASE WHEN x1 >= greatest(anchor_id, positive_id) "
+        "THEN 1 ELSE 0 END AS BIGINT) AS negative_id FROM cp_x1"
+    )

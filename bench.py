@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "incremental_fuzzy_dedup",
     "customer_big_orders_left_join",
     "rerank_search",
+    "contrastive_pairs",
 ]
 
 

@@ -803,3 +803,53 @@ def test_session_ops_empty_shard_safe(ray_session, empty_sf, opname):
     if hasattr(r, "to_pandas"):
         r = r.to_pandas()
     assert len(r) == 0
+
+
+# --- contrastive_pairs ------------------------------------------------------
+
+
+def test_contrastive_pairs_matches_oracle(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import dedup_ops
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        dedup_ops.contrastive_pairs(sf)
+        .to_pandas()
+        .sort_values(["anchor_id", "positive_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(dedup_ops.sql_contrastive_pairs())
+        .fetchdf()
+        .sort_values(["anchor_id", "positive_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0  # clusters exist, so triplets exist
+    # structural invariants: positive != anchor; negative != both and
+    # inside the id range
+    assert (got["positive_id"] != got["anchor_id"]).all()
+    assert (got["negative_id"] != got["anchor_id"]).all()
+    assert (got["negative_id"] != got["positive_id"]).all()
+    assert got["negative_id"].between(0, 499).all()
+
+
+def test_contrastive_pairs_exclusion_shift_exact():
+    """The two-exclusion index arithmetic enumerates exactly the id range
+    minus {anchor, positive} as k sweeps 0..n-3."""
+    import numpy as np
+
+    lo, n, a, p = 0, 10, 3, 7
+    seen = []
+    for k in range(n - 2):
+        x = lo + k
+        x += x >= min(a, p)
+        x += x >= max(a, p)
+        seen.append(x)
+    assert seen == [0, 1, 2, 4, 5, 6, 8, 9]
