@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (SQL-checked)
         "bigram_logprob": text_ops.bigram_logprob,
         "approx_quantiles": analytics.approx_quantiles,
+        "label_quantiles": analytics.label_quantiles,
         "key_skew_profile": analytics.key_skew_profile,
         "customer_big_orders_left_join": joins.customer_big_orders_left_join,
         "tfidf_topk": text_ops.tfidf_topk,
@@ -520,6 +521,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": analytics.sql_pagerank(),
         "token_quantiles": analytics.sql_token_quantiles(),
         "approx_quantiles": analytics.sql_approx_quantiles(),
+        "label_quantiles": analytics.sql_label_quantiles(),
         "key_skew_profile": analytics.sql_key_skew_profile(),
         "label_centroids": analytics.sql_label_centroids(),
         "countmin_tokens": analytics.sql_countmin_tokens(),

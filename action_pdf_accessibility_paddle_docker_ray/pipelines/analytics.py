@@ -905,3 +905,119 @@ def sql_key_skew_profile(topk: int = 10) -> str:
         "CAST((n * 1000) // t.total AS BIGINT) AS pct_milli "
         f"FROM r CROSS JOIN t WHERE rank <= {topk}"
     )
+
+
+_LQ_TARGET = 20  # per-label sample target (< the ~50-row gate groups)
+
+
+def label_quantiles(sf_dir: str, *, target: int = _LQ_TARGET) -> pd.DataFrame:
+    """Per-LABEL deciles of the embedding squared norm from per-group
+    deterministic hash-threshold samples — the grouped member of the
+    sketch family (``approx_quantiles`` is the global one): each label
+    gets its own threshold ``floor(target * 2^32 / n_label)``, so every
+    group's sample is bounded by ``target`` regardless of group skew — a
+    hot label cannot blow up its sample the way it blows up a naive
+    fixed-rate sampler.
+
+    Scale plan: one tiny (label, count) aggregate (group-cardinality
+    rows) builds the per-label threshold map, broadcast once; the scan
+    keeps ~target rows per label with a pure per-row predicate (zero
+    exchange); the per-label order statistics run under the
+    sort-colocation invariant on exactly [label] — one sample-sized
+    exchange.  Output: (label, decile, value_q, n_sample).
+    """
+    ensure_picklable()
+    import ray
+
+    from .sampling import fmix32_np
+    from .util import grouped_block_map
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    counts = (
+        emb.groupby("label").count().to_pandas()  # group-cardinality rows
+    )
+    empty = pd.DataFrame(
+        {
+            "label": pd.Series([], dtype="int64"),
+            "decile": pd.Series([], dtype="int64"),
+            "value_q": pd.Series([], dtype="int64"),
+            "n_sample": pd.Series([], dtype="int64"),
+        }
+    )
+    if len(counts) == 0:
+        return empty
+    thr = {
+        int(l): min(_M32_AQ, (target * _M32_AQ) // int(c))
+        for l, c in zip(counts["label"], counts["count()"])
+    }
+    thr_ref = ray.put(thr)
+
+    def sample_batch(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"label": pd.Series([], dtype="int64"),
+                 "s": pd.Series([], dtype="int64")}
+            )
+        h = fmix32_np(df["vec_id"].to_numpy(dtype=np.uint64) % _M32_AQ)
+        lab = df["label"].to_numpy(dtype=np.int64)
+        cut = np.array([t[int(x)] for x in lab], dtype=np.uint64)
+        keep = h < cut
+        if not keep.any():
+            return pd.DataFrame(
+                {"label": pd.Series([], dtype="int64"),
+                 "s": pd.Series([], dtype="int64")}
+            )
+        mat = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in df["embedding"][keep]]
+        )
+        q = np.floor(mat * _AQ_Q + 0.5).astype(np.int64)
+        return pd.DataFrame({"label": lab[keep], "s": (q * q).sum(axis=1)})
+
+    sampled = emb.map_batches(sample_batch, batch_format="pandas")
+
+    def deciles(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(g["s"].to_numpy(dtype=np.int64))
+        m = len(vals)
+        d = np.arange(1, 10, dtype=np.int64)
+        ranks = (d * m + 9) // 10
+        return pd.DataFrame(
+            {
+                "label": np.full(9, int(g["label"].iloc[0]), dtype=np.int64),
+                "decile": d,
+                "value_q": vals[ranks - 1],
+                "n_sample": np.full(9, m, dtype=np.int64),
+            }
+        )
+
+    out = grouped_block_map(sampled, ["label"], deciles).to_pandas()
+    return out.sort_values(["label", "decile"]).reset_index(drop=True)
+
+
+def sql_label_quantiles(*, target: int = _LQ_TARGET) -> str:
+    """Replay per-label thresholds, membership, micro^2 norms, and the
+    per-label ceil-rank order statistics."""
+    from .sql_oracles import _fmix32_ctes
+
+    frag, final = _fmix32_ctes("lq", "lq_src", ["vec_id", "label"], "h0", "hv")
+    qexpr = "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+    return (
+        f"WITH lq_src AS (SELECT vec_id, label, vec_id % {_M32_AQ} AS h0 "
+        "FROM embeddings), "
+        f"{frag}, "
+        "lq_cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label), "
+        f"lq_thr AS (SELECT label, LEAST({_M32_AQ}, "
+        f"({target} * {_M32_AQ}::HUGEINT) // n) AS t FROM lq_cnt), "
+        f"lq_samp AS (SELECT e.label, CAST(list_sum(list_transform(e.embedding, "
+        f"x -> {qexpr} * {qexpr})) AS BIGINT) AS s, e.vec_id "
+        f"FROM embeddings e JOIN {final} hh ON e.vec_id = hh.vec_id "
+        "JOIN lq_thr th ON th.label = e.label WHERE hh.hv < th.t), "
+        "lq_m AS (SELECT label, count(*) AS c FROM lq_samp GROUP BY label), "
+        "lq_r AS (SELECT label, s, row_number() OVER (PARTITION BY label "
+        "ORDER BY s, vec_id) AS rn FROM lq_samp) "
+        "SELECT CAST(r.label AS BIGINT) AS label, CAST(d.d AS BIGINT) AS decile, "
+        "r.s AS value_q, CAST(m.c AS BIGINT) AS n_sample "
+        "FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) d(d) "
+        "CROSS JOIN lq_m m JOIN lq_r r ON r.label = m.label "
+        "AND r.rn = (d.d * m.c + 9) // 10 ORDER BY label, decile"
+    )

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "customer_big_orders_left_join",
     "rerank_search",
     "contrastive_pairs",
+    "label_quantiles",
 ]
 
 

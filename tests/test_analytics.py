@@ -406,3 +406,32 @@ def test_key_skew_profile_planted_hot_key(ray_session, tmp_path):
     assert int(got.loc[0, "user_id"]) == 7
     assert int(got.loc[0, "n_rows"]) == 80
     assert int(got.loc[0, "pct_milli"]) == 800
+
+
+def test_label_quantiles_matches_oracle_and_binds(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        label_quantiles,
+        sql_label_quantiles,
+    )
+
+    got = label_quantiles(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = con.execute(sql_label_quantiles()).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+    # one decile row set per label; per-group sampler binds (sample
+    # smaller than the group)
+    assert set(got.groupby("label").size()) == {9}
+    assert (got["n_sample"] > 0).all()
+    per_label = got.drop_duplicates("label")
+    assert (per_label["n_sample"] < 50).all()
+    # deciles monotone within each label
+    for _, g in got.groupby("label"):
+        assert (g.sort_values("decile")["value_q"].diff().dropna() >= 0).all()
