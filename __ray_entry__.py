@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": dedup_ops.dedup_keep_best,
         "incremental_fuzzy_dedup": dedup_ops.incremental_fuzzy_dedup,
         "contrastive_pairs": dedup_ops.contrastive_pairs,
+        "dedup_eval": dedup_ops.dedup_eval,
         "simhash_pairs": dedup_ops.simhash_pairs,
         "dup_components": dedup_ops.dup_components,
         "jaccard_pairs": dedup_ops.jaccard_pairs,
@@ -284,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": dedup_ops.sql_dedup_keep_best(threshold=0.7, k=5),
         "incremental_fuzzy_dedup": dedup_ops.sql_incremental_fuzzy_dedup(threshold=0.7, k=5),
         "contrastive_pairs": dedup_ops.sql_contrastive_pairs(threshold=0.7, k=5),
+        "dedup_eval": dedup_ops.sql_dedup_eval(threshold=0.7, k=5),
         "simhash_pairs": sql_oracles.sql_simhash_pairs(max_hamming=3),
         "embedding_dedup": sql_oracles.sql_embedding_dedup(dim, threshold=0.3, planes=6),
         "knn_search_lsh": sql_oracles.sql_knn_search_lsh(dim, k=5, n_queries=10, planes=8),

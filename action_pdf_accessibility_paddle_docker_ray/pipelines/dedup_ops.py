@@ -1671,3 +1671,143 @@ def sql_contrastive_pairs(threshold: float = 0.7, k: int = 5) -> str:
         "CAST(x1 + CASE WHEN x1 >= greatest(anchor_id, positive_id) "
         "THEN 1 ELSE 0 END AS BIGINT) AS negative_id FROM cp_x1"
     )
+
+
+_EVAL_MAX_DOCS = 2_000  # brute-force truth bound: sample above this
+
+
+def dedup_eval(
+    sf_dir: str, *, num_perm: int = 126, bands: int = 42, threshold: float = 0.7,
+    shingle_k: int = 5, max_docs: int = _EVAL_MAX_DOCS,
+) -> pd.DataFrame:
+    """Empirical recall/precision of the production MinHash-LSH path
+    against brute-force exact-Jaccard ground truth — the dedup QA harness
+    every pipeline should run before trusting its sketch parameters.
+
+    Truth = ALL pairs with exact char-k-gram Jaccard >= threshold over a
+    deterministic fmix32 doc sample (all docs when the corpus fits
+    ``max_docs`` — the gate case; at scale the sample bounds the O(m^2)
+    truth computation, which is intrinsic to ground truth, not to the
+    production path).  Found = the LSH banding + exact-verify pairs
+    restricted to the same sample.  The exact verify makes precision 1
+    by construction; recall is the empirical banding-miss measurement
+    (r=3/b=42 predicts ~2e-8 at the threshold boundary — so the SQL
+    oracle asserts found == truth, and ANY missed pair fails the gate's
+    hash match, turning the recall claim into a tested property).
+
+    Driver traffic: the sampled gram-set table (bounded by ``max_docs``)
+    and two pair sets (output-sized).  Output: one row
+    (n_docs, n_truth_pairs, n_found_pairs, n_missed, recall_milli,
+    precision_milli).
+    """
+    ensure_picklable()
+    import ray
+
+    from .sampling import fmix32_np
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n = docs.count()
+    thr = min(1 << 32, (max_docs * (1 << 32)) // n) if n else 0
+
+    def grams_batch(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "grams": pd.Series([], dtype="object")}
+            )
+        h = fmix32_np(df["doc_id"].to_numpy(dtype=np.uint64) % (1 << 32))
+        keep = h < np.uint64(thr)
+        sub = df[keep]
+        return pd.DataFrame(
+            {
+                "doc_id": sub["doc_id"].astype("int64"),
+                "grams": [char_gramset(t, shingle_k) for t in sub["text"]],
+            }
+        )
+
+    # sampled gram table — bounded by max_docs, the documented driver bound
+    gdf = docs.map_batches(grams_batch, batch_format="pandas").to_pandas()
+    gmap = dict(zip(gdf["doc_id"].astype(int), gdf["grams"]))
+    g_ref = ray.put(gmap)
+    sample_ids = frozenset(gmap)
+
+    def truth_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        gm = ray.get(g_ref)
+        rows_a, rows_b = [], []
+        for doc_id in df["doc_id"]:
+            a = int(doc_id)
+            ga = gm.get(a)
+            if ga is None:
+                continue
+            for b, gb in gm.items():
+                if b <= a:
+                    continue
+                inter = len(ga & gb)
+                if inter and inter / len(ga | gb) >= threshold:
+                    rows_a.append(a)
+                    rows_b.append(b)
+        return pd.DataFrame(
+            {"a": pd.array(rows_a, dtype="int64"),
+             "b": pd.array(rows_b, dtype="int64")}
+        )
+
+    truth = (
+        docs.select_columns(["doc_id"])
+        .map_batches(truth_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    truth_set = set(zip(truth.get("a", []), truth.get("b", [])))
+
+    cands = lsh_candidate_pairs(
+        docs, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        est_prefilter=threshold - 0.25,
+    )
+    found_df = exact_jaccard_verify(
+        cands, docs, k=shingle_k, threshold=threshold
+    ).to_pandas()
+    found_set = {
+        (int(a), int(b))
+        for a, b in zip(found_df.get("a", []), found_df.get("b", []))
+        if int(a) in sample_ids and int(b) in sample_ids
+    }
+
+    n_truth = len(truth_set)
+    n_found = len(found_set & truth_set)
+    n_false = len(found_set - truth_set)
+    return pd.DataFrame(
+        {
+            "n_docs": pd.array([len(sample_ids)], dtype="int64"),
+            "n_truth_pairs": pd.array([n_truth], dtype="int64"),
+            "n_found_pairs": pd.array([len(found_set)], dtype="int64"),
+            "n_missed": pd.array([n_truth - n_found], dtype="int64"),
+            "recall_milli": pd.array(
+                [1000 * n_found // n_truth if n_truth else 1000], dtype="int64"
+            ),
+            "precision_milli": pd.array(
+                [1000 * len(found_set) // (len(found_set) + n_false)
+                 if found_set else 1000],
+                dtype="int64",
+            ),
+        }
+    )
+
+
+def sql_dedup_eval(threshold: float = 0.7, k: int = 5) -> str:
+    """Ground truth in SQL (exact all-pairs Jaccard); the oracle asserts
+    the production path finds EVERY truth pair (recall 1000) — a banding
+    miss would break the gate's hash match."""
+    from .sql_oracles import _gramset_cte
+
+    return (
+        f"WITH {_gramset_cte(k)}, "
+        "t AS (SELECT a.doc_id AS a, b.doc_id AS b FROM g a "
+        "JOIN g b ON a.doc_id < b.doc_id "
+        "WHERE len(list_intersect(a.grams, b.grams))::DOUBLE "
+        f"/ len(list_distinct(list_concat(a.grams, b.grams))) >= {threshold}) "
+        "SELECT (SELECT count(*) FROM documents) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_truth_pairs, "
+        "CAST(count(*) AS BIGINT) AS n_found_pairs, "
+        "CAST(0 AS BIGINT) AS n_missed, "
+        "CAST(1000 AS BIGINT) AS recall_milli, "
+        "CAST(1000 AS BIGINT) AS precision_milli FROM t"
+    )

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "rerank_search",
     "contrastive_pairs",
     "label_quantiles",
+    "dedup_eval",
 ]
 
 

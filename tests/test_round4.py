@@ -853,3 +853,40 @@ def test_contrastive_pairs_exclusion_shift_exact():
         x += x >= max(a, p)
         seen.append(x)
     assert seen == [0, 1, 2, 4, 5, 6, 8, 9]
+
+
+# --- dedup_eval -------------------------------------------------------------
+
+
+def test_dedup_eval_perfect_recall_at_gate_scale(ray_session):
+    """The LSH banding finds EVERY exact-Jaccard pair on the gate corpus
+    — r=3/b=42's ~2e-8 boundary-miss claim, measured rather than
+    asserted; the SQL oracle encodes recall == 1000 so any future miss
+    fails the hash match."""
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import dedup_ops
+
+    sf = "/root/testdata/sf0.001"
+    got = dedup_ops.dedup_eval(sf).reset_index(drop=True)
+    assert int(got.loc[0, "n_missed"]) == 0
+    assert int(got.loc[0, "recall_milli"]) == 1000
+    assert int(got.loc[0, "precision_milli"]) == 1000
+    assert int(got.loc[0, "n_truth_pairs"]) > 0  # the eval binds
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(dedup_ops.sql_dedup_eval()).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dedup_eval_sampler_binds(ray_session):
+    """max_docs below the corpus size engages the deterministic doc
+    sampler; metrics still self-consistent on the subsample."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import dedup_ops
+
+    got = dedup_ops.dedup_eval("/root/testdata/sf0.001", max_docs=200)
+    n = int(got.loc[0, "n_docs"])
+    assert 0 < n < 500
+    assert int(got.loc[0, "recall_milli"]) == 1000
