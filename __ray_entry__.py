@@ -153,7 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": dedup_ops.simhash_pairs,
         "dup_components": dedup_ops.dup_components,
         "jaccard_pairs": dedup_ops.jaccard_pairs,
-        "embedding_dedup": dedup_ops.embedding_dedup,
+        "host_components": web_ops.host_components,
         # similarity search
         "knn_search": similarity.knn_search,
         "knn_search_lsh": similarity.knn_search_lsh,
@@ -199,7 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": web_ops.link_graph,
         "line_dedup": web_ops.line_dedup,
         "host_boilerplate": web_ops.host_boilerplate,
-        "host_components": web_ops.host_components,
+        "embedding_dedup": dedup_ops.embedding_dedup,
         "priority_sample": sampling.priority_sample,
         # sampling / packing / mixing
         "corpus_mix": sampling.corpus_mix,
