@@ -1717,6 +1717,14 @@ def contrastive_pairs(
     minhash clustering is stateless per-row arithmetic; nothing beyond
     the two id-range scalars reaches the driver.
 
+    PRECONDITION (like pagerank's phantom-destination note): doc_ids
+    must be CONTIGUOUS in [lo, hi] — the negative is the k-th id of
+    that closed range by pure index arithmetic, so an id gap would make
+    ``negative_id`` name a nonexistent document (and the SQL oracle,
+    replaying the same arithmetic, could not catch it).  The testdata
+    generator guarantees contiguity; re-index (dense-rank doc_id) before
+    calling this op on a gappy corpus.
+
     Output: (anchor_id, positive_id, negative_id).
     """
     ensure_picklable()
@@ -1905,28 +1913,42 @@ def dedup_eval(
             "recall_milli": pd.array(
                 [1000 * n_found // n_truth if n_truth else 1000], dtype="int64"
             ),
+            # TP / (TP + FP): n_found is found∩truth, found_set includes
+            # the n_false false positives (round-4 advisor fix)
             "precision_milli": pd.array(
-                [1000 * len(found_set) // (len(found_set) + n_false)
-                 if found_set else 1000],
+                [1000 * n_found // len(found_set) if found_set else 1000],
                 dtype="int64",
             ),
         }
     )
 
 
-def sql_dedup_eval(threshold: float = 0.7, k: int = 5) -> str:
-    """Ground truth in SQL (exact all-pairs Jaccard); the oracle asserts
-    the production path finds EVERY truth pair (recall 1000) — a banding
-    miss would break the gate's hash match."""
-    from .sql_oracles import _gramset_cte
+def sql_dedup_eval(
+    threshold: float = 0.7, k: int = 5, max_docs: int = _EVAL_MAX_DOCS,
+) -> str:
+    """Ground truth in SQL (exact all-pairs Jaccard over the SAME fmix32
+    doc sample the Ray side draws — the hash-threshold membership
+    ``fmix32(doc_id mod 2^32) < max_docs·2^32/n`` is replayed in CTEs, so
+    the entry stays exact at corpora LARGER than ``max_docs`` too); the
+    oracle asserts the production path finds EVERY truth pair
+    (recall 1000) — a banding miss would break the gate's hash match."""
+    from .sql_oracles import _M32, _fmix32_ctes, _gramset_cte
 
+    fmix, end = _fmix32_ctes("de", "de_src", ["doc_id"], "hv0", "hv")
     return (
-        f"WITH {_gramset_cte(k)}, "
+        f"WITH de_thr AS (SELECT least({_M32}, {max_docs} * {_M32} "
+        "// count(*)) AS thr FROM documents), "
+        f"de_src AS (SELECT doc_id, doc_id % {_M32} AS hv0 FROM documents), "
+        f"{fmix}, "
+        f"smp AS (SELECT doc_id FROM {end} WHERE hv < (SELECT thr FROM de_thr)), "
+        "sdocs AS (SELECT d.doc_id, d.text FROM documents d "
+        "JOIN smp USING (doc_id)), "
+        f"{_gramset_cte(k, table='sdocs')}, "
         "t AS (SELECT a.doc_id AS a, b.doc_id AS b FROM g a "
         "JOIN g b ON a.doc_id < b.doc_id "
         "WHERE len(list_intersect(a.grams, b.grams))::DOUBLE "
         f"/ len(list_distinct(list_concat(a.grams, b.grams))) >= {threshold}) "
-        "SELECT (SELECT count(*) FROM documents) AS n_docs, "
+        "SELECT (SELECT count(*) FROM smp) AS n_docs, "
         "CAST(count(*) AS BIGINT) AS n_truth_pairs, "
         "CAST(count(*) AS BIGINT) AS n_found_pairs, "
         "CAST(0 AS BIGINT) AS n_missed, "

@@ -1301,7 +1301,7 @@ def host_components(sf_dir: str, *, cluster_mode: str = "auto") -> ray.data.Data
         )
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        hosts = g["host"].dropna()
+        hosts = g["host"].dropna().drop_duplicates()
         if hosts.empty:  # defensive: comp row without a node row
             return pd.DataFrame(
                 {"host": pd.Series([], dtype="object"),
@@ -1310,7 +1310,13 @@ def host_components(sf_dir: str, *, cluster_mode: str = "auto") -> ray.data.Data
         cid = int(g["cid"].max())
         if cid < 0:
             cid = int(g["id"].iloc[0])  # isolated host: own component
-        return pd.DataFrame({"host": [hosts.iloc[0]], "comp_id": [cid]})
+        # one row per DISTINCT host: on a 32-bit fnv collision two hosts
+        # share this id group — both get the shared component id, matching
+        # the oracle's per-host LEFT JOIN (round-4 advisor fix)
+        return pd.DataFrame(
+            {"host": hosts.to_numpy(),
+             "comp_id": np.full(len(hosts), cid, dtype=np.int64)}
+        )
 
     both = nodes.map_batches(tag_nodes, batch_format="pandas").union(
         comp.map_batches(tag_comp, batch_format="pandas")

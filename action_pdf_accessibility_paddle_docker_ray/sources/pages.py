@@ -177,15 +177,21 @@ def orc_roundtrip(sf_dir: str):
     the same aggregate from the parquet ground truth, so any loss or
     duplication in the ORC hop breaks the hash match).
 
-    The ORC copy caches under /tmp keyed by the sf dir (the same
-    convention as the derived pages corpus), so repeat gate runs skip
-    the write.  Output: (lang, n_docs, sum_chars).
+    The ORC copy caches under /tmp keyed by the sf dir PLUS the parquet
+    file's (size, mtime) fingerprint, so a regenerated documents.parquet
+    at the same path invalidates the cache instead of feeding the gate
+    stale aggregates (round-4 advisor fix).  Output:
+    (lang, n_docs, sum_chars).
     """
     import hashlib
 
     import pandas as pd
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
     cache = f"/tmp/graft_orc_{key}"
     done = os.path.join(cache, "_DONE")
     if not os.path.exists(done):
