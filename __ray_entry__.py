@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_bucketize": analytics.length_bucketize,
         # round-4 source format + tokenizer training (new — in-window)
         "warc_extract": web_ops.warc_extract,
+        "warc_extract_gz": web_ops.warc_extract_gz,
         "bpe_train": text_ops.bpe_train,
         "bpe_encode": text_ops.bpe_encode,
         # displaced from the recording window this session: unchanged
@@ -309,6 +310,10 @@ def oracle_sql() -> dict[str, str]:
             pages_path_for(SF_ORACLE) + "/*.parquet"
         ),
         "warc_extract": web_ops.sql_warc_extract(
+            pages_path_for(SF_ORACLE) + "/*.parquet"
+        ),
+        # same content projection, gzip-member framing — identical oracle
+        "warc_extract_gz": web_ops.sql_warc_extract(
             pages_path_for(SF_ORACLE) + "/*.parquet"
         ),
         "warc_index": web_ops.sql_warc_index(

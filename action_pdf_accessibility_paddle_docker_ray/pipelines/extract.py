@@ -263,9 +263,21 @@ def extract_pipeline(
     concurrency: Any = None,
     repartition_blocks: int | None = None,
     output: str = "json",
+    num_gpus: float | None = None,
+    resources: dict | None = None,
     _winners_ref: Any = None,
 ) -> ray.data.Dataset:
     """Build the lazy extraction Dataset from a parquet path or a Dataset.
+
+    ``num_gpus`` / ``resources``: per-actor resource pins for the DETECTOR
+    stage only (the north-star GPU-pinned batched inference seam) — passed
+    straight to the actor-pool ``map_batches``; with ``num_gpus`` set the
+    stage stops claiming a CPU slot (``num_cpus=0``) so the GPU actors and
+    the CPU read/assemble stages don't contend for the same slots.  The
+    CPU default (``num_cpus=1``) is unchanged when both are None.  On this
+    sandbox (no GPU) the kwargs are exercised structurally (a test asserts
+    they reach ``map_batches``); on a real cluster they pin one detector
+    actor per GPU.
 
     ``output``: "json" (default) emits the public docs contract
     (``spans_json``/``formulas_json`` strings, byte-identical per url to
@@ -307,6 +319,15 @@ def extract_pipeline(
         model=model, zoom=zoom, thresholds=thresholds,
         process_table=process_table, process_formula=process_formula,
     )
+    # detector-stage resource pins (GPU seam): num_gpus displaces the CPU
+    # slot claim; custom resources (e.g. {"accelerator": 1}) pass through
+    detector_resources: dict[str, Any] = {
+        "num_cpus": 0 if num_gpus else 1,
+    }
+    if num_gpus is not None:
+        detector_resources["num_gpus"] = num_gpus
+    if resources is not None:
+        detector_resources["resources"] = resources
     if dedup == "early" or dedup is True:
         ds = dedup_latest(ds)
 
@@ -363,7 +384,7 @@ def extract_pipeline(
             concurrency=concurrency
             if concurrency is not None
             else _default_concurrency(4 if bloom_active else 8),
-            num_cpus=1,
+            **detector_resources,
         )
 
     # page-parallel path: fan-out makes the unit of work a page so one
@@ -384,7 +405,7 @@ def extract_pipeline(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency if concurrency is not None else _default_concurrency(),
-        num_cpus=1,
+        **detector_resources,
     )
     ds = ds.sort("url")
     ds = ds.map_batches(

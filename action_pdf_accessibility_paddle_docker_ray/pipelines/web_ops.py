@@ -800,6 +800,20 @@ def warc_extract(sf_dir: str) -> ray.data.Dataset:
     return read_warc(warc_path_for(sf_dir))
 
 
+def warc_extract_gz(sf_dir: str) -> ray.data.Dataset:
+    """``warc_extract`` over PER-RECORD GZIP MEMBERS — the framing real
+    Common-Crawl WARCs ship with (one gzip stream per record, concatenated
+    so a single ranged read serves any record).  Same reader topology
+    (one read task per archive, zero exchange); the parser walks member
+    boundaries via zlib ``unused_data`` instead of Content-Length.  The
+    SAME byte-exact DuckDB oracle as the plain-framing op proves the
+    decompress+parse recovered every record (url, date, payload md5)."""
+    ensure_picklable()
+    from ..sources.warc import read_warc, warc_gz_path_for
+
+    return read_warc(warc_gz_path_for(sf_dir))
+
+
 def sql_warc_extract(pages_glob: str) -> str:
     # html is valid utf-8 by construction (corpus.py / flagship.py), so
     # md5(decode(blob)) hashes exactly the payload bytes on disk

@@ -82,6 +82,75 @@ def warc_path_for(sf_dir: str, **pages_kwargs: Any) -> str:
     return path
 
 
+def write_warc_gz(table: pa.Table, path: str) -> None:
+    """Render a pages-shaped table to PER-RECORD GZIP MEMBERS — the real
+    Common-Crawl framing (one gzip stream per record, concatenated), which
+    is what makes single-record ranged reads possible on .warc.gz files.
+    ``gzip.compress(mtime=0)`` keeps the rendering deterministic."""
+    import gzip
+
+    with open(path, "wb") as f:
+        for url, ts, payload in zip(
+            table["url"].to_pylist(),
+            table["warc_ts"].to_pylist(),
+            table["html"].to_pylist(),
+        ):
+            ts_iso = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            f.write(gzip.compress(_render_record(url, ts_iso, payload), mtime=0))
+
+
+def warc_gz_path_for(sf_dir: str, **pages_kwargs: Any) -> str:
+    """Like ``warc_path_for`` but gzip-member framed (.warc.gz per shard)."""
+    import pyarrow.parquet as pq
+
+    from ..pipelines.flagship import pages_path_for
+
+    pages = pages_path_for(sf_dir, **pages_kwargs)
+    tag = hashlib.sha1((pages + "|gz").encode()).hexdigest()[:12]
+    path = f"/tmp/graft_warcgz_{tag}"
+    if not os.path.isdir(path):
+        tmp = path + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        for name in sorted(os.listdir(pages)):
+            shard = pq.read_table(
+                os.path.join(pages, name), columns=["url", "warc_ts", "html"]
+            )
+            write_warc_gz(
+                shard, os.path.join(tmp, name.replace(".parquet", ".warc.gz"))
+            )
+        os.replace(tmp, path)
+    return path
+
+
+def parse_warc_gz_bytes(data: bytes) -> Iterator[dict]:
+    """Gzip-member WARC walk: each record is its own gzip stream, so the
+    member boundary (found via ``zlib.decompressobj(wbits=31).unused_data``)
+    IS the record boundary.  Yields the same dicts as ``parse_warc_bytes``
+    with ``offset``/``rec_bytes`` measured in COMPRESSED archive bytes —
+    exactly what a ranged fetch of one record needs."""
+    import zlib
+
+    pos, n = 0, len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        raw = d.decompress(data[pos:])
+        # one member == one record: parse exactly one
+        rec = next(parse_warc_bytes(raw))
+        end = n - len(d.unused_data)
+        rec["offset"] = pos
+        rec["rec_bytes"] = end - pos
+        yield rec
+        pos = end
+
+
+def _parse_archive(blob: bytes) -> Iterator[dict]:
+    """Framing dispatch: per-record gzip members (1f 8b magic) or plain
+    length-framed WARC/1.0."""
+    if blob[:2] == b"\x1f\x8b":
+        return parse_warc_gz_bytes(blob)
+    return parse_warc_bytes(blob)
+
+
 def parse_warc_bytes(data: bytes) -> Iterator[dict]:
     """Length-framed WARC record walk.  Yields dicts of the header fields
     this engine consumes plus the raw payload bytes.
@@ -121,7 +190,7 @@ def read_warc(path: str):
     def parse(batch: pa.Table) -> pa.Table:
         urls, dates, sizes, digests = [], [], [], []
         for blob in batch["bytes"].to_pylist():
-            for rec in parse_warc_bytes(blob):
+            for rec in _parse_archive(blob):
                 urls.append(rec["url"])
                 dates.append(rec["warc_date"])
                 sizes.append(len(rec["payload"]))
@@ -135,7 +204,7 @@ def read_warc(path: str):
             }
         )
 
-    ds = ray.data.read_binary_files(path, file_extensions=["warc"])
+    ds = ray.data.read_binary_files(path, file_extensions=["warc", "gz"])
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
@@ -152,7 +221,7 @@ def read_warc_index(path: str):
         urls, files, offs, recs, sizes = [], [], [], [], []
         for blob, p in zip(batch["bytes"].to_pylist(), batch["path"].to_pylist()):
             base = os.path.basename(p)
-            for rec in parse_warc_bytes(blob):
+            for rec in _parse_archive(blob):
                 urls.append(rec["url"])
                 files.append(base)
                 offs.append(rec["offset"])
@@ -168,5 +237,7 @@ def read_warc_index(path: str):
             }
         )
 
-    ds = ray.data.read_binary_files(path, file_extensions=["warc"], include_paths=True)
+    ds = ray.data.read_binary_files(
+        path, file_extensions=["warc", "gz"], include_paths=True
+    )
     return ds.map_batches(index, batch_format="pyarrow")

@@ -135,6 +135,104 @@ def test_bucket_pairs_unfiltered_cap():
     )
 
 
+def test_gpu_seam_reaches_map_batches(ray_session, tmp_path, monkeypatch):
+    """north_star GPU seam: num_gpus/resources passed to extract_pipeline
+    must land on the DETECTOR stage's map_batches (and displace its CPU
+    slot claim); the CPU default stays num_cpus=1."""
+    import ray.data as rd
+
+    from action_pdf_accessibility_paddle_docker_ray.corpus import write_pages_parquet
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import extract as ex
+
+    src = str(tmp_path / "pages.parquet")
+    write_pages_parquet(src, 6, seed=3)
+
+    calls = []
+    orig = rd.Dataset.map_batches
+
+    def spy(self, fn, **kwargs):
+        name = getattr(fn, "__name__", type(fn).__name__ if not isinstance(fn, type) else fn.__name__)
+        calls.append((name, kwargs))
+        return orig(self, fn, **kwargs)
+
+    monkeypatch.setattr(rd.Dataset, "map_batches", spy)
+
+    # GPU mode (lazy build only — no execution, the sandbox has no GPU)
+    ex.extract_pipeline(src, num_gpus=1.0, resources={"accel": 1})
+    det = [kw for name, kw in calls if name == "DocProcessor"]
+    assert det and det[-1]["num_gpus"] == 1.0
+    assert det[-1]["resources"] == {"accel": 1}
+    assert det[-1]["num_cpus"] == 0
+
+    # CPU default unchanged
+    calls.clear()
+    ex.extract_pipeline(src)
+    det = [kw for name, kw in calls if name == "DocProcessor"]
+    assert det and det[-1]["num_cpus"] == 1
+    assert "num_gpus" not in det[-1] and "resources" not in det[-1]
+
+    # sort path pins the PageProcessor stage the same way
+    calls.clear()
+    ex.extract_pipeline(src, regroup="sort", num_gpus=0.5)
+    det = [kw for name, kw in calls if name == "PageProcessor"]
+    assert det and det[-1]["num_gpus"] == 0.5 and det[-1]["num_cpus"] == 0
+
+
+def test_warc_gz_roundtrip_and_ranged_read(tmp_path):
+    """Gzip-member framing: every record recoverable, and — the property
+    the framing exists for — a single (offset, rec_bytes) ranged read of
+    the COMPRESSED file must decompress+parse to exactly that record."""
+    import gzip
+
+    import pyarrow as pa
+
+    from action_pdf_accessibility_paddle_docker_ray.sources import warc as w
+
+    ts = pd.Timestamp("2024-05-06 07:08:09")
+    payloads = [b"hello world", b"WARC/1.0\r\n\r\nfake header inside payload",
+                bytes(range(256)) * 7, b""]
+    tab = pa.table(
+        {
+            "url": [f"https://ex{i}.com/p" for i in range(len(payloads))],
+            "warc_ts": [ts] * len(payloads),
+            "html": payloads,
+        }
+    )
+    path = str(tmp_path / "a.warc.gz")
+    w.write_warc_gz(tab, path)
+    data = open(path, "rb").read()
+    recs = list(w.parse_warc_gz_bytes(data))
+    assert [r["payload"] for r in recs] == payloads
+    assert [r["url"] for r in recs] == tab["url"].to_pylist()
+    # compressed members tile the file exactly
+    assert recs[0]["offset"] == 0
+    for prev, cur in zip(recs, recs[1:]):
+        assert cur["offset"] == prev["offset"] + prev["rec_bytes"]
+    assert recs[-1]["offset"] + recs[-1]["rec_bytes"] == len(data)
+    # ranged read of one record
+    with open(path, "rb") as f:
+        f.seek(recs[2]["offset"])
+        member = f.read(recs[2]["rec_bytes"])
+    rec = next(w.parse_warc_bytes(gzip.decompress(member)))
+    assert rec["payload"] == payloads[2]
+    # framing dispatch: plain archive still parses via the same entry
+    plain = str(tmp_path / "b.warc")
+    w.write_warc(tab, plain)
+    recs_p = list(w._parse_archive(open(plain, "rb").read()))
+    assert [r["payload"] for r in recs_p] == payloads
+
+
+def test_warc_extract_gz_matches_plain(ray_session):
+    """The gz op must emit exactly the plain op's rows (same projection,
+    different framing) on the sf0.001 corpus."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import web_ops
+
+    sf = "/root/testdata/sf0.001"
+    gz = web_ops.warc_extract_gz(sf).to_pandas().sort_values("url").reset_index(drop=True)
+    plain = web_ops.warc_extract(sf).to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(gz, plain)
+
+
 def _clone_corpus(tmp_path, n_groups=40, clones=20):
     """Every doc in a `clones`-sized exact-clone cluster: per-bucket
     survivors C(clones,2)=190 > the 128 default cap."""
