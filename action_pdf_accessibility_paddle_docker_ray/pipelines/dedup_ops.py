@@ -1400,34 +1400,16 @@ def sql_dup_components(max_hamming: int = 3) -> str:
     )
 
 
-def dedup_keep_best(
+def keep_best_drop_ds(
     sf_dir: str, *, num_perm: int = 126, bands: int = 42, threshold: float = 0.7,
     shingle_k: int = 5, drop_broadcast_max: int = _DROP_BROADCAST_MAX,
-) -> "ray.data.Dataset":
-    """Fuzzy dedup with KEEP-BEST selection: within each near-dup cluster
-    keep the highest-quality member — here the longest document
-    (``n_chars``, ties to the min ``doc_id``) — instead of
-    ``dedup_corpus``'s min-id representative.  This is the selection rule
-    production pipelines actually run (the canonical page is the fullest
-    crawl of the content, not the lowest-numbered one).
-
-    Scale plan: the (doc_id, rep_id) cluster table is output-sized;
-    under ``drop_broadcast_max`` it broadcasts via ``ray.put`` and one
-    streaming pass over the corpus emits the clustered docs' (rep_id,
-    doc_id, n_chars) rows — cluster-table-sized, never corpus-sized —
-    into ONE grouped exchange whose per-cluster argmax picks winners
-    (vectorized in-block sort + drop_duplicates, zero per-group
-    dispatch); the winner-complement drop set then reuses
-    ``dedup_corpus``'s broadcast-or-anti-join keep filter.  Above the
-    bound the cluster map stays a Dataset and the same rows come from a
-    tagged-sides grouped join on doc_id.  Nothing cluster-shaped reaches
-    the driver beyond the proven-bounded broadcast.
-
-    Output: (doc_id,) of every surviving document.
-    """
+) -> "ray.data.Dataset | None":
+    """The (doc_id,) DROP set of ``dedup_keep_best`` — every cluster
+    member except its per-cluster argmax(n_chars DESC, doc_id) winner —
+    as a materialized Dataset, or None when the corpus has no clusters.
+    Split out so the resumable sink (``state/op_resume.py``) can
+    checkpoint exactly this table as its phase-A global state."""
     import ray
-
-    from .util import grouped_block_map
 
     comp = minhash_dedup_components_ds(
         sf_dir, num_perm=num_perm, bands=bands, threshold=threshold,
@@ -1436,8 +1418,8 @@ def dedup_keep_best(
     docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
     n_comp = comp.count()  # scalar
-    if n_comp == 0:  # no clusters (or empty shard): every doc survives
-        return read_table(sf_dir, "documents", columns=["doc_id"])
+    if n_comp == 0:
+        return None
     if n_comp <= drop_broadcast_max:
         comp_df = comp.to_pandas()
         rep_ref = ray.put(
@@ -1505,11 +1487,48 @@ def dedup_keep_best(
         losers = df[df.duplicated("rep_id", keep="first")]
         return pd.DataFrame({"doc_id": losers["doc_id"].astype("int64")})
 
-    drop_ds = (
+    return (
         members.sort(["rep_id"])
         .map_batches(pick_losers, batch_format="pandas", batch_size=None)
         .materialize()
     )
+
+
+def dedup_keep_best(
+    sf_dir: str, *, num_perm: int = 126, bands: int = 42, threshold: float = 0.7,
+    shingle_k: int = 5, drop_broadcast_max: int = _DROP_BROADCAST_MAX,
+) -> "ray.data.Dataset":
+    """Fuzzy dedup with KEEP-BEST selection: within each near-dup cluster
+    keep the highest-quality member — here the longest document
+    (``n_chars``, ties to the min ``doc_id``) — instead of
+    ``dedup_corpus``'s min-id representative.  This is the selection rule
+    production pipelines actually run (the canonical page is the fullest
+    crawl of the content, not the lowest-numbered one).
+
+    Scale plan: the (doc_id, rep_id) cluster table is output-sized;
+    under ``drop_broadcast_max`` it broadcasts via ``ray.put`` and one
+    streaming pass over the corpus emits the clustered docs' (rep_id,
+    doc_id, n_chars) rows — cluster-table-sized, never corpus-sized —
+    into ONE grouped exchange whose per-cluster argmax picks winners
+    (vectorized in-block sort + drop_duplicates, zero per-group
+    dispatch); the winner-complement drop set then reuses
+    ``dedup_corpus``'s broadcast-or-anti-join keep filter.  Above the
+    bound the cluster map stays a Dataset and the same rows come from a
+    tagged-sides grouped join on doc_id.  Nothing cluster-shaped reaches
+    the driver beyond the proven-bounded broadcast.
+
+    Output: (doc_id,) of every surviving document.
+    """
+    import ray
+
+    from .util import grouped_block_map
+
+    drop_ds = keep_best_drop_ds(
+        sf_dir, num_perm=num_perm, bands=bands, threshold=threshold,
+        shingle_k=shingle_k, drop_broadcast_max=drop_broadcast_max,
+    )
+    if drop_ds is None:  # no clusters (or empty shard): every doc survives
+        return read_table(sf_dir, "documents", columns=["doc_id"])
     n_drop = drop_ds.count()
     ids = read_table(sf_dir, "documents", columns=["doc_id"])
 
@@ -1567,6 +1586,46 @@ def sql_dedup_keep_best(threshold: float = 0.7, k: int = 5) -> str:
     )
 
 
+def incremental_fuzzy_drop_ds(
+    sf_dir: str, *, num_perm: int = 126, bands: int = 42, threshold: float = 0.7,
+    shingle_k: int = 5, spanning_cap: int | None = _SPANNING_CAP,
+) -> "tuple[ray.data.Dataset | None, int]":
+    """``incremental_fuzzy_dedup``'s (drop_ds, split): the verified
+    cross-side drop set as a materialized Dataset plus the id-median
+    split scalar — the phase-A global state the resumable sink
+    checkpoints.  (None, 0) on an empty corpus."""
+    import ray
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    lo, hi = docs.min("doc_id"), docs.max("doc_id")
+    if lo is None:
+        return None, 0
+    split = (lo + hi + 1) // 2
+
+    # spanning_cap is cross-side safe: a degenerate bucket's min-id star
+    # center is an EXISTING-side doc whenever any existing doc is in the
+    # bucket (old ids < split < new ids), so every new member keeps a
+    # verified cross edge to it — exactly the edges this op consumes.
+    cands = lsh_candidate_pairs(
+        docs, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        est_prefilter=threshold - 0.25, spanning_cap=spanning_cap,
+    )
+
+    def cross_only(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["a"] < split) & (df["b"] >= split)
+        return df[m]
+
+    cross = cands.map_batches(cross_only, batch_format="pandas")
+    verified = exact_jaccard_verify(cross, docs, k=shingle_k, threshold=threshold)
+
+    def drop_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": pd.unique(df["b"].to_numpy()).astype("int64")}
+        )
+
+    return verified.map_batches(drop_rows, batch_format="pandas").materialize(), split
+
+
 def incremental_fuzzy_dedup(
     sf_dir: str, *, num_perm: int = 126, bands: int = 42, threshold: float = 0.7,
     shingle_k: int = 5, drop_broadcast_max: int = _DROP_BROADCAST_MAX,
@@ -1595,36 +1654,14 @@ def incremental_fuzzy_dedup(
     from .util import grouped_block_map
 
     ensure_picklable()
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    lo, hi = docs.min("doc_id"), docs.max("doc_id")
-    if lo is None:  # empty shard (resume/retry path)
+    drop_ds, split = incremental_fuzzy_drop_ds(
+        sf_dir, num_perm=num_perm, bands=bands, threshold=threshold,
+        shingle_k=shingle_k, spanning_cap=spanning_cap,
+    )
+    if drop_ds is None:  # empty shard (resume/retry path)
         return ray.data.from_pandas(
             pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
         )
-    split = (lo + hi + 1) // 2
-
-    # spanning_cap is cross-side safe: a degenerate bucket's min-id star
-    # center is an EXISTING-side doc whenever any existing doc is in the
-    # bucket (old ids < split < new ids), so every new member keeps a
-    # verified cross edge to it — exactly the edges this op consumes.
-    cands = lsh_candidate_pairs(
-        docs, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-        est_prefilter=threshold - 0.25, spanning_cap=spanning_cap,
-    )
-
-    def cross_only(df: pd.DataFrame) -> pd.DataFrame:
-        m = (df["a"] < split) & (df["b"] >= split)
-        return df[m]
-
-    cross = cands.map_batches(cross_only, batch_format="pandas")
-    verified = exact_jaccard_verify(cross, docs, k=shingle_k, threshold=threshold)
-
-    def drop_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": pd.unique(df["b"].to_numpy()).astype("int64")}
-        )
-
-    drop_ds = verified.map_batches(drop_rows, batch_format="pandas").materialize()
     n_drop = drop_ds.count()
 
     def new_side(df: pd.DataFrame) -> pd.DataFrame:
