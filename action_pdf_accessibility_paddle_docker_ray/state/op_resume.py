@@ -478,3 +478,194 @@ def run_pagerank_resumable(
     rows = pads.dataset(out_path).count_rows()
     return {"resumed_from": start, "iters_run": iters_run, "rows": rows,
             "wall_sec": round(time.time() - t0, 3)}
+
+
+def run_dedup_keep_best_resumable(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    n_buckets: int = 8,
+    stop_after_buckets: int | None = None,
+    num_perm: int = 126,
+    bands: int = 42,
+    threshold: float = 0.7,
+    shingle_k: int = 5,
+) -> dict:
+    """Resumable ``dedup_keep_best``: phase A checkpoints the loser drop
+    table (``keep_best_drop_ds`` — the minhash clusters plus the one
+    grouped per-cluster argmax exchange, the expensive corpus-global
+    work), phase B filters + writes survivors per doc bucket.  Same
+    contract as ``run_dedup_corpus_resumable``; a restart whose input
+    fingerprint matches reloads the drop table instead of re-running the
+    LSH."""
+    import ray
+
+    from ..pipelines.dedup_ops import keep_best_drop_ds
+    from ..sources.pages import read_table
+
+    params = {
+        "op": "dedup_keep_best", "n_buckets": n_buckets, "num_perm": num_perm,
+        "bands": bands, "threshold": threshold, "shingle_k": shingle_k,
+    }
+    fingerprint = _table_fingerprint(sf_dir, "documents")
+    state_dir = os.path.join(out_dir, "_state")
+    os.makedirs(state_dir, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+
+    drop_path = os.path.join(state_dir, "drop.parquet")
+    state_reused = _state_valid(state_dir, fingerprint, params)
+    if not state_reused:
+        drop_ds = keep_best_drop_ds(
+            sf_dir, num_perm=num_perm, bands=bands, threshold=threshold,
+            shingle_k=shingle_k,
+        )
+        drop_df = (
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+            if drop_ds is None else drop_ds.to_pandas()
+        )
+        tmp = drop_path + ".tmp"
+        drop_df.to_parquet(tmp, index=False)
+        os.replace(tmp, drop_path)
+        _atomic_write_json(
+            os.path.join(state_dir, "state.json"),
+            {"fingerprint": fingerprint, "params": params},
+        )
+    else:
+        drop_df = pd.read_parquet(drop_path)
+
+    # cluster-loser-sized (never corpus-sized) — same broadcast bound
+    # argument as dedup_corpus above
+    drop_ref = ray.put(frozenset(int(d) for d in drop_df["doc_id"]))
+
+    done = _load_bucket_manifests(out_dir)
+    buckets_run, skipped, total_rows = 0, 0, 0
+    t_run = time.time()
+    for b in range(n_buckets):
+        e = done.get(b)
+        if e and e["fingerprint"] == fingerprint and e["params"] == params:
+            skipped += 1
+            continue
+        if stop_after_buckets is not None and buckets_run >= stop_after_buckets:
+            break
+        t0 = time.time()
+        nb = n_buckets
+        bucket = b
+
+        def keep_fn(df: pd.DataFrame) -> pd.DataFrame:
+            dropped = ray.get(drop_ref)
+            ids = df["doc_id"].astype("int64")
+            keep = (ids % nb == bucket) & ~ids.isin(dropped)
+            return pd.DataFrame({"doc_id": ids[keep]})
+
+        ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+            keep_fn, batch_format="pandas"
+        )
+        n_rows = _write_bucket(ds, out_dir, b)
+        _commit_bucket(out_dir, b, fingerprint, params, n_rows, time.time() - t0)
+        total_rows += n_rows
+        buckets_run += 1
+
+    return {
+        "buckets_total": n_buckets,
+        "buckets_skipped": skipped,
+        "buckets_run": buckets_run,
+        "state_reused": state_reused,
+        "rows_written": total_rows,
+        "wall_sec": round(time.time() - t_run, 3),
+    }
+
+
+def run_incremental_fuzzy_dedup_resumable(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    n_buckets: int = 8,
+    stop_after_buckets: int | None = None,
+    num_perm: int = 126,
+    bands: int = 42,
+    threshold: float = 0.7,
+    shingle_k: int = 5,
+) -> dict:
+    """Resumable ``incremental_fuzzy_dedup``: phase A checkpoints the
+    verified cross-side drop table plus the id-median ``split`` scalar
+    (``incremental_fuzzy_drop_ds`` — the LSH + exact-verify exchange),
+    phase B writes the surviving NEW-side ids per doc bucket."""
+    import ray
+
+    from ..pipelines.dedup_ops import incremental_fuzzy_drop_ds
+    from ..sources.pages import read_table
+
+    params = {
+        "op": "incremental_fuzzy_dedup", "n_buckets": n_buckets,
+        "num_perm": num_perm, "bands": bands, "threshold": threshold,
+        "shingle_k": shingle_k,
+    }
+    fingerprint = _table_fingerprint(sf_dir, "documents")
+    state_dir = os.path.join(out_dir, "_state")
+    os.makedirs(state_dir, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+
+    drop_path = os.path.join(state_dir, "drop.parquet")
+    meta_path = os.path.join(state_dir, "state.json")
+    state_reused = _state_valid(state_dir, fingerprint, params)
+    if not state_reused:
+        drop_ds, split = incremental_fuzzy_drop_ds(
+            sf_dir, num_perm=num_perm, bands=bands, threshold=threshold,
+            shingle_k=shingle_k,
+        )
+        drop_df = (
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+            if drop_ds is None else drop_ds.to_pandas()
+        )
+        tmp = drop_path + ".tmp"
+        drop_df.to_parquet(tmp, index=False)
+        os.replace(tmp, drop_path)
+        _atomic_write_json(
+            meta_path,
+            {"fingerprint": fingerprint, "params": params,
+             "split": int(split)},
+        )
+    else:
+        drop_df = pd.read_parquet(drop_path)
+        with open(meta_path) as f:
+            split = int(json.load(f)["split"])
+
+    drop_ref = ray.put(frozenset(int(d) for d in drop_df["doc_id"]))
+
+    done = _load_bucket_manifests(out_dir)
+    buckets_run, skipped, total_rows = 0, 0, 0
+    t_run = time.time()
+    for b in range(n_buckets):
+        e = done.get(b)
+        if e and e["fingerprint"] == fingerprint and e["params"] == params:
+            skipped += 1
+            continue
+        if stop_after_buckets is not None and buckets_run >= stop_after_buckets:
+            break
+        t0 = time.time()
+        nb = n_buckets
+        bucket = b
+        sp = split
+
+        def keep_fn(df: pd.DataFrame) -> pd.DataFrame:
+            dropped = ray.get(drop_ref)
+            ids = df["doc_id"].astype("int64")
+            keep = (ids >= sp) & (ids % nb == bucket) & ~ids.isin(dropped)
+            return pd.DataFrame({"doc_id": ids[keep]})
+
+        ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+            keep_fn, batch_format="pandas"
+        )
+        n_rows = _write_bucket(ds, out_dir, b)
+        _commit_bucket(out_dir, b, fingerprint, params, n_rows, time.time() - t0)
+        total_rows += n_rows
+        buckets_run += 1
+
+    return {
+        "buckets_total": n_buckets,
+        "buckets_skipped": skipped,
+        "buckets_run": buckets_run,
+        "state_reused": state_reused,
+        "rows_written": total_rows,
+        "wall_sec": round(time.time() - t_run, 3),
+    }
