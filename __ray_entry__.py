@@ -123,25 +123,83 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external driver's correctness gate records only
-    # the FIRST 50 entries, so the window holds (a) every op that is NEW
-    # this round, (b) every op whose physical plan CHANGED this round
-    # (Arrow combiner rewrites: token_histogram, events_window,
-    # events_sliding, distinct_stats), and (c) the flagship/dedup/
-    # similarity/multimodal families; the tail holds ops byte-unchanged
-    # since their green CORRECTNESS_r03 rows (stateless regex text ops,
-    # salted join twins, TPC-H-style demos, and the four unchanged
-    # sampling/analytics ops displaced for warc_extract/bpe_train), all
-    # still pytest-pinned and runnable by tools/check_correctness.py
-    # regardless of position.
+    # the FIRST 50 entries.  Round-5 rotation (VERDICT r4 task 2): the
+    # window holds exactly the 48 entries that have NO CORRECTNESS_r04 row
+    # (they sat past the cutoff when the dedup/similarity/multimodal
+    # families rotated in last round) plus the two flagship SQL
+    # projections, whose physical plan gained the GPU-seam kwarg this
+    # round.  Everything now past the cutoff has a green hash-match row in
+    # CORRECTNESS_r04 (driver gate) and remains pytest-pinned and runnable
+    # by tools/check_correctness.py regardless of position; the dedup
+    # entries whose candidate generation changed post-r04 (LSH bucket
+    # bounding) are re-proven by this round's full repo-gate run recorded
+    # in BASELINE.md.
     return {
-        # flagship extraction (rows-only checks; byte-identity is enforced
-        # against the single-process oracle by tests/test_pipeline.py)
-        "extract_docs": _extract_docs,
-        "extract_spans": _extract_spans,
-        # SQL-checkable projections of the flagship pipeline
+        # SQL-checkable projections of the flagship pipeline (plan gained
+        # the GPU-seam passthrough this round; CPU default unchanged)
         "extract_doc_meta": _extract_doc_meta,
         "extract_span_stats": _extract_span_stats,
-        # web-corpus composition over the derived pages corpus
+        # round-4/5 source formats + tokenizer training — never recorded
+        "warc_extract": web_ops.warc_extract,
+        "warc_extract_gz": web_ops.warc_extract_gz,
+        "warc_index": web_ops.warc_index,
+        "bpe_train": text_ops.bpe_train,
+        "bpe_encode": text_ops.bpe_encode,
+        "bpe_token_count": text_ops.bpe_token_count,
+        # dedup / similarity entries displaced from the r4 window
+        "embedding_dedup": dedup_ops.embedding_dedup,
+        "kmeans_clusters": similarity.kmeans_clusters,
+        "exact_dedup": text_ops.exact_dedup,
+        "paragraph_dedup": text_ops.paragraph_dedup,
+        # sampling / packing / mixing family
+        "priority_sample": sampling.priority_sample,
+        "corpus_mix": sampling.corpus_mix,
+        "hash_split": sampling.hash_split,
+        "seeded_shuffle": sampling.seeded_shuffle,
+        "stratified_sample": sampling.stratified_sample,
+        "sequence_pack": sampling.sequence_pack,
+        "domain_quota_sample": sampling.domain_quota_sample,
+        # analytics / sketches family
+        "table_profile": analytics.table_profile,
+        "length_bucketize": analytics.length_bucketize,
+        "pagerank": analytics.pagerank,
+        "countmin_tokens": analytics.countmin_tokens,
+        "token_quantiles": analytics.token_quantiles,
+        "label_centroids": analytics.label_centroids,
+        # text analysis / quality family
+        "unigram_logprob": text_ops.unigram_logprob,
+        "html_extract": text_ops.html_extract,
+        "text_quality": text_ops.text_quality,
+        "langid": text_ops.langid,
+        "fingerprint": text_ops.fingerprint,
+        "pii_redact": text_ops.pii_redact,
+        "ngram_decontaminate": text_ops.ngram_decontaminate,
+        "text_normalize": text_ops.text_normalize,
+        "quality_classifier": text_ops.quality_classifier,
+        "repetition_stats": text_ops.repetition_stats,
+        "token_count": text_ops.token_count,
+        # joins (plus the salted-skew physical-plan twins)
+        "orders_lineitem_join": joins.orders_lineitem_join,
+        "events_asof_order": joins.events_asof_order,
+        "events_orders_range_join": joins.events_orders_range_join,
+        "orders_lineitem_join_salted": joins.orders_lineitem_join_salted,
+        "events_asof_order_salted": lambda sf: joins.events_asof_order(sf, salt=4),
+        "events_orders_range_join_salted": lambda sf: joins.events_orders_range_join(sf, salt=4),
+        # relational operator demos (SQL-checked)
+        "quality_filter": relational.quality_filter,
+        "events_top3_per_user": relational.events_top3_per_user,
+        "lineitem_agg": relational.lineitem_agg,
+        "segment_revenue": relational.segment_revenue,
+        "part_brand_stats": relational.part_brand_stats,
+        "top_longest": relational.top_longest,
+        "lang_stats": relational.lang_stats,
+        "events_sessionize": relational.events_sessionize,
+        # ---- entries past the driver's 50-entry recording window ----
+        # (everything below has a green hash-match row in CORRECTNESS_r04;
+        # all still pytest-pinned and re-runnable by
+        # tools/check_correctness.py at any position)
+        "extract_docs": _extract_docs,
+        "extract_spans": _extract_spans,
         "domain_stats": domain_stats,
         # dedup family (SQL oracles recompute the LSH/verify in DuckDB)
         "minhash_dedup": dedup_ops.minhash_dedup,
@@ -175,91 +233,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": text_ops.incremental_dedup,
         "substring_dedup": text_ops.substring_dedup,
         "bloom_screen": web_ops.bloom_screen,
-        # round-4 search ops (new — inside the window)
         "bm25_search": text_ops.bm25_search,
         "rerank_search": text_ops.rerank_search,
         "semantic_dedup": similarity.semantic_dedup,
         "dsir_sample": text_ops.dsir_sample,
         "anchor_stats": web_ops.anchor_stats,
-        # Arrow-combiner rewrites this round — fresh rows wanted
         "token_histogram": text_ops.token_histogram,
         "events_window": relational.events_window,
         "events_sliding": relational.events_sliding,
         "distinct_stats": relational.distinct_stats,
-        # round-4 training-data ops
         "doc_chunks": text_ops.doc_chunks,
         "inverted_index": text_ops.inverted_index,
-        # round-4 web-corpus hygiene + weighted sampling (new this round —
-        # inside the recording window; the displaced hash_split/
-        # seeded_shuffle/stratified_sample are unchanged since their green
-        # CORRECTNESS_r03 rows and moved just past the cutoff)
         "url_dedup": web_ops.url_dedup,
         "robots_filter": web_ops.robots_filter,
         "gopher_filter": web_ops.gopher_filter,
         "link_graph": web_ops.link_graph,
         "line_dedup": web_ops.line_dedup,
         "host_boilerplate": web_ops.host_boilerplate,
-        "embedding_dedup": dedup_ops.embedding_dedup,
-        "priority_sample": sampling.priority_sample,
-        # sampling / packing / mixing
-        "corpus_mix": sampling.corpus_mix,
-        # analytics
-        "table_profile": analytics.table_profile,
-        "length_bucketize": analytics.length_bucketize,
-        # round-4 source format + tokenizer training (new — in-window)
-        "warc_extract": web_ops.warc_extract,
-        "warc_extract_gz": web_ops.warc_extract_gz,
-        "bpe_train": text_ops.bpe_train,
-        "bpe_encode": text_ops.bpe_encode,
-        # displaced from the recording window this session: unchanged
-        # since their green CORRECTNESS_r03 rows, still pytest-pinned
-        "kmeans_clusters": similarity.kmeans_clusters,
-        "exact_dedup": text_ops.exact_dedup,
-        "quality_classifier": text_ops.quality_classifier,
-        "paragraph_dedup": text_ops.paragraph_dedup,
-        "warc_index": web_ops.warc_index,
-        # ---- entries past the driver's 50-entry recording window ----
-        # (everything below is byte-unchanged since its green
-        # CORRECTNESS_r03 row and still pytest-pinned; displaced for the
-        # round-4 additions and the Arrow-combiner rewrites above)
-        "pagerank": analytics.pagerank,
-        "countmin_tokens": analytics.countmin_tokens,
-        "bpe_token_count": text_ops.bpe_token_count,
-        "unigram_logprob": text_ops.unigram_logprob,
-        # HTML-arm round-trip with a SQL oracle (byte-exact text recovery)
-        "html_extract": text_ops.html_extract,
-        "sequence_pack": sampling.sequence_pack,
-        "domain_quota_sample": sampling.domain_quota_sample,
-        "token_quantiles": analytics.token_quantiles,
-        "label_centroids": analytics.label_centroids,
-        "text_quality": text_ops.text_quality,
-        "langid": text_ops.langid,
-        "fingerprint": text_ops.fingerprint,
-        "pii_redact": text_ops.pii_redact,
-        "ngram_decontaminate": text_ops.ngram_decontaminate,
-        "text_normalize": text_ops.text_normalize,
-        "orders_lineitem_join": joins.orders_lineitem_join,
-        "repetition_stats": text_ops.repetition_stats,
-        "token_count": text_ops.token_count,
-        "hash_split": sampling.hash_split,
-        "seeded_shuffle": sampling.seeded_shuffle,
-        "stratified_sample": sampling.stratified_sample,
-        "events_asof_order": joins.events_asof_order,
-        "events_orders_range_join": joins.events_orders_range_join,
-        "quality_filter": relational.quality_filter,
-        "events_top3_per_user": relational.events_top3_per_user,
-        # salted-skew join variants: identical logical results to the
-        # unsalted twins above, different physical plans
-        "orders_lineitem_join_salted": joins.orders_lineitem_join_salted,
-        "events_asof_order_salted": lambda sf: joins.events_asof_order(sf, salt=4),
-        "events_orders_range_join_salted": lambda sf: joins.events_orders_range_join(sf, salt=4),
-        # relational operator demos (SQL-checked)
-        "lineitem_agg": relational.lineitem_agg,
-        "segment_revenue": relational.segment_revenue,
-        "part_brand_stats": relational.part_brand_stats,
-        "top_longest": relational.top_longest,
-        "lang_stats": relational.lang_stats,
-        "events_sessionize": relational.events_sessionize,
     }
 
 
