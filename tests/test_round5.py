@@ -82,3 +82,103 @@ def test_incremental_fuzzy_dedup_resumable_kill_restart(ray_session, tmp_path):
 
     r3 = run_incremental_fuzzy_dedup_resumable(sf, out, n_buckets=8)
     assert r3["buckets_skipped"] == 8 and r3["buckets_run"] == 0
+
+
+def test_bpe_merge_batching_equivalence(ray_session):
+    """Batched merge election (VERDICT r4 task 6) is bit-identical to the
+    classic one-merge-per-round schedule, in fewer driver-paced rounds."""
+    import pandas as pd
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.text_ops import bpe_train
+
+    sf = "/root/testdata/sf0.001"
+    seq = bpe_train(sf, max_batch=1)
+    st: dict = {}
+    bat = bpe_train(sf, stats=st)
+    pd.testing.assert_frame_equal(seq, bat)
+    assert len(bat) == 8
+    assert st["rounds"] < 8  # measured 4 on this corpus
+
+
+def test_select_merge_batch_stops_on_interaction():
+    """The batch selector's safety gates: symbol overlap, merged-symbol
+    collision, and the reachable-new-pair bound each stop the prefix."""
+    import pandas as pd
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.text_ops import (
+        _select_merge_batch,
+    )
+
+    def cand(rows):
+        return pd.DataFrame(rows, columns=["l", "r", "c"])
+
+    # disjoint, far-separated counts: both selected
+    got = _select_merge_batch(
+        cand([("a", "b", 100), ("c", "d", 50)]),
+        lm={"a": 100, "c": 50}, rm={"b": 100, "d": 50},
+    )
+    assert [(left, right) for left, right, _ in got] == [("a", "b"), ("c", "d")]
+
+    # symbol overlap with the first pick: stop after one
+    got = _select_merge_batch(
+        cand([("a", "b", 100), ("b", "c", 99)]),
+        lm={"a": 100, "b": 99}, rm={"b": 100, "c": 99},
+    )
+    assert len(got) == 1
+
+    # runner-up does not strictly beat the reachable new-pair bound
+    # (RM(l1)=60 >= 50): stop after one
+    got = _select_merge_batch(
+        cand([("a", "b", 100), ("c", "d", 50)]),
+        lm={"a": 100, "c": 50}, rm={"b": 100, "d": 50, "a": 60},
+    )
+    assert len(got) == 1
+
+    # merged symbol "cd" collides with an existing pair-table symbol
+    got = _select_merge_batch(
+        cand([("a", "b", 100), ("c", "d", 50)]),
+        lm={"a": 100, "c": 50, "cd": 10}, rm={"b": 100, "d": 50},
+    )
+    assert len(got) == 1
+
+    # self-interacting (l == r) first pick: bound includes itself,
+    # nothing can follow
+    got = _select_merge_batch(
+        cand([("a", "a", 100), ("c", "d", 50)]),
+        lm={"a": 100, "c": 50}, rm={"a": 100, "d": 50},
+    )
+    assert len(got) == 1
+
+
+def test_bpe_batching_randomized_corpora(ray_session, tmp_path):
+    """Adversarial equivalence: random skewed corpora over a 4-letter
+    alphabet (maximizing pair interaction, ties, and merged-symbol
+    collisions like 'ab'+'c' vs 'a'+'bc'), batched vs sequential."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.text_ops import bpe_train
+
+    rng = np.random.default_rng(5)
+    for trial in range(6):
+        letters = np.array(list("abcd"))
+        words = [
+            "".join(rng.choice(letters, size=rng.integers(1, 9)))
+            for _ in range(60)
+        ]
+        docs = [
+            " ".join(rng.choice(words, size=rng.integers(3, 30)))
+            for _ in range(40)
+        ]
+        sf = tmp_path / f"sf{trial}"
+        sf.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs)}),
+            sf / "documents.parquet",
+        )
+        seq = bpe_train(str(sf), n_merges=12, max_batch=1)
+        bat = bpe_train(str(sf), n_merges=12)
+        pd.testing.assert_frame_equal(seq, bat)
