@@ -182,3 +182,78 @@ def test_bpe_batching_randomized_corpora(ray_session, tmp_path):
         seq = bpe_train(str(sf), n_merges=12, max_batch=1)
         bat = bpe_train(str(sf), n_merges=12)
         pd.testing.assert_frame_equal(seq, bat)
+
+
+def test_kll_sketch_mechanics():
+    """Unit invariants of the mergeable rank sketch: exact below k,
+    weight conservation, serialization round-trip, merge associativity
+    of total weight, bounded rank error on a big stream."""
+    import numpy as np
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import _KLLSketch
+
+    # exact when everything fits in level 0
+    s = _KLLSketch(64)
+    s.add(np.arange(50, dtype=np.int64))
+    assert s.total_weight() == 50
+    ranks = np.array([1, 25, 50])
+    assert list(s.quantile_values(ranks)) == [0, 24, 49]
+
+    # round-trip
+    s2 = _KLLSketch.from_bytes(s.to_bytes())
+    assert list(s2.quantile_values(ranks)) == [0, 24, 49]
+    assert s2.total_weight() == 50
+
+    # 200k-value stream through 100 partial sketches: weight conserved,
+    # decile rank error within the documented bound
+    rng = np.random.default_rng(11)
+    all_vals = rng.integers(0, 1 << 40, 200_000).astype(np.int64)
+    parts = []
+    for chunk in np.array_split(all_vals, 100):
+        p = _KLLSketch(200)
+        p.add(chunk)
+        parts.append(p.to_bytes())
+    parts.sort()
+    folded = _KLLSketch(200)
+    for raw in parts:
+        folded.merge(_KLLSketch.from_bytes(raw))
+    n = folded.total_weight()
+    assert n == 200_000
+    hi = np.sort(all_vals)
+    for d in range(1, 10):
+        r = (d * n + 9) // 10
+        got = folded.quantile_values(np.array([r]))[0]
+        true_rank = np.searchsorted(hi, got, side="right")
+        assert abs(true_rank - r) <= 0.01 * n, (d, true_rank, r)
+
+
+def test_approx_quantiles_sketch_mode(ray_session):
+    """Sketch mode at sf0.1: n_sample equals the full row count and each
+    decile's rank error is within 1% of n; sample mode is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        _AQ_Q,
+        approx_quantiles,
+    )
+    from action_pdf_accessibility_paddle_docker_ray.sources.pages import read_table
+
+    sf = "/root/testdata/sf0.1"
+    got = approx_quantiles(sf, sketch=True)
+    emb = read_table(sf, "embeddings", columns=["embedding"]).to_pandas()
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    q = np.floor(mat * _AQ_Q + 0.5).astype(np.int64)
+    true_vals = np.sort((q * q).sum(axis=1))
+    n = len(true_vals)
+    assert (got["n_sample"] == n).all()
+    for d, v in zip(got["decile"], got["value_q"]):
+        r = (d * n + 9) // 10
+        true_rank = np.searchsorted(true_vals, v, side="right")
+        assert abs(true_rank - r) <= 0.01 * n, (d, true_rank, r)
+
+    # the default (sample) mode still matches its own exact order
+    # statistic contract — schema and semantics untouched by the flag
+    samp = approx_quantiles(sf)
+    assert list(samp.columns) == ["decile", "value_q", "n_sample"]
+    assert len(samp) == 9
