@@ -1,16 +1,312 @@
 """Round-5 tests.
 
-Resumable sinks for the remaining minhash-family ops (VERDICT r4 task 5):
-``dedup_keep_best`` and ``incremental_fuzzy_dedup`` get the same phase-A
-global-state checkpoint + per-bucket atomic-publish contract as
-``dedup_corpus``, with kill-after-k restart tests proving the resumed
-union is bit-identical to the direct op.
+1. The degenerate-LSH-bucket fix (round-4 verdict "What's wrong #1"):
+   the in-bucket agreement matrix is slab-bounded (never m×m), and
+   component-building dedup ops cap per-bucket SURVIVING pair emission
+   with a connectivity-preserving chain+star subset.  We pin
+   (a) slabbed emission ≡ the full-matrix reference below the cap,
+   (b) the spanning subset's shape and connectivity above it, and
+   (c) end-to-end component equality on a clone-heavy corpus where the
+   cap provably triggers.
+
+2. Resumable sinks for ``dedup_keep_best`` / ``incremental_fuzzy_dedup``
+   (phase-A drop-table checkpoint + per-bucket atomic publish), BPE
+   merge batching (election-identical to one-merge-per-round), and the
+   mergeable KLL rank sketch behind ``approx_quantiles(sketch=True)``.
 """
 
-import glob
-
+import numpy as np
 import pandas as pd
-import pyarrow.dataset as pads
+import pytest
+
+from action_pdf_accessibility_paddle_docker_ray.pipelines import dedup_ops
+from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+    _bucket_pairs,
+    _bucket_pairs_prefiltered,
+    _minhash_params,
+    _minhash_signature,
+    _shingle_hashes,
+)
+
+
+def _bucket_frame(sigs: np.ndarray, ids: np.ndarray) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "band": np.zeros(len(ids), dtype=np.int64),
+            "band_hash": "deadbeefdeadbeef",
+            "doc_id": ids,
+            "sigb": [s.astype(np.uint8).tobytes() for s in sigs],
+        }
+    )
+
+
+def _reference_pairs(sigs: np.ndarray, ids: np.ndarray, cut: float) -> set:
+    """Round-4's full-matrix emitter, as the in-test reference."""
+    m = len(ids)
+    agree = np.zeros((m, m), dtype=np.uint16)
+    for p in range(sigs.shape[1]):
+        col = sigs[:, p].astype(np.uint8)
+        agree += (col[:, None] == col[None, :]).astype(np.uint16)
+    iu, ju = np.triu_indices(m, k=1)
+    keep = (agree[iu, ju] / sigs.shape[1]) >= cut
+    return {(int(ids[i]), int(ids[j])) for i, j in zip(iu[keep], ju[keep])}
+
+
+def _components(pairs: set, ids) -> dict:
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in parent}
+
+
+def test_slabbed_emission_equals_full_matrix(monkeypatch):
+    """Multi-slab agreement (slab height 7 forces ~30 slabs at m=200)
+    must emit the exact pair set of the one-shot m×m reference."""
+    monkeypatch.setattr(dedup_ops, "_AGREE_SLAB", 7)
+    rng = np.random.default_rng(11)
+    m, perms = 200, 24
+    # low-cardinality values so agreement varies across the whole range
+    sigs = rng.integers(0, 4, size=(m, perms)).astype(np.uint8)
+    ids = rng.permutation(np.arange(1000, 1000 + m)).astype(np.int64)
+    for cut in (0.25, 0.5, 0.9):
+        got = _bucket_pairs_prefiltered(cut, spanning_cap=None)(
+            _bucket_frame(sigs, ids)
+        )
+        got_set = {(int(a), int(b)) for a, b in zip(got["a"], got["b"])}
+        order = np.argsort(ids, kind="stable")
+        want = _reference_pairs(sigs[order], ids[order], cut)
+        assert got_set == want
+
+
+def test_spanning_cap_triggers_and_preserves_clone_connectivity():
+    """A 40-clone bucket (780 survivors > cap 128) must emit ≤ 2m−3
+    pairs whose components equal the uncapped all-pairs components."""
+    m, perms = 40, 16
+    sigs = np.tile(np.arange(perms, dtype=np.uint8), (m, 1))  # exact clones
+    ids = np.arange(500, 500 + m, dtype=np.int64)
+    frame = _bucket_frame(sigs, ids)
+    capped = _bucket_pairs_prefiltered(0.5, spanning_cap=128)(frame)
+    assert len(capped) <= 2 * m - 3
+    full = _bucket_pairs_prefiltered(0.5, spanning_cap=None)(frame)
+    assert len(full) == m * (m - 1) // 2
+    cap_pairs = {(int(a), int(b)) for a, b in zip(capped["a"], capped["b"])}
+    full_pairs = {(int(a), int(b)) for a, b in zip(full["a"], full["b"])}
+    assert cap_pairs <= full_pairs
+    assert _components(cap_pairs, ids) == _components(full_pairs, ids)
+    # min-star present: every member one hop from the would-be rep
+    rep = int(ids.min())
+    assert all((rep, int(i)) in cap_pairs for i in ids if int(i) != rep)
+
+
+def test_spanning_cap_screens_on_estimate():
+    """Mixed bucket: chain/star edges below the estimate cut must NOT be
+    emitted — the cap changes emission shape, never the screen."""
+    perms = 32
+    rng = np.random.default_rng(3)
+    clones_a = np.tile(rng.integers(0, 255, perms), (20, 1)).astype(np.uint8)
+    clones_b = np.tile(rng.integers(0, 255, perms), (20, 1)).astype(np.uint8)
+    sigs = np.vstack([clones_a, clones_b])
+    ids = np.arange(40, dtype=np.int64)
+    capped = _bucket_pairs_prefiltered(0.9, spanning_cap=10)(
+        _bucket_frame(sigs, ids)
+    )
+    pairs = {(int(a), int(b)) for a, b in zip(capped["a"], capped["b"])}
+    # no cross-cluster edge can reach est 0.9 (disjoint random sigs)
+    assert all((a < 20) == (b < 20) for a, b in pairs)
+    comp = _components(pairs, ids)
+    assert len({comp[i] for i in range(20)}) == 1
+    assert len({comp[i] for i in range(20, 40)}) == 1
+
+
+def test_bucket_pairs_unfiltered_cap():
+    ids = np.arange(30, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    full = _bucket_pairs(df)
+    assert len(full) == 30 * 29 // 2
+    capped = _bucket_pairs(df, spanning_cap=100)
+    pairs = {(int(a), int(b)) for a, b in zip(capped["a"], capped["b"])}
+    assert len(capped) <= 2 * 30 - 3
+    assert _components(pairs, ids) == _components(
+        {(int(a), int(b)) for a, b in zip(full["a"], full["b"])}, ids
+    )
+
+
+def test_gpu_seam_reaches_map_batches(ray_session, tmp_path, monkeypatch):
+    """north_star GPU seam: num_gpus/resources passed to extract_pipeline
+    must land on the DETECTOR stage's map_batches (and displace its CPU
+    slot claim); the CPU default stays num_cpus=1."""
+    import ray.data as rd
+
+    from action_pdf_accessibility_paddle_docker_ray.corpus import write_pages_parquet
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import extract as ex
+
+    src = str(tmp_path / "pages.parquet")
+    write_pages_parquet(src, 6, seed=3)
+
+    calls = []
+    orig = rd.Dataset.map_batches
+
+    def spy(self, fn, **kwargs):
+        name = getattr(fn, "__name__", type(fn).__name__ if not isinstance(fn, type) else fn.__name__)
+        calls.append((name, kwargs))
+        return orig(self, fn, **kwargs)
+
+    monkeypatch.setattr(rd.Dataset, "map_batches", spy)
+
+    # GPU mode (lazy build only — no execution, the sandbox has no GPU)
+    ex.extract_pipeline(src, num_gpus=1.0, resources={"accel": 1})
+    det = [kw for name, kw in calls if name == "DocProcessor"]
+    assert det and det[-1]["num_gpus"] == 1.0
+    assert det[-1]["resources"] == {"accel": 1}
+    assert det[-1]["num_cpus"] == 0
+
+    # CPU default unchanged
+    calls.clear()
+    ex.extract_pipeline(src)
+    det = [kw for name, kw in calls if name == "DocProcessor"]
+    assert det and det[-1]["num_cpus"] == 1
+    assert "num_gpus" not in det[-1] and "resources" not in det[-1]
+
+    # sort path pins the PageProcessor stage the same way
+    calls.clear()
+    ex.extract_pipeline(src, regroup="sort", num_gpus=0.5)
+    det = [kw for name, kw in calls if name == "PageProcessor"]
+    assert det and det[-1]["num_gpus"] == 0.5 and det[-1]["num_cpus"] == 0
+
+
+def test_warc_gz_roundtrip_and_ranged_read(tmp_path):
+    """Gzip-member framing: every record recoverable, and — the property
+    the framing exists for — a single (offset, rec_bytes) ranged read of
+    the COMPRESSED file must decompress+parse to exactly that record."""
+    import gzip
+
+    import pyarrow as pa
+
+    from action_pdf_accessibility_paddle_docker_ray.sources import warc as w
+
+    ts = pd.Timestamp("2024-05-06 07:08:09")
+    payloads = [b"hello world", b"WARC/1.0\r\n\r\nfake header inside payload",
+                bytes(range(256)) * 7, b""]
+    tab = pa.table(
+        {
+            "url": [f"https://ex{i}.com/p" for i in range(len(payloads))],
+            "warc_ts": [ts] * len(payloads),
+            "html": payloads,
+        }
+    )
+    path = str(tmp_path / "a.warc.gz")
+    w.write_warc_gz(tab, path)
+    data = open(path, "rb").read()
+    recs = list(w.parse_warc_gz_bytes(data))
+    assert [r["payload"] for r in recs] == payloads
+    assert [r["url"] for r in recs] == tab["url"].to_pylist()
+    # compressed members tile the file exactly
+    assert recs[0]["offset"] == 0
+    for prev, cur in zip(recs, recs[1:]):
+        assert cur["offset"] == prev["offset"] + prev["rec_bytes"]
+    assert recs[-1]["offset"] + recs[-1]["rec_bytes"] == len(data)
+    # ranged read of one record
+    with open(path, "rb") as f:
+        f.seek(recs[2]["offset"])
+        member = f.read(recs[2]["rec_bytes"])
+    rec = next(w.parse_warc_bytes(gzip.decompress(member)))
+    assert rec["payload"] == payloads[2]
+    # framing dispatch: plain archive still parses via the same entry
+    plain = str(tmp_path / "b.warc")
+    w.write_warc(tab, plain)
+    recs_p = list(w._parse_archive(open(plain, "rb").read()))
+    assert [r["payload"] for r in recs_p] == payloads
+
+
+def test_warc_extract_gz_matches_plain(ray_session):
+    """The gz op must emit exactly the plain op's rows (same projection,
+    different framing) on the sf0.001 corpus."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import web_ops
+
+    sf = "/root/testdata/sf0.001"
+    gz = web_ops.warc_extract_gz(sf).to_pandas().sort_values("url").reset_index(drop=True)
+    plain = web_ops.warc_extract(sf).to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(gz, plain)
+
+
+def _clone_corpus(tmp_path, n_groups=40, clones=20):
+    """Every doc in a `clones`-sized exact-clone cluster: per-bucket
+    survivors C(clones,2)=190 > the 128 default cap."""
+    rng = np.random.default_rng(7)
+    words = ["alpha", "bravo", "carbon", "delta", "ember", "falcon",
+             "granite", "harbor", "indigo", "juniper", "kelp", "lumen"]
+    texts, gids = [], []
+    for g in range(n_groups):
+        base = " ".join(rng.choice(words, size=30)) + f" group{g}"
+        texts += [base] * clones
+        gids += [g] * clones
+    doc_id = np.arange(len(texts), dtype=np.int64)
+    df = pd.DataFrame(
+        {"doc_id": doc_id, "text": texts,
+         "n_chars": [len(t) for t in texts], "group": gids}
+    )
+    sf = tmp_path / "clone_sf"
+    sf.mkdir()
+    df.to_parquet(sf / "documents.parquet", index=False)
+    return str(sf), df
+
+
+def test_minhash_dedup_capped_equals_uncapped_on_clone_corpus(
+    ray_session, tmp_path
+):
+    sf, df = _clone_corpus(tmp_path)
+    # the cap must actually trigger at these shapes
+    a, b = _minhash_params(126)
+    sig = _minhash_signature(_shingle_hashes(df["text"][0], 5), a, b)
+    assert len(sig) == 126  # sanity: the clone group shares one signature
+    capped = dedup_ops.minhash_dedup(sf).sort_values("doc_id").reset_index(drop=True)
+    exact = dedup_ops.minhash_dedup(sf, spanning_cap=None).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(capped, exact)
+    # every doc clustered, rep = min doc_id of its 20-clone group
+    assert len(capped) == len(df)
+    want_rep = df.groupby("group")["doc_id"].transform("min")
+    got = dict(zip(capped["doc_id"], capped["rep_id"]))
+    assert all(got[i] == r for i, r in zip(df["doc_id"], want_rep))
+
+
+def test_incremental_fuzzy_dedup_capped_on_clone_corpus(ray_session, tmp_path):
+    """Cross-side drops must survive capping: every new-side clone has a
+    verified star edge to the old-side min-id member."""
+    sf, df = _clone_corpus(tmp_path, n_groups=20, clones=20)
+    surv = dedup_ops.incremental_fuzzy_dedup(sf).to_pandas()
+    lo, hi = int(df["doc_id"].min()), int(df["doc_id"].max())
+    split = (lo + hi + 1) // 2
+    new_ids = df[df["doc_id"] >= split]
+    # groups span the split boundary: every group's ids are contiguous,
+    # so each group is either fully old, fully new, or split. A new doc
+    # whose group has ANY old member must be dropped.
+    old_groups = set(df[df["doc_id"] < split]["group"])
+    expect_drop = {
+        int(i) for i, g in zip(new_ids["doc_id"], new_ids["group"])
+        if g in old_groups
+    }
+    kept = set(surv["doc_id"].astype(int))
+    assert kept == set(new_ids["doc_id"].astype(int)) - expect_drop
+
+
+# ---------------------------------------------------------------------------
+# Resumable minhash-family sinks, BPE merge batching, KLL sketch (round 5)
+# ---------------------------------------------------------------------------
+
+import glob  # noqa: E402
+
+import pyarrow.dataset as pads  # noqa: E402
 
 
 def _read_buckets(out_dir: str) -> pd.DataFrame:
