@@ -250,6 +250,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": web_ops.link_graph,
         "line_dedup": web_ops.line_dedup,
         "host_boilerplate": web_ops.host_boilerplate,
+        # deterministic KLL sketch mode (round 5) — rows-only entry: the
+        # fold is block-order-independent but not SQL-expressible (the
+        # compaction depends on per-block partials); rank error is pinned
+        # by tests/test_round5.py at sf0.1
+        "approx_quantiles_sketch": lambda sf: analytics.approx_quantiles(
+            sf, sketch=True
+        ),
     }
 
 

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "dsir_sample",
     "anchor_stats",
     "warc_extract",
+    "warc_extract_gz",
     "warc_index",
     "embedding_quantize",
     "robots_filter",
