@@ -229,6 +229,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_quantiles": analytics.label_quantiles,
         "key_skew_profile": analytics.key_skew_profile,
         "customer_big_orders_left_join": joins.customer_big_orders_left_join,
+        # round-5 multi-way joins (TPC-H Q3/Q5 shapes); past the rotation
+        # window — proven by this round's repo-gate run + pytest
+        "top_orders_q3": joins.top_orders_q3,
+        "regional_revenue_q5": joins.regional_revenue_q5,
         "tfidf_topk": text_ops.tfidf_topk,
         "incremental_dedup": text_ops.incremental_dedup,
         "substring_dedup": text_ops.substring_dedup,
@@ -424,6 +428,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_big_orders_left_join": (
             joins.sql_customer_big_orders_left_join()
         ),
+        "top_orders_q3": joins.sql_top_orders_q3(),
+        "regional_revenue_q5": joins.sql_regional_revenue_q5(),
         "events_asof_order": (
             "SELECT e.event_id, epoch_us(o.o_orderdate) AS order_ts_us "
             "FROM events e ASOF LEFT JOIN orders o "

@@ -444,3 +444,357 @@ def sql_customer_big_orders_left_join() -> str:
         "FROM customer c LEFT JOIN big b ON c.c_custkey = b.o_custkey "
         "GROUP BY c.c_mktsegment"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way joins (round 5): TPC-H Q3/Q5-shaped pipelines — the two classic
+# shapes the two-table family above doesn't cover: a 3-way join with global
+# top-k selection, and a 6-table star join mixing broadcast dimensions with
+# two bucketed fact exchanges.
+# ---------------------------------------------------------------------------
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_CUTOFF = "1998-06-15"
+
+
+def top_orders_q3(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q3-shaped pipeline: top-10 unshipped orders by revenue for one
+    market segment (customer ⋈ orders ⋈ lineitem).
+
+    Scale plan:
+    - Both fact reads are pruned AND row-filtered at the read (pyarrow
+      predicate pushdown on ``o_orderdate`` / ``l_shipdate``).
+    - The customer leg is a BROADCAST SEMI-JOIN: only the qualifying
+      custkey set ships (sorted int64 array via ``ray.put``, searchsorted
+      membership per batch — ~1/5 of customers; at corpus scale this
+      becomes the Bloom-screen variant used by ``bloom_screen``, trading
+      exactness of the semi-join for a fixed-size bitmap + exact verify).
+    - lineitem revenue is per-batch combined to (orderkey, partial_rev)
+      before the one grouped exchange on ``orderkey % JOIN_BUCKETS``.
+    - Each bucket emits only its LOCAL top-10 (revenue is complete within
+      a bucket since buckets partition orderkeys), so the final global
+      sort+limit runs over ≤ 10·JOIN_BUCKETS rows — dataset-resident.
+
+    Output: (o_orderkey, revenue, o_orderdate, o_orderpriority), the
+    exact 10 rows of the SQL oracle (revenue rounded to cents before the
+    ordering, tie-broken by o_orderdate then o_orderkey on both sides).
+    """
+    ensure_picklable()
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    cutoff = pd.Timestamp(_Q3_CUTOFF)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = np.sort(
+        cust.filter(pc.equal(cust["c_mktsegment"], _Q3_SEGMENT))["c_custkey"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    keys_ref = ray.put(keys)
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter_expr=(pads.field("o_orderdate") < cutoff.to_pydatetime()),
+    )
+    lineitem = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter_expr=(pads.field("l_shipdate") > cutoff.to_pydatetime()),
+    )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        ck = ray.get(keys_ref)
+        v = df["o_custkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(ck, v)
+        member = (pos < len(ck)) & (ck[np.minimum(pos, max(len(ck) - 1, 0))] == v)
+        sel = df[member]
+        return pd.DataFrame(
+            {
+                "key": sel["o_orderkey"].astype("int64"),
+                "bucket": (sel["o_orderkey"] % JOIN_BUCKETS).astype("int64"),
+                "side": "o",
+                "odate": sel["o_orderdate"],
+                "priority": sel["o_orderpriority"],
+                "rev": np.zeros(len(sel), dtype=np.float64),
+            }
+        )
+
+    def tag_lineitem(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        g = (
+            pd.DataFrame({"key": df["l_orderkey"].astype("int64"), "rev": rev})
+            .groupby("key", as_index=False, sort=False)["rev"]
+            .sum()
+        )
+        return pd.DataFrame(
+            {
+                "key": g["key"],
+                "bucket": (g["key"] % JOIN_BUCKETS).astype("int64"),
+                "side": "l",
+                "odate": pd.Series([pd.NaT] * len(g), dtype="datetime64[us]"),
+                "priority": "",
+                "rev": g["rev"].astype("float64"),
+            }
+        )
+
+    both = orders.map_batches(tag_orders, batch_format="pandas").union(
+        lineitem.map_batches(tag_lineitem, batch_format="pandas")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "revenue": pd.Series([], dtype="float64"),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                "o_orderpriority": pd.Series([], dtype="object"),
+            }
+        )
+        o = df[df["side"] == "o"]
+        if len(o) == 0:
+            return empty
+        l = (
+            df[df["side"] == "l"]
+            .groupby("key", as_index=False, sort=False)["rev"]
+            .sum()
+        )
+        j = o[["key", "odate", "priority"]].merge(l, on="key", how="inner")
+        if len(j) == 0:
+            return empty
+        j["rev"] = j["rev"].round(2)
+        j = j.sort_values(
+            ["rev", "odate", "key"], ascending=[False, True, True], kind="mergesort"
+        ).head(10)
+        return pd.DataFrame(
+            {
+                "o_orderkey": j["key"].to_numpy(dtype=np.int64),
+                "revenue": j["rev"].to_numpy(),
+                "o_orderdate": j["odate"].astype("datetime64[us]"),
+                "o_orderpriority": j["priority"].to_numpy(dtype=object),
+            }
+        )
+
+    partials = grouped_block_map(both, ["bucket"], join_bucket)
+    # ≤ 10·JOIN_BUCKETS candidate rows — the global sort is trivially small.
+    return partials.sort(
+        ["revenue", "o_orderdate", "o_orderkey"], descending=[True, False, False]
+    ).limit(10)
+
+
+def sql_top_orders_q3() -> str:
+    return (
+        "SELECT o.o_orderkey, "
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+        "o.o_orderdate, o.o_orderpriority "
+        "FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        f"WHERE c.c_mktsegment = '{_Q3_SEGMENT}' "
+        f"AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}' "
+        f"AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}' "
+        "GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority "
+        "ORDER BY revenue DESC, o.o_orderdate, o.o_orderkey LIMIT 10"
+    )
+
+
+_Q5_REGION = "ASIA"
+_Q5_DATE_LO = "1996-01-01"
+_Q5_DATE_HI = "1997-01-01"
+
+
+def regional_revenue_q5(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q5-shaped 6-table star join: revenue per nation for one region
+    and one order-date year, counting only lineitems whose SUPPLIER sits in
+    the same nation as the ordering CUSTOMER (the classic Q5 twist that
+    makes this a real multi-way join, not a chain of lookups).
+
+    Scale plan (two grouped exchanges, dimensions broadcast):
+    - region ⋈ nation collapses to a ≤25-entry nationkey→name map; the
+      region's supplier side to a suppkey→nationkey dict (both broadcast
+      once via ``ray.put`` — supplier is SF·10k rows, bounded).
+    - customer is row-filtered AT THE READ to the region's nationkeys
+      (pyarrow ``isin`` pushdown), orders to the date window.
+    - Exchange 1 co-partitions orders+customer on ``custkey %
+      JOIN_BUCKETS`` → (orderkey, customer_nation).
+    - lineitem maps supplier→nation per batch (region misses dropped
+      immediately) and per-batch combines to (orderkey, s_nation,
+      partial_rev, partial_n).
+    - Exchange 2 co-partitions on ``orderkey % JOIN_BUCKETS``, joins, keeps
+      rows with customer_nation == supplier_nation, folds per-nation
+      partials; the final groupby is ≤25 rows.
+
+    Output: (n_name, n_items, revenue) — revenue rounded to cents.
+    """
+    ensure_picklable()
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    rkey = region.filter(pc.equal(region["r_name"], _Q5_REGION))["r_regionkey"][0].as_py()
+    nat = nation.filter(pc.equal(nation["n_regionkey"], rkey))
+    nat_names = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+    nation_keys = sorted(nat_names)
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    import pyarrow as pa
+
+    sup = supplier.filter(
+        pc.is_in(supplier["s_nationkey"], value_set=pa.array(nation_keys))
+    )
+    sup_map = dict(zip(sup["s_suppkey"].to_pylist(), sup["s_nationkey"].to_pylist()))
+    sup_ref = ray.put(sup_map)
+
+    lo, hi = pd.Timestamp(_Q5_DATE_LO), pd.Timestamp(_Q5_DATE_HI)
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"],
+        filter_expr=pads.field("c_nationkey").isin(nation_keys),
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+        filter_expr=(
+            (pads.field("o_orderdate") >= lo.to_pydatetime())
+            & (pads.field("o_orderdate") < hi.to_pydatetime())
+        ),
+    )
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["c_custkey"].astype("int64"),
+                "bucket": (df["c_custkey"] % JOIN_BUCKETS).astype("int64"),
+                "side": "c",
+                "val": df["c_nationkey"].astype("int64"),
+            }
+        )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["o_custkey"].astype("int64"),
+                "bucket": (df["o_custkey"] % JOIN_BUCKETS).astype("int64"),
+                "side": "o",
+                "val": df["o_orderkey"].astype("int64"),
+            }
+        )
+
+    stage1 = cust.map_batches(tag_cust, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def join_cust(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["side"] == "c"][["key", "val"]].rename(columns={"val": "c_nat"})
+        o = df[df["side"] == "o"][["key", "val"]].rename(columns={"val": "okey"})
+        j = o.merge(c, on="key", how="inner")
+        return pd.DataFrame(
+            {
+                "key": j["okey"].to_numpy(dtype=np.int64),
+                "bucket": (j["okey"] % JOIN_BUCKETS).to_numpy(dtype=np.int64),
+                "side": "o",
+                "nat": j["c_nat"].to_numpy(dtype=np.int64),
+                "rev": np.zeros(len(j), dtype=np.float64),
+                "n": np.zeros(len(j), dtype=np.int64),
+            }
+        )
+
+    orders_nat = grouped_block_map(stage1, ["bucket"], join_cust)
+
+    lineitem = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def tag_lineitem(df: pd.DataFrame) -> pd.DataFrame:
+        smap = ray.get(sup_ref)
+        nat = df["l_suppkey"].map(smap)
+        sel = df[nat.notna()].copy()
+        sel["nat"] = nat[nat.notna()].astype("int64")
+        sel["rev"] = sel["l_extendedprice"].to_numpy() * (
+            1.0 - sel["l_discount"].to_numpy()
+        )
+        g = sel.groupby(["l_orderkey", "nat"], as_index=False, sort=False).agg(
+            rev=("rev", "sum"), n=("rev", "size")
+        )
+        return pd.DataFrame(
+            {
+                "key": g["l_orderkey"].astype("int64"),
+                "bucket": (g["l_orderkey"] % JOIN_BUCKETS).astype("int64"),
+                "side": "l",
+                "nat": g["nat"].astype("int64"),
+                "rev": g["rev"].astype("float64"),
+                "n": g["n"].astype("int64"),
+            }
+        )
+
+    stage2 = orders_nat.union(lineitem.map_batches(tag_lineitem, batch_format="pandas"))
+
+    def join_line(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "nationkey": pd.Series([], dtype="int64"),
+                "p_rev": pd.Series([], dtype="float64"),
+                "p_n": pd.Series([], dtype="int64"),
+            }
+        )
+        o = df[df["side"] == "o"][["key", "nat"]].rename(columns={"nat": "c_nat"})
+        l = df[df["side"] == "l"][["key", "nat", "rev", "n"]]
+        if len(o) == 0 or len(l) == 0:
+            return empty
+        j = l.merge(o, on="key", how="inner")
+        j = j[j["nat"] == j["c_nat"]]
+        if len(j) == 0:
+            return empty
+        g = j.groupby("nat", as_index=False, sort=False).agg(
+            p_rev=("rev", "sum"), p_n=("n", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "nationkey": g["nat"].to_numpy(dtype=np.int64),
+                "p_rev": g["p_rev"].to_numpy(),
+                "p_n": g["p_n"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    partials = grouped_block_map(stage2, ["bucket"], join_line)
+    agg = partials.groupby("nationkey").aggregate(
+        Sum("p_rev", alias_name="rev_raw"), Sum("p_n", alias_name="n_raw")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": df["nationkey"].map(nat_names),
+                "n_items": df["n_raw"].astype("int64"),
+                "revenue": df["rev_raw"].round(2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def sql_regional_revenue_q5() -> str:
+    return (
+        "SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_items, "
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "FROM region r "
+        "JOIN nation n ON n.n_regionkey = r.r_regionkey "
+        "JOIN customer c ON c.c_nationkey = n.n_nationkey "
+        "JOIN orders o ON o.o_custkey = c.c_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+        "AND s.s_nationkey = c.c_nationkey "
+        f"WHERE r.r_name = '{_Q5_REGION}' "
+        f"AND o.o_orderdate >= TIMESTAMP '{_Q5_DATE_LO}' "
+        f"AND o.o_orderdate < TIMESTAMP '{_Q5_DATE_HI}' "
+        "GROUP BY n.n_name"
+    )

@@ -553,3 +553,67 @@ def test_approx_quantiles_sketch_mode(ray_session):
     samp = approx_quantiles(sf)
     assert list(samp.columns) == ["decile", "value_q", "n_sample"]
     assert len(samp) == 9
+
+
+# ---------------------------------------------------------------------------
+# Round-5 multi-way joins: TPC-H Q3 (3-way + global top-k) and Q5 (6-table
+# star with the same-nation supplier/customer twist) vs DuckDB at sf0.001.
+# ---------------------------------------------------------------------------
+
+def _tpch_views(con, sf, tables):
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+
+def test_top_orders_q3_matches_duckdb(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.joins import (
+        sql_top_orders_q3,
+        top_orders_q3,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = top_orders_q3(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    _tpch_views(con, sf, ("customer", "orders", "lineitem"))
+    want = con.execute(sql_top_orders_q3()).df().reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    # the oracle's ORDER BY is total (revenue DESC, odate, okey) — compare
+    # positionally, including the rounded revenue
+    assert got["o_orderkey"].astype("int64").equals(want["o_orderkey"].astype("int64"))
+    assert np.allclose(got["revenue"], want["revenue"], atol=0)
+    assert list(got["o_orderpriority"]) == list(want["o_orderpriority"])
+
+
+def test_regional_revenue_q5_matches_duckdb(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.joins import (
+        regional_revenue_q5,
+        sql_regional_revenue_q5,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        regional_revenue_q5(sf)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    _tpch_views(
+        con, sf, ("region", "nation", "customer", "supplier", "orders", "lineitem")
+    )
+    want = (
+        con.execute(sql_regional_revenue_q5())
+        .df()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert list(got["n_name"]) == list(want["n_name"])
+    assert got["n_items"].astype("int64").equals(want["n_items"].astype("int64"))
+    assert np.allclose(got["revenue"], want["revenue"], atol=0)
