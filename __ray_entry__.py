@@ -233,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window — proven by this round's repo-gate run + pytest
         "top_orders_q3": joins.top_orders_q3,
         "regional_revenue_q5": joins.regional_revenue_q5,
+        "big_order_customers": joins.big_order_customers,
+        "nation_year_rollup": relational.nation_year_rollup,
         "tfidf_topk": text_ops.tfidf_topk,
         "incremental_dedup": text_ops.incremental_dedup,
         "substring_dedup": text_ops.substring_dedup,
@@ -430,6 +432,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "top_orders_q3": joins.sql_top_orders_q3(),
         "regional_revenue_q5": joins.sql_regional_revenue_q5(),
+        "big_order_customers": joins.sql_big_order_customers(),
+        "nation_year_rollup": relational.sql_nation_year_rollup(),
         "events_asof_order": (
             "SELECT e.event_id, epoch_us(o.o_orderdate) AS order_ts_us "
             "FROM events e ASOF LEFT JOIN orders o "

@@ -509,8 +509,11 @@ def top_orders_q3(sf_dir: str) -> ray.data.Dataset:
     def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
         ck = ray.get(keys_ref)
         v = df["o_custkey"].to_numpy(dtype=np.int64)
-        pos = np.searchsorted(ck, v)
-        member = (pos < len(ck)) & (ck[np.minimum(pos, max(len(ck) - 1, 0))] == v)
+        if len(ck) == 0:
+            member = np.zeros(len(v), dtype=bool)
+        else:
+            pos = np.searchsorted(ck, v)
+            member = (pos < len(ck)) & (ck[np.minimum(pos, len(ck) - 1)] == v)
         sel = df[member]
         return pd.DataFrame(
             {
@@ -797,4 +800,234 @@ def sql_regional_revenue_q5() -> str:
         f"AND o.o_orderdate >= TIMESTAMP '{_Q5_DATE_LO}' "
         f"AND o.o_orderdate < TIMESTAMP '{_Q5_DATE_HI}' "
         "GROUP BY n.n_name"
+    )
+
+
+_Q18_MIN_QTY = 250
+
+
+def big_order_customers(
+    sf_dir: str, min_qty: int = _Q18_MIN_QTY, broadcast_limit: int = 2_000_000
+) -> ray.data.Dataset:
+    """TPC-H Q18-shaped GROUP-HAVING SEMI-JOIN: customers whose orders
+    total more than ``min_qty`` units (lineitem HAVING → orders → customer).
+
+    Scale plan:
+    - lineitem read pruned to 2 columns; per-batch combined to
+      (orderkey, partial_qty) so the one grouped exchange carries
+      partials, not rows; the HAVING filter runs on the aggregate and
+      its survivors are OUTPUT-SIZED (the 99.9th-percentile orders).
+    - Plan A (default): the qualifying-set size is counted DISTRIBUTED
+      first; under ``broadcast_limit`` the (orderkey, qty) pairs ship
+      once via ``ray.put`` (sorted arrays + searchsorted) and both the
+      orders and customer scans filter per batch — zero further
+      exchanges.  The matched-orders frame that then broadcasts to the
+      customer scan is ≤ the qualifying count by construction.
+    - Plan B (``broadcast_limit`` exceeded; forced in tests): two bucket
+      co-partitioned exchanges — qualifying ⋈ orders on
+      ``orderkey % JOIN_BUCKETS``, the (output-sized) result ⋈ customer
+      on ``custkey % JOIN_BUCKETS`` — never a driver materialization.
+    Both plans are pinned identical in tests/test_round5.py.
+
+    Output: (c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+    sum_qty) — one row per qualifying order.
+    """
+    ensure_picklable()
+    from ray.data.aggregate import Sum
+
+    lineitem = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(t):
+        # Arrow block out: Ray's aggregate over pandas blocks pays a
+        # per-group Python dispatch (measured 27x at 60k groups — r4 fix)
+        import pyarrow as pa
+
+        g = t.group_by(["l_orderkey"]).aggregate([("l_quantity", "sum")])
+        return pa.table(
+            {
+                "key": g["l_orderkey"].cast(pa.int64()),
+                "p_qty": g["l_quantity_sum"],
+            }
+        )
+
+    def having(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["qty"] > min_qty].reset_index(drop=True)
+
+    # materialized ONCE: the post-HAVING survivors are output-sized, so the
+    # count and the (possible) driver collect don't re-run the lineitem scan
+    qual = (
+        lineitem.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("p_qty", alias_name="qty"))
+        .map_batches(having, batch_format="pandas")
+        .materialize()
+    )
+
+    n_qual = qual.count()  # distributed scalar — proves the broadcast bound
+    if n_qual == 0:
+        # empty-shard path: the aggregate of zero rows carries no schema
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "c_name": pd.Series([], dtype="object"),
+                    "c_custkey": pd.Series([], dtype="int64"),
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                    "o_totalprice": pd.Series([], dtype="float64"),
+                    "sum_qty": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+    if n_qual <= broadcast_limit:
+        # ---- Plan A: two broadcast semi-joins, zero further exchanges ----
+        qdf = qual.to_pandas()  # bound proven ≤ broadcast_limit rows
+        order_keys = np.sort(qdf["key"].to_numpy(dtype=np.int64))
+        qty_by_key = qdf.set_index("key")["qty"]
+        qty_sorted = qty_by_key.loc[order_keys].to_numpy()
+        oq_ref = ray.put((order_keys, qty_sorted))
+
+        def match_orders(df: pd.DataFrame) -> pd.DataFrame:
+            keys, qty = ray.get(oq_ref)
+            v = df["o_orderkey"].to_numpy(dtype=np.int64)
+            if len(keys) == 0:
+                hit = np.zeros(len(v), dtype=bool)
+                pos = hit.astype(np.int64)
+            else:
+                pos = np.searchsorted(keys, v)
+                hit = (pos < len(keys)) & (
+                    keys[np.minimum(pos, len(keys) - 1)] == v
+                )
+            sel = df[hit]
+            return pd.DataFrame(
+                {
+                    "c_custkey": sel["o_custkey"].astype("int64"),
+                    "o_orderkey": sel["o_orderkey"].astype("int64"),
+                    "o_orderdate": sel["o_orderdate"],
+                    "o_totalprice": sel["o_totalprice"].astype("float64"),
+                    "sum_qty": np.round(qty[pos[hit]]).astype(np.int64),
+                }
+            )
+
+        orders = read_table(
+            sf_dir, "orders",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        matched = orders.map_batches(match_orders, batch_format="pandas")
+        mdf = matched.to_pandas()  # ≤ n_qual rows — output-sized
+        m_ref = ray.put(mdf)
+
+        def join_customer(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(m_ref)
+            j = df[["c_custkey", "c_name"]].merge(
+                m, on="c_custkey", how="inner"
+            )
+            return j[
+                ["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice", "sum_qty"]
+            ]
+
+        customer = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        return customer.map_batches(join_customer, batch_format="pandas")
+
+    # ---- Plan B: bucket co-partitioned exchanges, dataset-resident ----
+    def tag_qual(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["key"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "key": key,
+                "bucket": key % JOIN_BUCKETS,
+                "side": "q",
+                "i1": np.round(df["qty"].to_numpy()).astype(np.int64),
+                "f1": np.zeros(len(df)),
+                "t1": pd.Series([pd.NaT] * len(df), dtype="datetime64[us]"),
+                "s1": "",
+            }
+        )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["o_orderkey"].astype("int64"),
+                "bucket": (df["o_orderkey"] % JOIN_BUCKETS).astype("int64"),
+                "side": "o",
+                "i1": df["o_custkey"].astype("int64"),
+                "f1": df["o_totalprice"].astype("float64"),
+                "t1": df["o_orderdate"].astype("datetime64[us]"),
+                "s1": "",
+            }
+        )
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    stage1 = qual.map_batches(tag_qual, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def join_orders(df: pd.DataFrame) -> pd.DataFrame:
+        q = df[df["side"] == "q"][["key", "i1"]].rename(columns={"i1": "qty"})
+        o = df[df["side"] == "o"][["key", "i1", "f1", "t1"]].rename(
+            columns={"i1": "custkey", "f1": "price", "t1": "odate"}
+        )
+        j = o.merge(q, on="key", how="inner")
+        return pd.DataFrame(
+            {
+                "key": j["custkey"].to_numpy(dtype=np.int64),
+                "bucket": (j["custkey"] % JOIN_BUCKETS).to_numpy(dtype=np.int64),
+                "side": "m",
+                "i1": j["key"].to_numpy(dtype=np.int64),
+                "i2": j["qty"].to_numpy(dtype=np.int64),
+                "f1": j["price"].to_numpy(),
+                "t1": j["odate"].astype("datetime64[us]"),
+                "s1": "",
+            }
+        )
+
+    matched = grouped_block_map(stage1, ["bucket"], join_orders)
+
+    def tag_customer(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["c_custkey"].astype("int64"),
+                "bucket": (df["c_custkey"] % JOIN_BUCKETS).astype("int64"),
+                "side": "c",
+                "i1": np.zeros(len(df), dtype=np.int64),
+                "i2": np.zeros(len(df), dtype=np.int64),
+                "f1": np.zeros(len(df)),
+                "t1": pd.Series([pd.NaT] * len(df), dtype="datetime64[us]"),
+                "s1": df["c_name"],
+            }
+        )
+
+    customer = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    stage2 = matched.union(customer.map_batches(tag_customer, batch_format="pandas"))
+
+    def join_cust(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["side"] == "m"][["key", "i1", "i2", "f1", "t1"]]
+        c = df[df["side"] == "c"][["key", "s1"]]
+        j = m.merge(c, on="key", how="inner")
+        return pd.DataFrame(
+            {
+                "c_name": j["s1"].to_numpy(dtype=object),
+                "c_custkey": j["key"].to_numpy(dtype=np.int64),
+                "o_orderkey": j["i1"].to_numpy(dtype=np.int64),
+                "o_orderdate": j["t1"].astype("datetime64[us]"),
+                "o_totalprice": j["f1"].to_numpy(),
+                "sum_qty": j["i2"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return grouped_block_map(stage2, ["bucket"], join_cust)
+
+
+def sql_big_order_customers() -> str:
+    return (
+        "SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, "
+        "o.o_totalprice, CAST(ROUND(SUM(l.l_quantity), 0) AS BIGINT) AS sum_qty "
+        "FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice "
+        f"HAVING SUM(l.l_quantity) > {_Q18_MIN_QTY}"
     )

@@ -387,3 +387,105 @@ def quality_filter(sf_dir: str) -> ray.data.Dataset:
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         flt, batch_format="pandas"
     )
+
+
+def nation_year_rollup(sf_dir: str) -> pd.DataFrame:
+    """Revenue by (customer nation, order year) with ROLLUP subtotals —
+    the multi-level aggregate shape (fine level + per-nation totals +
+    grand total) computed from ONE corpus exchange.
+
+    Scale plan: customer's custkey→nationkey map and nation's ≤25-entry
+    name map broadcast once; orders is the only corpus-sized scan, and
+    each batch combines to (nationkey, year, partial_n, partial_rev)
+    before the one grouped exchange.  The two coarser ROLLUP levels are
+    re-aggregated from the FINE-LEVEL RESULT (≤ 25·n_years rows —
+    driver-side by construction), never from a second corpus pass.
+
+    Output: (n_name, o_year, n_orders, revenue); subtotal rows carry
+    n_name='ALL' / o_year=-1, mirroring the SQL oracle's COALESCE over
+    GROUP BY ROLLUP.
+    """
+    ensure_picklable()
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nat_map = dict(
+        zip(customer["c_custkey"].to_pylist(), customer["c_nationkey"].to_pylist())
+    )
+    nat_names = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    nat_ref = ray.put(nat_map)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(nat_ref)
+        g = (
+            pd.DataFrame(
+                {
+                    "natkey": df["o_custkey"].map(nm).astype("int64"),
+                    "o_year": df["o_orderdate"].dt.year.astype("int64"),
+                    "price": df["o_totalprice"].astype("float64"),
+                }
+            )
+            .groupby(["natkey", "o_year"], as_index=False, sort=False)
+            .agg(p_n=("price", "size"), p_rev=("price", "sum"))
+        )
+        return g
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    fine = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby(["natkey", "o_year"])
+        .aggregate(Sum("p_n", alias_name="n_raw"), Sum("p_rev", alias_name="rev_raw"))
+        .to_pandas()  # ≤ 25·n_years rows by construction
+    )
+
+    if len(fine) == 0:
+        # SQL ROLLUP over zero rows emits zero rows (no grand-total row)
+        return pd.DataFrame(
+            {
+                "n_name": pd.Series([], dtype="object"),
+                "o_year": pd.Series([], dtype="int64"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "revenue": pd.Series([], dtype="float64"),
+            }
+        )
+
+    nat_level = fine.groupby("natkey", as_index=False).agg(
+        n_raw=("n_raw", "sum"), rev_raw=("rev_raw", "sum")
+    )
+    nat_level["o_year"] = -1
+    total = pd.DataFrame(
+        {
+            "natkey": [-1],
+            "o_year": [-1],
+            "n_raw": [fine["n_raw"].sum()],
+            "rev_raw": [fine["rev_raw"].sum()],
+        }
+    )
+    out = pd.concat([fine, nat_level, total], ignore_index=True)
+    return pd.DataFrame(
+        {
+            "n_name": out["natkey"].map(lambda k: nat_names.get(k, "ALL")),
+            "o_year": out["o_year"].astype("int64"),
+            "n_orders": out["n_raw"].astype("int64"),
+            "revenue": out["rev_raw"].round(2),
+        }
+    )
+
+
+def sql_nation_year_rollup() -> str:
+    return (
+        "SELECT COALESCE(n.n_name, 'ALL') AS n_name, "
+        "COALESCE(CAST(year(o.o_orderdate) AS BIGINT), -1) AS o_year, "
+        "COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS revenue "
+        "FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+        "GROUP BY ROLLUP (n.n_name, CAST(year(o.o_orderdate) AS BIGINT))"
+    )

@@ -112,6 +112,10 @@ BENCH_QUERIES = [
     "contrastive_pairs",
     "label_quantiles",
     "dedup_eval",
+    "top_orders_q3",
+    "regional_revenue_q5",
+    "big_order_customers",
+    "nation_year_rollup",
 ]
 
 

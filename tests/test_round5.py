@@ -617,3 +617,139 @@ def test_regional_revenue_q5_matches_duckdb(ray_session):
     assert list(got["n_name"]) == list(want["n_name"])
     assert got["n_items"].astype("int64").equals(want["n_items"].astype("int64"))
     assert np.allclose(got["revenue"], want["revenue"], atol=0)
+
+
+def test_big_order_customers_plans_identical_and_match_duckdb(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.joins import (
+        big_order_customers,
+        sql_big_order_customers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = ["c_custkey", "o_orderkey"]
+    a = (  # plan A: broadcast semi-joins
+        big_order_customers(sf)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    b = (  # plan B: bucketed exchanges, forced by a zero broadcast budget
+        big_order_customers(sf, broadcast_limit=0)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    assert a[sorted(a.columns)].equals(b[sorted(b.columns)])
+
+    con = duckdb.connect()
+    _tpch_views(con, sf, ("customer", "orders", "lineitem"))
+    want = (
+        con.execute(sql_big_order_customers())
+        .df()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(want)
+    for col in ("c_name", "c_custkey", "o_orderkey", "sum_qty"):
+        assert list(a[col]) == list(want[col]), col
+    assert np.allclose(a["o_totalprice"], want["o_totalprice"], atol=0)
+
+
+def test_nation_year_rollup_matches_duckdb(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        nation_year_rollup,
+        sql_nation_year_rollup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = ["n_name", "o_year"]
+    got = nation_year_rollup(sf).sort_values(key).reset_index(drop=True)
+    con = duckdb.connect()
+    _tpch_views(con, sf, ("nation", "customer", "orders"))
+    want = (
+        con.execute(sql_nation_year_rollup()).df().sort_values(key).reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert list(got["n_name"]) == list(want["n_name"])
+    assert got["o_year"].astype("int64").equals(want["o_year"].astype("int64"))
+    assert got["n_orders"].astype("int64").equals(want["n_orders"].astype("int64"))
+    assert np.allclose(got["revenue"], want["revenue"], atol=0)
+    # all three rollup levels present: fine, per-nation (-1 year), grand total
+    assert (got["o_year"] == -1).sum() >= 2
+    assert ((got["n_name"] == "ALL") & (got["o_year"] == -1)).sum() == 1
+
+
+@pytest.fixture(scope="module")
+def empty_facts_sf(tmp_path_factory):
+    """Empty FACT tables (customer/orders/lineitem) with populated dimension
+    tables (region/nation/supplier) — the shape a resume/retry shard
+    presents to the multi-way joins."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("empty_facts_sf")
+    pq.write_table(
+        pa.table(
+            {"c_custkey": pa.array([], pa.int64()), "c_name": pa.array([], pa.string()),
+             "c_nationkey": pa.array([], pa.int64()),
+             "c_acctbal": pa.array([], pa.float64()),
+             "c_mktsegment": pa.array([], pa.string())}
+        ), str(d / "customer.parquet"))
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array([], pa.int64()), "o_custkey": pa.array([], pa.int64()),
+             "o_orderstatus": pa.array([], pa.string()),
+             "o_totalprice": pa.array([], pa.float64()),
+             "o_orderdate": pa.array([], pa.timestamp("us")),
+             "o_orderpriority": pa.array([], pa.string())}
+        ), str(d / "orders.parquet"))
+    pq.write_table(
+        pa.table(
+            {"l_orderkey": pa.array([], pa.int64()), "l_partkey": pa.array([], pa.int64()),
+             "l_suppkey": pa.array([], pa.int64()), "l_linenumber": pa.array([], pa.int64()),
+             "l_quantity": pa.array([], pa.float64()),
+             "l_extendedprice": pa.array([], pa.float64()),
+             "l_discount": pa.array([], pa.float64()), "l_tax": pa.array([], pa.float64()),
+             "l_returnflag": pa.array([], pa.string()),
+             "l_linestatus": pa.array([], pa.string()),
+             "l_shipdate": pa.array([], pa.timestamp("us"))}
+        ), str(d / "lineitem.parquet"))
+    pq.write_table(
+        pa.table({"r_regionkey": pa.array([0], pa.int64()),
+                  "r_name": pa.array(["ASIA"], pa.string())}),
+        str(d / "region.parquet"))
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array([0, 1], pa.int64()),
+                  "n_name": pa.array(["NATION_0", "NATION_1"], pa.string()),
+                  "n_regionkey": pa.array([0, 0], pa.int64())}),
+        str(d / "nation.parquet"))
+    pq.write_table(
+        pa.table({"s_suppkey": pa.array([0], pa.int64()),
+                  "s_nationkey": pa.array([0], pa.int64())}),
+        str(d / "supplier.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "opname",
+    ["top_orders_q3", "regional_revenue_q5", "big_order_customers",
+     "nation_year_rollup"],
+)
+def test_round5_ops_empty_shard_safe(ray_session, empty_facts_sf, opname):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines import joins, relational
+
+    fns = {
+        "top_orders_q3": joins.top_orders_q3,
+        "regional_revenue_q5": joins.regional_revenue_q5,
+        "big_order_customers": joins.big_order_customers,
+        "nation_year_rollup": relational.nation_year_rollup,
+    }
+    r = fns[opname](empty_facts_sf)
+    if hasattr(r, "to_pandas"):
+        r = r.to_pandas()
+    assert len(r) == 0
