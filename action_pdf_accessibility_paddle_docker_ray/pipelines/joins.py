@@ -655,8 +655,12 @@ def regional_revenue_q5(sf_dir: str) -> ray.data.Dataset:
     sup = supplier.filter(
         pc.is_in(supplier["s_nationkey"], value_set=pa.array(nation_keys))
     )
-    sup_map = dict(zip(sup["s_suppkey"].to_pylist(), sup["s_nationkey"].to_pylist()))
-    sup_ref = ray.put(sup_map)
+    # sorted parallel arrays for vectorized searchsorted membership (a
+    # Python dict .map() here would be a per-row loop over every lineitem)
+    sup_keys = sup["s_suppkey"].to_numpy().astype(np.int64)
+    sup_nats = sup["s_nationkey"].to_numpy().astype(np.int64)
+    order = np.argsort(sup_keys)
+    sup_ref = ray.put((sup_keys[order], sup_nats[order]))
 
     lo, hi = pd.Timestamp(_Q5_DATE_LO), pd.Timestamp(_Q5_DATE_HI)
     cust = read_table(
@@ -718,10 +722,16 @@ def regional_revenue_q5(sf_dir: str) -> ray.data.Dataset:
     )
 
     def tag_lineitem(df: pd.DataFrame) -> pd.DataFrame:
-        smap = ray.get(sup_ref)
-        nat = df["l_suppkey"].map(smap)
-        sel = df[nat.notna()].copy()
-        sel["nat"] = nat[nat.notna()].astype("int64")
+        skeys, snats = ray.get(sup_ref)
+        v = df["l_suppkey"].to_numpy(dtype=np.int64)
+        if len(skeys) == 0:
+            hit = np.zeros(len(v), dtype=bool)
+            pos = hit.astype(np.int64)
+        else:
+            pos = np.searchsorted(skeys, v)
+            hit = (pos < len(skeys)) & (skeys[np.minimum(pos, len(skeys) - 1)] == v)
+        sel = df[hit].copy()
+        sel["nat"] = snats[pos[hit]] if len(skeys) else np.zeros(0, dtype=np.int64)
         sel["rev"] = sel["l_extendedprice"].to_numpy() * (
             1.0 - sel["l_discount"].to_numpy()
         )
