@@ -235,6 +235,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_revenue_q5": joins.regional_revenue_q5,
         "big_order_customers": joins.big_order_customers,
         "nation_year_rollup": relational.nation_year_rollup,
+        # round-5 session 2: ordered window functions, group-argmin
+        # join-back, triangle counting
+        "events_user_running": relational.events_user_running,
+        "min_price_supplier": joins.min_price_supplier,
+        "host_triangles": web_ops.host_triangles,
         "tfidf_topk": text_ops.tfidf_topk,
         "incremental_dedup": text_ops.incremental_dedup,
         "substring_dedup": text_ops.substring_dedup,
@@ -434,6 +439,9 @@ def oracle_sql() -> dict[str, str]:
         "regional_revenue_q5": joins.sql_regional_revenue_q5(),
         "big_order_customers": joins.sql_big_order_customers(),
         "nation_year_rollup": relational.sql_nation_year_rollup(),
+        "events_user_running": relational.sql_events_user_running(),
+        "min_price_supplier": joins.sql_min_price_supplier(),
+        "host_triangles": web_ops.sql_host_triangles(),
         "events_asof_order": (
             "SELECT e.event_id, epoch_us(o.o_orderdate) AS order_ts_us "
             "FROM events e ASOF LEFT JOIN orders o "

@@ -1041,3 +1041,95 @@ def sql_big_order_customers() -> str:
         "GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice "
         f"HAVING SUM(l.l_quantity) > {_Q18_MIN_QTY}"
     )
+
+
+def min_price_supplier(sf_dir: str) -> ray.data.Dataset:
+    """Group-argmin with payload recovery — for every part, the cheapest
+    lineitem price, how many lineitems hit that price, and the smallest
+    suppkey among them (the TPC-H Q2/Q17 "join back on the group minimum"
+    shape).
+
+    Scale plan: SQL needs two corpus passes (GROUP BY min, then re-join
+    lineitem on price = min); here the argmin-with-payload is folded as a
+    MERGEABLE partial instead — per batch, a vectorized ``transform('min')``
+    screen keeps only rows at the batch-local minimum and collapses them to
+    one (partkey, min_price, n_at_min, best_suppkey) row, and merging two
+    partials is exact (strictly smaller price wins outright; equal price
+    sums n and takes min suppkey — price equality is exact because no
+    arithmetic touches the parquet doubles).  ONE part-cardinality grouped
+    exchange replaces the second corpus scan entirely; the in-block fold is
+    the same vectorized screen (colocation invariant, ``util.py``).  Price
+    reported in milli-units (``floor(p*1000+0.5)`` both engines).
+
+    Output: (l_partkey, min_price_milli, n_at_min, best_suppkey).
+    """
+    ensure_picklable()
+
+    _EMPTY = {
+        "l_partkey": "int64",
+        "mp": "float64",
+        "n_at_min": "int64",
+        "best_suppkey": "int64",
+    }
+
+    def _screen(df: pd.DataFrame, price: str, n: str, supp: str) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in _EMPTY.items()})
+        mn = df.groupby("l_partkey", sort=False)[price].transform("min")
+        at = df[df[price].to_numpy() == mn.to_numpy()]
+        g = at.groupby("l_partkey", sort=False, as_index=False).agg(
+            mp=(price, "min"),
+            n_at_min=(n, "sum") if n else (price, "size"),
+            best_suppkey=(supp, "min"),
+        )
+        g["l_partkey"] = g["l_partkey"].astype("int64")
+        g["n_at_min"] = g["n_at_min"].astype("int64")
+        g["best_suppkey"] = g["best_suppkey"].astype("int64")
+        return g
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _screen(df, "l_extendedprice", "", "l_suppkey")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = _screen(df, "mp", "n_at_min", "best_suppkey")
+        if len(out) == 0:
+            return pd.DataFrame(
+                {
+                    "l_partkey": pd.Series([], dtype="int64"),
+                    "min_price_milli": pd.Series([], dtype="int64"),
+                    "n_at_min": pd.Series([], dtype="int64"),
+                    "best_suppkey": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "l_partkey": out["l_partkey"],
+                "min_price_milli": np.floor(
+                    out["mp"].to_numpy(dtype="float64") * 1000.0 + 0.5
+                ).astype("int64"),
+                "n_at_min": out["n_at_min"],
+                "best_suppkey": out["best_suppkey"],
+            }
+        )
+
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+    ds = ds.map_batches(partial, batch_format="pandas")
+    # sort by EXACTLY the group key (colocation invariant, util.py)
+    return ds.sort(["l_partkey"]).map_batches(
+        fold, batch_format="pandas", batch_size=None
+    )
+
+
+def sql_min_price_supplier() -> str:
+    return (
+        "WITH m AS (SELECT l_partkey, MIN(l_extendedprice) AS mp "
+        "FROM lineitem GROUP BY l_partkey) "
+        "SELECT m.l_partkey, "
+        "CAST(floor(m.mp * 1000 + 0.5) AS BIGINT) AS min_price_milli, "
+        "COUNT(*) AS n_at_min, MIN(l.l_suppkey) AS best_suppkey "
+        "FROM m JOIN lineitem l "
+        "ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.mp "
+        "GROUP BY m.l_partkey, m.mp"
+    )

@@ -489,3 +489,76 @@ def sql_nation_year_rollup() -> str:
         "JOIN nation n ON n.n_nationkey = c.c_nationkey "
         "GROUP BY ROLLUP (n.n_name, CAST(year(o.o_orderdate) AS BIGINT))"
     )
+
+
+def events_user_running(sf_dir: str) -> ray.data.Dataset:
+    """Ordered per-key window functions: ROW_NUMBER, running SUM and LAG
+    over each user's time-ordered event stream — the feature-engineering
+    shape SQL writes as ``f(...) OVER (PARTITION BY user ORDER BY ts)``,
+    and the one windowed-analytics member (ordered intra-group scan) the
+    tumbling/sliding/session ops above don't cover.
+
+    Scale plan: ONE sort exchange keyed on exactly ``[user_id]`` (the
+    colocation invariant, ``util.py`` — every user's rows arrive complete
+    in one block), then the whole window computation is vectorized inside
+    the block: an in-block ``sort_values`` completes the (ts, event_id)
+    order and cythonized groupby ``cumcount``/``cumsum``/``shift`` produce
+    all three functions with zero per-group Python dispatch and zero
+    further exchanges.  Values fold in integer milli-units so the running
+    sum is bit-exact cross-engine (``floor(v*1000 + 0.5)`` in both).
+
+    Output: (event_id, user_id, rn, cum_milli, prev_milli); ``prev_milli``
+    is 0 on each user's first event (SQL ``COALESCE(LAG(..), 0)``).
+    """
+    import numpy as np
+
+    ensure_picklable()
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "rn": pd.Series([], dtype="int64"),
+                    "cum_milli": pd.Series([], dtype="int64"),
+                    "prev_milli": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        v = np.floor(
+            df["value"].to_numpy(dtype="float64") * 1000.0 + 0.5
+        ).astype("int64")
+        df = df.assign(v_milli=v)
+        g = df.groupby("user_id", sort=False)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64").to_numpy(),
+                "user_id": df["user_id"].astype("int64").to_numpy(),
+                "rn": (g.cumcount() + 1).to_numpy().astype("int64"),
+                "cum_milli": g["v_milli"].cumsum().to_numpy().astype("int64"),
+                "prev_milli": g["v_milli"]
+                .shift(fill_value=0)
+                .to_numpy()
+                .astype("int64"),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    # sort by EXACTLY the partition key (colocation invariant, util.py)
+    return ds.sort(["user_id"]).map_batches(
+        window, batch_format="pandas", batch_size=None
+    )
+
+
+def sql_events_user_running() -> str:
+    return (
+        "SELECT event_id, user_id, "
+        "CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn, "
+        "CAST(SUM(v_milli) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_milli, "
+        "CAST(COALESCE(LAG(v_milli) OVER w, 0) AS BIGINT) AS prev_milli "
+        "FROM (SELECT event_id, user_id, ts, "
+        "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli FROM events) "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    )

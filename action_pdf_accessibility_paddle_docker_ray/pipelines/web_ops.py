@@ -1365,3 +1365,263 @@ def sql_host_components() -> str:
         "SELECT hc_id.host, CAST(coalesce(hc_comp.cid, hc_id.id) AS BIGINT) "
         "AS comp_id FROM hc_id LEFT JOIN hc_comp USING (id)"
     )
+
+
+# --- triangle counting over the host link graph -----------------------------
+
+_TRI_BROADCAST_MAX = 2_000_000  # max nodes in the broadcast degree map
+_TRI_BUCKETS = 32
+
+
+def host_triangles(
+    sf_dir: str, *, broadcast_max: int = _TRI_BROADCAST_MAX
+) -> pd.DataFrame:
+    """Triangle count of the undirected host link graph — the classic
+    link-farm / tight-community signal (a spam ring links within itself;
+    its triangle density dwarfs an organic neighborhood's).
+
+    Scale plan (degree-ordered wedge join — the standard distributed
+    triangle algorithm): edges from ``link_graph`` are canonicalized and
+    deduped (one grouped exchange), degrees come from a per-batch endpoint
+    combiner into a node-cardinality exchange, and every edge is ORIENTED
+    from its lower (degree, name) endpoint to the higher — which bounds
+    any node's out-degree by O(sqrt(m)), so wedge emission is O(m^1.5)
+    total even on a star-shaped hot host where naive neighbor-pairing is
+    O(deg^2) unbounded.  The degree map attaches by broadcast under a
+    distributed-count-proven bound, else by two bucketed tagged-sides
+    grouped joins (nothing node-shaped on the driver).  Wedges (v, w)
+    from each center u then co-partition with the oriented edges on
+    (v, w); a wedge closed by an edge row is exactly one triangle, each
+    triangle counted once at its (degree, name)-minimal vertex.  Only
+    per-block scalar counts reach the driver.
+
+    Output: one row (n_hosts, n_edges, n_triangles)."""
+    ensure_picklable()
+    import ray
+
+    from ..functions.fnv import fnv1a_32
+    from .util import grouped_block_dedup, grouped_block_map
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df):
+            df = df[df["src_host"] != df["dst_host"]]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="object"),
+                    "b": pd.Series([], dtype="object"),
+                }
+            )
+        s = df["src_host"].to_numpy(dtype=object)
+        d = df["dst_host"].to_numpy(dtype=object)
+        swap = s > d
+        return pd.DataFrame(
+            {"a": np.where(swap, d, s), "b": np.where(swap, s, d)}
+        )
+
+    # edges is the host-pair AGGREGATE (bounded by distinct host pairs,
+    # orders of magnitude below the corpus); it feeds four consumers
+    # (degrees, counts, orientation), so pin it in the object store once
+    # instead of re-running the corpus scan per consumer
+    edges = grouped_block_dedup(
+        link_graph(sf_dir).map_batches(canon, batch_format="pandas"), ["a", "b"]
+    ).materialize()
+
+    _DEG_EMPTY = {"node": "object", "c": "int64"}
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in _DEG_EMPTY.items()}
+            )
+        vc = pd.concat([df["a"], df["b"]], ignore_index=True).value_counts()
+        return pd.DataFrame(
+            {"node": vc.index.astype(object), "c": vc.to_numpy().astype("int64")}
+        )
+
+    def deg_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype="object"),
+                    "deg": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby("node", as_index=False, sort=False)["c"].sum()
+        return pd.DataFrame({"node": g["node"], "deg": g["c"].astype("int64")})
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pandas")
+        .sort(["node"])  # exactly the group key (colocation invariant)
+        .map_batches(deg_fold, batch_format="pandas", batch_size=None)
+        .materialize()  # node-cardinality table, two consumers
+    )
+
+    n_nodes = deg.count()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pd.DataFrame(
+            {
+                "n_hosts": pd.Series([0], dtype="int64"),
+                "n_edges": pd.Series([0], dtype="int64"),
+                "n_triangles": pd.Series([0], dtype="int64"),
+            }
+        )
+
+    _OR_EMPTY = {"u": "object", "v": "object", "dv": "int64"}
+
+    def _orient(a, b, da, db) -> pd.DataFrame:
+        swap = (da > db) | ((da == db) & (a > b))
+        return pd.DataFrame(
+            {
+                "u": np.where(swap, b, a),
+                "v": np.where(swap, a, b),
+                "dv": np.where(swap, da, db).astype("int64"),
+            }
+        )
+
+    if n_nodes <= broadcast_max:
+        deg_df = deg.to_pandas()  # proven <= broadcast_max rows
+        dref = ray.put(dict(zip(deg_df["node"], deg_df["deg"])))
+
+        def orient_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype=t) for c, t in _OR_EMPTY.items()}
+                )
+            d = ray.get(dref)
+            a = df["a"].to_numpy(dtype=object)
+            b = df["b"].to_numpy(dtype=object)
+            da = df["a"].map(d).to_numpy(dtype="int64")
+            db = df["b"].map(d).to_numpy(dtype="int64")
+            return _orient(a, b, da, db)
+
+        oriented = edges.map_batches(orient_bcast, batch_format="pandas")
+    else:
+        # tagged-sides bucketed joins: attach deg(a), then deg(b); the
+        # degree table never leaves the cluster
+        def _bucketize(df: pd.DataFrame, key: str) -> pd.DataFrame:
+            ks = df[key]
+            hmap = {k: fnv1a_32(k) % _TRI_BUCKETS for k in ks.unique()}
+            return df.assign(bucket=ks.map(hmap).astype("int64"))
+
+        def _attach(edges_ds, key, out_col):
+            tagged_e = edges_ds.map_batches(
+                lambda df, key=key: _bucketize(df, key).assign(
+                    node=df[key], deg=np.int64(-1), tag=np.int64(1)
+                ),
+                batch_format="pandas",
+            )
+            tagged_d = deg.map_batches(
+                lambda df: _bucketize(df, "node").assign(tag=np.int64(0)),
+                batch_format="pandas",
+            )
+
+            def join_bucket(df: pd.DataFrame, out_col=out_col) -> pd.DataFrame:
+                e = df[df["tag"] == 1].drop(columns=["deg", "tag", "bucket"])
+                d = df[df["tag"] == 0][["node", "deg"]]
+                m = e.merge(d, on="node", how="left")
+                m[out_col] = m["deg"].fillna(0).astype("int64")
+                return m.drop(columns=["node", "deg"])
+
+            # union carries heterogeneous extra cols; normalize first
+            cols = ["bucket", "node", "tag", "deg"] + [
+                c for c in ("a", "b", "da") if c in edges_ds.schema().names
+            ]
+            tagged_e = tagged_e.select_columns(cols)
+            tagged_d = tagged_d.map_batches(
+                lambda df, cols=cols: df.assign(
+                    **{
+                        c: pd.Series([""] * len(df), dtype="object")
+                        for c in cols
+                        if c not in df.columns and c in ("a", "b")
+                    },
+                    **{
+                        c: np.int64(0)
+                        for c in cols
+                        if c not in df.columns and c == "da"
+                    },
+                )[cols],
+                batch_format="pandas",
+            )
+            uni = tagged_e.union(tagged_d)
+            return grouped_block_map(uni, ["bucket"], join_bucket)
+
+        with_da = _attach(edges, "a", "da")
+        with_db = _attach(with_da, "b", "db")
+
+        def orient_join(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype=t) for c, t in _OR_EMPTY.items()}
+                )
+            return _orient(
+                df["a"].to_numpy(dtype=object),
+                df["b"].to_numpy(dtype=object),
+                df["da"].to_numpy(dtype="int64"),
+                df["db"].to_numpy(dtype="int64"),
+            )
+
+        oriented = with_db.map_batches(orient_join, batch_format="pandas")
+
+    _W_EMPTY = {"x": "object", "y": "object", "tag": "int64"}
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in _W_EMPTY.items()}
+            )
+        gg = g.sort_values(["dv", "v"], kind="mergesort")
+        vs = gg["v"].to_numpy(dtype=object)
+        i, j = np.triu_indices(len(vs), k=1)
+        return pd.DataFrame({"x": vs[i], "y": vs[j], "tag": np.int64(1)})
+
+    oriented = oriented.materialize()  # edge-sized, two consumers
+    wedges = grouped_block_map(oriented, ["u"], emit_pairs, drop_singletons=True)
+    e_tagged = oriented.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "x": df["u"].to_numpy(dtype=object),
+                "y": df["v"].to_numpy(dtype=object),
+                "tag": np.zeros(len(df), dtype="int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def close_count(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"t": pd.Series([], dtype="int64")})
+        m = df.groupby(["x", "y"], sort=False)["tag"].transform("min")
+        t = int(((df["tag"].to_numpy() == 1) & (m.to_numpy() == 0)).sum())
+        return pd.DataFrame({"t": pd.Series([t], dtype="int64")})
+
+    tri = (
+        wedges.union(e_tagged)
+        .sort(["x", "y"])  # exactly the group key (colocation invariant)
+        .map_batches(close_count, batch_format="pandas", batch_size=None)
+        .sum("t")
+    )
+    return pd.DataFrame(
+        {
+            "n_hosts": pd.Series([int(n_nodes)], dtype="int64"),
+            "n_edges": pd.Series([int(n_edges)], dtype="int64"),
+            "n_triangles": pd.Series([int(tri or 0)], dtype="int64"),
+        }
+    )
+
+
+def sql_host_triangles() -> str:
+    return (
+        f"WITH lg AS ({sql_link_graph()}), "
+        "e0 AS (SELECT DISTINCT LEAST(src_host, dst_host) AS a, "
+        "GREATEST(src_host, dst_host) AS b FROM lg "
+        "WHERE src_host <> dst_host) "
+        "SELECT "
+        "CAST((SELECT COUNT(*) FROM (SELECT a AS h FROM e0 "
+        "UNION SELECT b FROM e0)) AS BIGINT) AS n_hosts, "
+        "CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges, "
+        "CAST((SELECT COUNT(*) FROM e0 x "
+        "JOIN e0 y ON y.a = x.b "
+        "JOIN e0 z ON z.a = x.a AND z.b = y.b) AS BIGINT) AS n_triangles"
+    )

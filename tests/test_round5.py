@@ -732,13 +732,24 @@ def empty_facts_sf(tmp_path_factory):
         pa.table({"s_suppkey": pa.array([0], pa.int64()),
                   "s_nationkey": pa.array([0], pa.int64())}),
         str(d / "supplier.parquet"))
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array([], pa.int64()), "ts": pa.array([], pa.timestamp("us")),
+             "user_id": pa.array([], pa.int64()), "event_type": pa.array([], pa.string()),
+             "value": pa.array([], pa.float64()), "props": pa.array([], pa.string())}
+        ), str(d / "events.parquet"))
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "source": pa.array([], pa.string()),
+             "text": pa.array([], pa.string())}
+        ), str(d / "documents.parquet"))
     return str(d)
 
 
 @pytest.mark.parametrize(
     "opname",
     ["top_orders_q3", "regional_revenue_q5", "big_order_customers",
-     "nation_year_rollup"],
+     "nation_year_rollup", "events_user_running", "min_price_supplier"],
 )
 def test_round5_ops_empty_shard_safe(ray_session, empty_facts_sf, opname):
     from action_pdf_accessibility_paddle_docker_ray.pipelines import joins, relational
@@ -748,8 +759,119 @@ def test_round5_ops_empty_shard_safe(ray_session, empty_facts_sf, opname):
         "regional_revenue_q5": joins.regional_revenue_q5,
         "big_order_customers": joins.big_order_customers,
         "nation_year_rollup": relational.nation_year_rollup,
+        "events_user_running": relational.events_user_running,
+        "min_price_supplier": joins.min_price_supplier,
     }
     r = fns[opname](empty_facts_sf)
     if hasattr(r, "to_pandas"):
         r = r.to_pandas()
     assert len(r) == 0
+
+
+def test_host_triangles_empty_shard(ray_session, empty_facts_sf):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.web_ops import (
+        host_triangles,
+    )
+
+    r = host_triangles(empty_facts_sf)
+    # SQL's scalar subqueries emit one all-zero row on an empty graph
+    assert len(r) == 1
+    assert int(r["n_hosts"].iloc[0]) == 0
+    assert int(r["n_edges"].iloc[0]) == 0
+    assert int(r["n_triangles"].iloc[0]) == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session 2: ordered window functions, group-argmin join-back,
+# degree-ordered triangle counting — each pinned vs DuckDB at sf0.001.
+# ---------------------------------------------------------------------------
+
+
+def test_events_user_running_matches_duckdb(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        events_user_running,
+        sql_events_user_running,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = ["user_id", "rn"]
+    got = (
+        events_user_running(sf).to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    _tpch_views(con, sf, ("events",))
+    want = (
+        con.execute(sql_events_user_running())
+        .df()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for col in ("event_id", "user_id", "rn", "cum_milli", "prev_milli"):
+        assert got[col].astype("int64").equals(want[col].astype("int64")), col
+    # window-function invariants: first row of each user has no LAG value,
+    # and the running sum telescopes (cum[i] - cum[i-1] == value[i])
+    first = got[got["rn"] == 1]
+    assert (first["prev_milli"] == 0).all()
+    per_user = got.groupby("user_id")
+    deltas = got["cum_milli"] - per_user["cum_milli"].shift(fill_value=0)
+    lagged = per_user["prev_milli"].shift(-1)
+    mask = lagged.notna()
+    assert (deltas[mask].to_numpy() == lagged[mask].to_numpy()).all()
+
+
+def test_min_price_supplier_matches_duckdb(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.joins import (
+        min_price_supplier,
+        sql_min_price_supplier,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        min_price_supplier(sf)
+        .to_pandas()
+        .sort_values("l_partkey")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    _tpch_views(con, sf, ("lineitem",))
+    want = (
+        con.execute(sql_min_price_supplier())
+        .df()
+        .sort_values("l_partkey")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for col in ("l_partkey", "min_price_milli", "n_at_min", "best_suppkey"):
+        assert got[col].astype("int64").equals(want[col].astype("int64")), col
+    # one output row per distinct part with lineitems
+    n_parts = con.execute(
+        "SELECT COUNT(DISTINCT l_partkey) FROM lineitem"
+    ).fetchone()[0]
+    assert len(got) == n_parts
+
+
+def test_host_triangles_matches_duckdb_and_join_path(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.web_ops import (
+        host_triangles,
+        sql_host_triangles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = host_triangles(sf).reset_index(drop=True)
+    # force the tagged-sides bucketed degree-attach (the >broadcast_max plan)
+    b = host_triangles(sf, broadcast_max=0).reset_index(drop=True)
+    assert a.equals(b)
+
+    con = duckdb.connect()
+    _tpch_views(con, sf, ("documents",))
+    want = con.execute(sql_host_triangles()).df().reset_index(drop=True)
+    for col in ("n_hosts", "n_edges", "n_triangles"):
+        assert int(a[col].iloc[0]) == int(want[col].iloc[0]), col
+    assert int(a["n_triangles"].iloc[0]) > 0  # the synthetic graph has triangles
