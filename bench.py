@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "regional_revenue_q5",
     "big_order_customers",
     "nation_year_rollup",
+    "events_user_running",
+    "min_price_supplier",
+    "host_triangles",
 ]
 
 
