@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_running": relational.events_user_running,
         "min_price_supplier": joins.min_price_supplier,
         "host_triangles": web_ops.host_triangles,
+        "events_funnel": relational.events_funnel,
+        "cohort_retention": relational.cohort_retention,
         "tfidf_topk": text_ops.tfidf_topk,
         "incremental_dedup": text_ops.incremental_dedup,
         "substring_dedup": text_ops.substring_dedup,
@@ -442,6 +444,8 @@ def oracle_sql() -> dict[str, str]:
         "events_user_running": relational.sql_events_user_running(),
         "min_price_supplier": joins.sql_min_price_supplier(),
         "host_triangles": web_ops.sql_host_triangles(),
+        "events_funnel": relational.sql_events_funnel(),
+        "cohort_retention": relational.sql_cohort_retention(),
         "events_asof_order": (
             "SELECT e.event_id, epoch_us(o.o_orderdate) AS order_ts_us "
             "FROM events e ASOF LEFT JOIN orders o "

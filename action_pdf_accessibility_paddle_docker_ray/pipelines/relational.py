@@ -562,3 +562,207 @@ def sql_events_user_running() -> str:
         "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli FROM events) "
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
     )
+
+
+_DAY_US = 86400 * 1_000_000
+_FUNNEL_WINDOW_US = _DAY_US  # conversion window per funnel stage
+
+
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Sequential windowed funnel — users who did view, THEN click within
+    one day, THEN purchase within one day of that (the product-analytics
+    ordered-pattern-match shape; SQL needs a cascade of correlated
+    min-joins).  The window makes the op discriminate: at sf0.01 the
+    stages are 150 → 60 → 25, not 150 → 150 → 150.
+
+    Scale plan: ONE sort exchange on exactly ``[user_id]`` (colocation
+    invariant — each user's history arrives complete in one block), then
+    the whole cascade is vectorized inside the block: three filtered
+    groupby-min passes chained by merges, no per-user Python.  Each block
+    emits only its 3 stage counts; the driver folds ≤ 3·num_blocks rows.
+
+    Output: (stage, n_users) — stage 1 = first 'view', 2 = 'click' after
+    it, 3 = 'purchase' after that."""
+    import numpy as np
+
+    ensure_picklable()
+
+    def stages(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "stage": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        us = df["ts"].astype("int64")
+        df = df.assign(us=us)
+        t1 = (
+            df[df["event_type"] == "view"]
+            .groupby("user_id", sort=False)["us"]
+            .min()
+            .rename("t1")
+        )
+        c = df[df["event_type"] == "click"].merge(
+            t1, left_on="user_id", right_index=True
+        )
+        t2 = (
+            c[(c["us"] > c["t1"]) & (c["us"] - c["t1"] <= _FUNNEL_WINDOW_US)]
+            .groupby("user_id", sort=False)["us"]
+            .min()
+            .rename("t2")
+        )
+        p = df[df["event_type"] == "purchase"].merge(
+            t2, left_on="user_id", right_index=True
+        )
+        t3 = (
+            p[(p["us"] > p["t2"]) & (p["us"] - p["t2"] <= _FUNNEL_WINDOW_US)]
+            .groupby("user_id", sort=False)["us"]
+            .min()
+        )
+        return pd.DataFrame(
+            {
+                "stage": np.array([1, 2, 3], dtype="int64"),
+                "n": np.array([len(t1), len(t2), len(t3)], dtype="int64"),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    part = (
+        ds.sort(["user_id"])  # exactly the partition key (colocation)
+        .map_batches(stages, batch_format="pandas", batch_size=None)
+        .to_pandas()  # <= 3 rows per block by construction
+    )
+    if len(part) == 0:
+        part = pd.DataFrame({"stage": [1, 2, 3], "n": [0, 0, 0]})
+    out = part.groupby("stage", as_index=False)["n"].sum()
+    return pd.DataFrame(
+        {
+            "stage": out["stage"].astype("int64"),
+            "n_users": out["n"].astype("int64"),
+        }
+    )
+
+
+def sql_events_funnel() -> str:
+    w = _FUNNEL_WINDOW_US
+    return (
+        "WITH t1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "t2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM events e "
+        "JOIN t1 ON e.user_id = t1.user_id AND epoch_us(e.ts) > t1.t "
+        f"AND epoch_us(e.ts) - t1.t <= {w} "
+        "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+        "t3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM events e "
+        "JOIN t2 ON e.user_id = t2.user_id AND epoch_us(e.ts) > t2.t "
+        f"AND epoch_us(e.ts) - t2.t <= {w} "
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+        "SELECT CAST(stage AS BIGINT) AS stage, CAST(n_users AS BIGINT) AS n_users "
+        "FROM (VALUES (1, (SELECT COUNT(*) FROM t1)), "
+        "(2, (SELECT COUNT(*) FROM t2)), "
+        "(3, (SELECT COUNT(*) FROM t3))) AS v(stage, n_users)"
+    )
+
+
+def cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    """Cohort retention matrix — users grouped by first-activity day,
+    counted per day-offset of subsequent PURCHASE activity (the
+    growth-analytics triangle table; purchase-day granularity makes the
+    matrix discriminate — counts vary 1–62 at sf0.01 instead of
+    saturating at the full user count).
+
+    Scale plan: ONE sort exchange on exactly ``[user_id]``; inside the
+    block each user's cohort day (min ts over ALL events) and distinct
+    purchase days are pure vectorized groupby/drop_duplicates, emitting
+    one (cohort_day, day_offset) row per distinct (user, purchase day) —
+    already the per-batch combiner granularity — then one
+    (cohort, offset)-cardinality grouped exchange sums the counts.  Day
+    arithmetic is integer epoch-μs floor division, bit-identical in both
+    engines.
+
+    Output: (cohort_day, day_offset, n_users)."""
+    ensure_picklable()
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "cohort_day": pd.Series([], dtype="int64"),
+                    "day_offset": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        dy = df["ts"].astype("int64").to_numpy() // _DAY_US
+        t = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "dy": dy,
+                "purch": (df["event_type"] == "purchase").to_numpy(),
+            }
+        )
+        cd = t.groupby("user_id", sort=False)["dy"].transform("min")
+        t = t.assign(cohort_day=cd)
+        t = t[t["purch"]].drop_duplicates(["user_id", "dy"])
+        if len(t) == 0:
+            return pd.DataFrame(
+                {
+                    "cohort_day": pd.Series([], dtype="int64"),
+                    "day_offset": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        g = (
+            t.assign(day_offset=t["dy"] - t["cohort_day"])
+            .groupby(["cohort_day", "day_offset"], as_index=False, sort=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "cohort_day": g["cohort_day"].astype("int64"),
+                "day_offset": g["day_offset"].astype("int64"),
+                "c": g["size"].astype("int64"),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "cohort_day": pd.Series([], dtype="int64"),
+                    "day_offset": pd.Series([], dtype="int64"),
+                    "n_users": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby(["cohort_day", "day_offset"], as_index=False, sort=False)[
+            "c"
+        ].sum()
+        return pd.DataFrame(
+            {
+                "cohort_day": g["cohort_day"].astype("int64"),
+                "day_offset": g["day_offset"].astype("int64"),
+                "n_users": g["c"].astype("int64"),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    part = ds.sort(["user_id"]).map_batches(
+        per_user, batch_format="pandas", batch_size=None
+    )
+    # exchange 2: (cohort, offset)-cardinality — days, not events
+    return part.sort(["cohort_day", "day_offset"]).map_batches(
+        fold, batch_format="pandas", batch_size=None
+    )
+
+
+def sql_cohort_retention() -> str:
+    return (
+        "WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS ft FROM events "
+        "GROUP BY user_id), "
+        f"a AS (SELECT DISTINCT e.user_id, epoch_us(e.ts) // {_DAY_US} AS dy, "
+        f"f.ft // {_DAY_US} AS cd "
+        "FROM events e JOIN f ON e.user_id = f.user_id "
+        "WHERE e.event_type = 'purchase') "
+        "SELECT CAST(cd AS BIGINT) AS cohort_day, "
+        "CAST(dy - cd AS BIGINT) AS day_offset, "
+        "COUNT(*) AS n_users FROM a GROUP BY cd, dy"
+    )

@@ -749,7 +749,8 @@ def empty_facts_sf(tmp_path_factory):
 @pytest.mark.parametrize(
     "opname",
     ["top_orders_q3", "regional_revenue_q5", "big_order_customers",
-     "nation_year_rollup", "events_user_running", "min_price_supplier"],
+     "nation_year_rollup", "events_user_running", "min_price_supplier",
+     "cohort_retention"],
 )
 def test_round5_ops_empty_shard_safe(ray_session, empty_facts_sf, opname):
     from action_pdf_accessibility_paddle_docker_ray.pipelines import joins, relational
@@ -761,6 +762,7 @@ def test_round5_ops_empty_shard_safe(ray_session, empty_facts_sf, opname):
         "nation_year_rollup": relational.nation_year_rollup,
         "events_user_running": relational.events_user_running,
         "min_price_supplier": joins.min_price_supplier,
+        "cohort_retention": relational.cohort_retention,
     }
     r = fns[opname](empty_facts_sf)
     if hasattr(r, "to_pandas"):
@@ -875,3 +877,61 @@ def test_host_triangles_matches_duckdb_and_join_path(ray_session):
     for col in ("n_hosts", "n_edges", "n_triangles"):
         assert int(a[col].iloc[0]) == int(want[col].iloc[0]), col
     assert int(a["n_triangles"].iloc[0]) > 0  # the synthetic graph has triangles
+
+
+def test_events_funnel_matches_duckdb_and_binds(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        events_funnel,
+        sql_events_funnel,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = events_funnel(sf).sort_values("stage").reset_index(drop=True)
+    con = duckdb.connect()
+    _tpch_views(con, sf, ("events",))
+    want = (
+        con.execute(sql_events_funnel()).df().sort_values("stage").reset_index(drop=True)
+    )
+    assert got["stage"].astype("int64").equals(want["stage"].astype("int64"))
+    assert got["n_users"].astype("int64").equals(want["n_users"].astype("int64"))
+    n = got["n_users"].to_numpy()
+    # the conversion window must BIND: each stage strictly loses users
+    assert n[0] > n[1] > n[2] > 0
+
+
+def test_cohort_retention_matches_duckdb_and_binds(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        cohort_retention,
+        sql_cohort_retention,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    key = ["cohort_day", "day_offset"]
+    got = (
+        cohort_retention(sf).to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    _tpch_views(con, sf, ("events",))
+    want = (
+        con.execute(sql_cohort_retention()).df().sort_values(key).reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for col in ("cohort_day", "day_offset", "n_users"):
+        assert got[col].astype("int64").equals(want[col].astype("int64")), col
+    # day-granularity purchase activity must discriminate (not saturate)
+    assert got["n_users"].nunique() > 1
+
+
+def test_events_funnel_empty_shard(ray_session, empty_facts_sf):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        events_funnel,
+    )
+
+    r = events_funnel(empty_facts_sf)
+    # SQL's scalar subqueries emit the 3 stage rows with zero counts
+    assert list(r["stage"]) == [1, 2, 3]
+    assert list(r["n_users"]) == [0, 0, 0]
