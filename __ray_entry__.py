@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_triangles": web_ops.host_triangles,
         "events_funnel": relational.events_funnel,
         "cohort_retention": relational.cohort_retention,
+        "type_distinct_users": relational.type_distinct_users,
+        "host_clustering": web_ops.host_clustering,
+        "pmi_collocations": text_ops.pmi_collocations,
         "tfidf_topk": text_ops.tfidf_topk,
         "incremental_dedup": text_ops.incremental_dedup,
         "substring_dedup": text_ops.substring_dedup,
@@ -446,6 +449,9 @@ def oracle_sql() -> dict[str, str]:
         "host_triangles": web_ops.sql_host_triangles(),
         "events_funnel": relational.sql_events_funnel(),
         "cohort_retention": relational.sql_cohort_retention(),
+        "type_distinct_users": relational.sql_type_distinct_users(),
+        "host_clustering": web_ops.sql_host_clustering(),
+        "pmi_collocations": text_ops.sql_pmi_collocations(),
         "events_asof_order": (
             "SELECT e.event_id, epoch_us(o.o_orderdate) AS order_ts_us "
             "FROM events e ASOF LEFT JOIN orders o "

@@ -766,3 +766,123 @@ def sql_cohort_retention() -> str:
         "CAST(dy - cd AS BIGINT) AS day_offset, "
         "COUNT(*) AS n_users FROM a GROUP BY cd, dy"
     )
+
+
+def type_distinct_users(sf_dir: str, *, exact: bool = True) -> pd.DataFrame:
+    """GROUPED distinct counting — distinct users per event_type; the
+    per-key sibling of ``distinct_stats``'s global count, completing the
+    sketch family's grouped dimension.
+
+    ``exact=True`` (SQL-oracled): per-batch distinct (event_type, user_id)
+    combiner → ``grouped_block_dedup`` global dedup (the one exchange,
+    sized by distinct pairs — the op's intrinsic cost) → per-block
+    per-type count partials; the driver folds ≤ types·blocks tiny rows.
+
+    ``exact=False``: HyperLogLog PER GROUP — each batch emits one
+    fixed-size 2^p-register row per event_type present, the driver folds
+    register rows with a per-type elementwise max (mergeable, order- and
+    partition-free), so nothing user-shaped ever exchanges or reaches the
+    driver.  The 10^12-key path for group×key cardinalities where even
+    the deduped pair exchange is too wide; pytest pins the estimate
+    against the exact mode (~1.6% σ at p=12).
+
+    Output: (event_type, n_users)."""
+    import numpy as np
+
+    ensure_picklable()
+    from .util import grouped_block_dedup
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    if not exact:
+        p = 12
+
+        def sketch(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {
+                        "event_type": pd.Series([], dtype="object"),
+                        "regs": pd.Series([], dtype="object"),
+                    }
+                )
+            out_t, out_r = [], []
+            for t, g in df.groupby("event_type", sort=False):
+                out_t.append(t)
+                out_r.append(
+                    _hll_registers(
+                        g["user_id"].astype(str).to_numpy(dtype=object), p
+                    ).tobytes()
+                )
+            return pd.DataFrame({"event_type": out_t, "regs": out_r})
+
+        parts = ds.map_batches(sketch, batch_format="pandas").to_pandas()
+        if len(parts) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "n_users": pd.Series([], dtype="int64"),
+                }
+            )
+        folded: dict[str, "np.ndarray"] = {}
+        for t, rb in zip(parts["event_type"], parts["regs"]):
+            r = np.frombuffer(rb, dtype=np.int8)
+            folded[t] = np.maximum(folded[t], r) if t in folded else r.copy()
+        items = sorted(folded.items())
+        return pd.DataFrame(
+            {
+                "event_type": [t for t, _ in items],
+                "n_users": pd.Series(
+                    [_hll_estimate(r) for _, r in items], dtype="int64"
+                ),
+            }
+        )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "user_id": pd.Series([], dtype="int64"),
+                }
+            )
+        return df.drop_duplicates(["event_type", "user_id"])[
+            ["event_type", "user_id"]
+        ]
+
+    pairs = grouped_block_dedup(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        ["event_type", "user_id"],
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby("event_type", sort=False).size().reset_index(name="c")
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    part = pairs.map_batches(count_partial, batch_format="pandas").to_pandas()
+    if len(part) == 0:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype="object"),
+                "n_users": pd.Series([], dtype="int64"),
+            }
+        )
+    out = part.groupby("event_type", as_index=False)["c"].sum()
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pd.DataFrame(
+        {"event_type": out["event_type"], "n_users": out["c"].astype("int64")}
+    )
+
+
+def sql_type_distinct_users() -> str:
+    return (
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+        "FROM events GROUP BY event_type"
+    )

@@ -2601,3 +2601,220 @@ def sql_rerank_search(
         "CAST(rerank AS BIGINT) AS rerank, CAST(score2 AS BIGINT) AS score2 "
         f"FROM rr_r WHERE rerank <= {rerank_k}"
     )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+
+def pmi_collocations(sf_dir: str, *, min_count: int = _PMI_MIN_COUNT,
+                     k: int = _PMI_TOPK) -> ray.data.Dataset:
+    """Top-k bigram collocations by pointwise mutual information — the
+    classic phrase-mining signal (Church & Hanks 1990) a tokenizer /
+    phrase-vocab pipeline runs before merging multiword units.
+
+    Distributed shape (ZERO driver-side state — not even a broadcast):
+
+    1. one corpus pass emits per-batch unigram and interior-bigram count
+       partials; one vocab-sized and one bigram-vocab-sized grouped
+       exchange build the two count tables (materialized: each feeds two
+       consumers — a scalar total and the scoring join).
+    2. the unigram table attaches to the bigram rows by TWO tagged-sides
+       sorted exchanges (key = w1, then w2) with vectorized in-block
+       merges — the vocabulary never leaves the cluster.
+    3. pmi_micro = round(log2(((c12·N)·N) / ((B·c1)·c2)) · 1e6) as int64,
+       with the multiplication order pinned so the IEEE-double value is
+       bit-identical to the SQL replay (N = unigram total, B = bigram
+       total — the only two scalars the driver sees).
+    4. rows with c12 ≥ min_count take a per-block local top-k before the
+       global sort+limit, so the final sort runs over ≤ k·blocks rows.
+
+    Output: (w1, w2, c12, c1, c2, pmi_micro), top-k by (pmi DESC, w1, w2).
+    """
+    ensure_picklable()
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def _tok_explode(df: pd.DataFrame):
+        df = df.reset_index(drop=True)
+        ex = df["text"].str.lower().str.findall(r"[a-z]+").explode().dropna()
+        return ex.index.to_numpy(), ex.to_numpy(dtype=object)
+
+    def uni_partials(df: pd.DataFrame) -> "pa.Table":
+        _, vals = _tok_explode(df)
+        part = (
+            pd.DataFrame({"w": vals})
+            .groupby("w", sort=False)
+            .size()
+            .reset_index(name="part_c")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def bg_partials(df: pd.DataFrame) -> "pa.Table":
+        pos, vals = _tok_explode(df)
+        if len(vals) < 2:
+            return pa.Table.from_pandas(
+                pd.DataFrame(
+                    {"w1": pd.Series([], dtype=object),
+                     "w2": pd.Series([], dtype=object),
+                     "part_c": pd.Series([], dtype="int64")}
+                ),
+                preserve_index=False,
+            )
+        same = pos[:-1] == pos[1:]
+        part = (
+            pd.DataFrame({"w1": vals[:-1][same], "w2": vals[1:][same]})
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+            .reset_index(name="part_c")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    uni = (
+        docs.map_batches(uni_partials, batch_format="pandas")
+        .groupby("w")
+        .aggregate(Sum("part_c", alias_name="c"))
+        .materialize()  # vocab-sized; feeds the N scalar + two join legs
+    )
+    bg = (
+        docs.map_batches(bg_partials, batch_format="pandas")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("part_c", alias_name="c12"))
+        .materialize()  # bigram-vocab-sized; feeds the B scalar + the join
+    )
+    n_uni = int(uni.sum("c") or 0)
+    n_bg = int(bg.sum("c12") or 0)
+    _OUT_EMPTY = pd.DataFrame(
+        {
+            "w1": pd.Series([], dtype="object"),
+            "w2": pd.Series([], dtype="object"),
+            "c12": pd.Series([], dtype="int64"),
+            "c1": pd.Series([], dtype="int64"),
+            "c2": pd.Series([], dtype="int64"),
+            "pmi_micro": pd.Series([], dtype="int64"),
+        }
+    )
+    if n_bg == 0:
+        return ray.data.from_pandas(_OUT_EMPTY)
+
+    def _attach(ds_rows, key_col: str, out_col: str):
+        """Tagged-sides sorted exchange: unigram counts onto bigram rows."""
+        tagged_u = uni.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "key": df["w"].to_numpy(dtype=object),
+                    "uc": df["c"].to_numpy().astype("int64"),
+                    "tag": np.zeros(len(df), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+        def tag_rows(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.assign(
+                key=df[key_col].to_numpy(dtype=object),
+                uc=np.zeros(len(df), dtype="int64"),
+                tag=np.ones(len(df), dtype="int64"),
+            )
+            return out
+
+        tagged_b = ds_rows.map_batches(tag_rows, batch_format="pandas")
+        carry = [c for c in ds_rows.schema().names]
+
+        def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+            b = df[df["tag"] == 1]
+            if len(b) == 0:
+                cols = {
+                    c: pd.Series([], dtype="object" if c in ("w1", "w2") else "int64")
+                    for c in carry
+                }
+                cols[out_col] = pd.Series([], dtype="int64")
+                return pd.DataFrame(cols)
+            u = df[df["tag"] == 0].set_index("key")["uc"]
+            out = b[carry].copy()
+            # training-corpus property: every bigram word exists in uni
+            out[out_col] = b["key"].map(u).to_numpy("int64")
+            return out
+
+        # union carries heterogeneous cols; normalize both sides first
+        cols = ["key", "uc", "tag"] + carry
+        tagged_u = tagged_u.map_batches(
+            lambda df: df.assign(
+                **{
+                    c: pd.Series([""] * len(df), dtype="object")
+                    if c in ("w1", "w2")
+                    else np.int64(0)
+                    for c in carry
+                }
+            )[cols],
+            batch_format="pandas",
+        )
+        tagged_b = tagged_b.map_batches(
+            lambda df: df[cols], batch_format="pandas"
+        )
+        return (
+            tagged_u.union(tagged_b)
+            .sort(["key"])  # exactly the group key (colocation invariant)
+            .map_batches(merge_block, batch_format="pandas", batch_size=None)
+        )
+
+    with_c1 = _attach(bg, "w1", "c1")
+    with_c2 = _attach(with_c1, "w2", "c2")
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c12"].to_numpy() >= min_count]
+        if len(df) == 0:
+            return _OUT_EMPTY
+        c12 = df["c12"].to_numpy(dtype=np.float64)
+        c1 = df["c1"].to_numpy(dtype=np.float64)
+        c2 = df["c2"].to_numpy(dtype=np.float64)
+        # multiplication order pinned to match the SQL replay bit-for-bit
+        num = (c12 * float(n_uni)) * float(n_uni)
+        den = (float(n_bg) * c1) * c2
+        pmi = np.round(np.log2(num / den) * 1e6).astype("int64")
+        out = pd.DataFrame(
+            {
+                "w1": df["w1"].to_numpy(dtype=object),
+                "w2": df["w2"].to_numpy(dtype=object),
+                "c12": df["c12"].to_numpy().astype("int64"),
+                "c1": df["c1"].to_numpy().astype("int64"),
+                "c2": df["c2"].to_numpy().astype("int64"),
+                "pmi_micro": pmi,
+            }
+        )
+        return out.sort_values(
+            ["pmi_micro", "w1", "w2"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+
+    scored = with_c2.map_batches(score_topk, batch_format="pandas")
+    # ≤ k rows per block reach the global sort
+    return scored.sort(
+        ["pmi_micro", "w1", "w2"], descending=[True, False, False]
+    ).limit(k)
+
+
+def sql_pmi_collocations(min_count: int = _PMI_MIN_COUNT,
+                         k: int = _PMI_TOPK) -> str:
+    return (
+        "WITH toks AS MATERIALIZED (SELECT "
+        "regexp_extract_all(lower(text), '[a-z]+') AS ts FROM documents), "
+        "uni AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c "
+        "FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w), "
+        "bg AS MATERIALIZED (SELECT ts[i] AS w1, ts[i+1] AS w2 FROM ("
+        "SELECT ts, unnest(generate_series(1, len(ts)-1)) AS i FROM toks)), "
+        "c12 AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 "
+        "FROM bg GROUP BY w1, w2), "
+        "nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni), "
+        "nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS nb FROM c12) "
+        "SELECT c12.w1, c12.w2, c12.c12, u1.c AS c1, u2.c AS c2, "
+        "CAST(ROUND(log2(((CAST(c12.c12 AS DOUBLE) * nu.nu) * nu.nu) / "
+        "((CAST(nb.nb AS DOUBLE) * u1.c) * u2.c)) * 1000000) AS BIGINT) "
+        "AS pmi_micro "
+        "FROM c12 JOIN uni u1 ON u1.w = c12.w1 "
+        "JOIN uni u2 ON u2.w = c12.w2 CROSS JOIN nu CROSS JOIN nb "
+        f"WHERE c12.c12 >= {min_count} "
+        f"ORDER BY pmi_micro DESC, c12.w1, c12.w2 LIMIT {k}"
+    )

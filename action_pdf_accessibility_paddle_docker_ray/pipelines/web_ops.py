@@ -1373,12 +1373,13 @@ _TRI_BROADCAST_MAX = 2_000_000  # max nodes in the broadcast degree map
 _TRI_BUCKETS = 32
 
 
-def host_triangles(
-    sf_dir: str, *, broadcast_max: int = _TRI_BROADCAST_MAX
-) -> pd.DataFrame:
-    """Triangle count of the undirected host link graph — the classic
-    link-farm / tight-community signal (a spam ring links within itself;
-    its triangle density dwarfs an organic neighborhood's).
+def _host_graph(sf_dir: str, broadcast_max: int):
+    """Shared graph-construction stage for ``host_triangles`` /
+    ``host_clustering``: canonical deduped undirected edges, the degree
+    table, and the (degree, name)-oriented edge set (broadcast degree
+    attach under the proven bound, else two bucketed tagged-sides joins).
+    Returns (edges, deg, oriented, n_nodes, n_edges); oriented is None
+    when the graph is empty.
 
     Scale plan (degree-ordered wedge join — the standard distributed
     triangle algorithm): edges from ``link_graph`` are canonicalized and
@@ -1391,11 +1392,8 @@ def host_triangles(
     distributed-count-proven bound, else by two bucketed tagged-sides
     grouped joins (nothing node-shaped on the driver).  Wedges (v, w)
     from each center u then co-partition with the oriented edges on
-    (v, w); a wedge closed by an edge row is exactly one triangle, each
-    triangle counted once at its (degree, name)-minimal vertex.  Only
-    per-block scalar counts reach the driver.
-
-    Output: one row (n_hosts, n_edges, n_triangles)."""
+    (v, w); a wedge closed by an edge row is exactly one triangle,
+    counted once at its (degree, name)-minimal vertex."""
     ensure_picklable()
     import ray
 
@@ -1460,13 +1458,7 @@ def host_triangles(
     n_nodes = deg.count()
     n_edges = edges.count()
     if n_edges == 0:
-        return pd.DataFrame(
-            {
-                "n_hosts": pd.Series([0], dtype="int64"),
-                "n_edges": pd.Series([0], dtype="int64"),
-                "n_triangles": pd.Series([0], dtype="int64"),
-            }
-        )
+        return edges, deg, None, n_nodes, n_edges
 
     _OR_EMPTY = {"u": "object", "v": "object", "dv": "int64"}
 
@@ -1564,30 +1556,65 @@ def host_triangles(
 
         oriented = with_db.map_batches(orient_join, batch_format="pandas")
 
-    _W_EMPTY = {"x": "object", "y": "object", "tag": "int64"}
-
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(
-                {c: pd.Series([], dtype=t) for c, t in _W_EMPTY.items()}
-            )
-        gg = g.sort_values(["dv", "v"], kind="mergesort")
-        vs = gg["v"].to_numpy(dtype=object)
-        i, j = np.triu_indices(len(vs), k=1)
-        return pd.DataFrame({"x": vs[i], "y": vs[j], "tag": np.int64(1)})
-
     oriented = oriented.materialize()  # edge-sized, two consumers
-    wedges = grouped_block_map(oriented, ["u"], emit_pairs, drop_singletons=True)
+    return edges, deg, oriented, n_nodes, n_edges
+
+
+_W_EMPTY = {"x": "object", "y": "object", "ctr": "object", "tag": "int64"}
+
+
+def _wedge_rows(g: pd.DataFrame) -> pd.DataFrame:
+    """All out-neighbor pairs of one center, (degree, name)-ordered so the
+    pair matches the closing edge's orientation; carries the center for
+    per-node attribution."""
+    if len(g) < 2:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in _W_EMPTY.items()})
+    gg = g.sort_values(["dv", "v"], kind="mergesort")
+    vs = gg["v"].to_numpy(dtype=object)
+    i, j = np.triu_indices(len(vs), k=1)
+    return pd.DataFrame(
+        {"x": vs[i], "y": vs[j], "ctr": g["u"].iloc[0], "tag": np.int64(1)}
+    )
+
+
+def _closure_input(oriented):
+    from .util import grouped_block_map
+
+    wedges = grouped_block_map(oriented, ["u"], _wedge_rows, drop_singletons=True)
     e_tagged = oriented.map_batches(
         lambda df: pd.DataFrame(
             {
                 "x": df["u"].to_numpy(dtype=object),
                 "y": df["v"].to_numpy(dtype=object),
+                "ctr": pd.Series([""] * len(df), dtype="object"),
                 "tag": np.zeros(len(df), dtype="int64"),
             }
         ),
         batch_format="pandas",
     )
+    return wedges.union(e_tagged)
+
+
+def host_triangles(
+    sf_dir: str, *, broadcast_max: int = _TRI_BROADCAST_MAX
+) -> pd.DataFrame:
+    """Triangle count of the undirected host link graph — the classic
+    link-farm / tight-community signal.  See ``_host_graph`` for the
+    degree-ordered wedge-join scale plan; each closed wedge is exactly one
+    triangle, counted once at its (degree, name)-minimal vertex, and only
+    per-block scalar counts reach the driver.
+
+    Output: one row (n_hosts, n_edges, n_triangles)."""
+    ensure_picklable()
+    edges, deg, oriented, n_nodes, n_edges = _host_graph(sf_dir, broadcast_max)
+    if oriented is None:
+        return pd.DataFrame(
+            {
+                "n_hosts": pd.Series([0], dtype="int64"),
+                "n_edges": pd.Series([0], dtype="int64"),
+                "n_triangles": pd.Series([0], dtype="int64"),
+            }
+        )
 
     def close_count(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -1597,7 +1624,7 @@ def host_triangles(
         return pd.DataFrame({"t": pd.Series([t], dtype="int64")})
 
     tri = (
-        wedges.union(e_tagged)
+        _closure_input(oriented)
         .sort(["x", "y"])  # exactly the group key (colocation invariant)
         .map_batches(close_count, batch_format="pandas", batch_size=None)
         .sum("t")
@@ -1624,4 +1651,133 @@ def sql_host_triangles() -> str:
         "CAST((SELECT COUNT(*) FROM e0 x "
         "JOIN e0 y ON y.a = x.b "
         "JOIN e0 z ON z.a = x.a AND z.b = y.b) AS BIGINT) AS n_triangles"
+    )
+
+
+def host_clustering(
+    sf_dir: str, *, broadcast_max: int = _TRI_BROADCAST_MAX
+) -> ray.data.Dataset:
+    """Per-host local clustering coefficient — triangles through a host
+    over its possible neighbor pairs, the node-level tight-community /
+    link-ring score (the grouped sibling of ``host_triangles``'s global
+    count).
+
+    Scale plan: shares ``_host_graph``'s degree-ordered wedge join; the
+    closure pass attributes each closed wedge to its THREE corners
+    (center, x, y) as per-block (node, count) combiner partials — per-node
+    counts are orientation-independent because every triangle closes
+    exactly once — then one node-cardinality tagged exchange merges
+    triangle counts with the degree table and the coefficient is exact
+    integer arithmetic: clustering_milli = (2000·t) // (d·(d−1)), floor
+    division in both engines.
+
+    Output: (host, deg, n_tri, clustering_milli) for hosts with deg ≥ 2."""
+    ensure_picklable()
+
+    _OUT_EMPTY = pd.DataFrame(
+        {
+            "host": pd.Series([], dtype="object"),
+            "deg": pd.Series([], dtype="int64"),
+            "n_tri": pd.Series([], dtype="int64"),
+            "clustering_milli": pd.Series([], dtype="int64"),
+        }
+    )
+    edges, deg, oriented, n_nodes, n_edges = _host_graph(sf_dir, broadcast_max)
+    if oriented is None:
+        return _OUT_EMPTY
+
+    _P_EMPTY = {"node": "object", "c": "int64", "tag": "int64"}
+
+    def node_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in _P_EMPTY.items()}
+            )
+        m = df.groupby(["x", "y"], sort=False)["tag"].transform("min")
+        closed = df[(df["tag"].to_numpy() == 1) & (m.to_numpy() == 0)]
+        if len(closed) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in _P_EMPTY.items()}
+            )
+        nodes = np.concatenate(
+            [
+                closed["ctr"].to_numpy(dtype=object),
+                closed["x"].to_numpy(dtype=object),
+                closed["y"].to_numpy(dtype=object),
+            ]
+        )
+        vc = pd.Series(nodes).value_counts()
+        return pd.DataFrame(
+            {
+                "node": vc.index.astype(object),
+                "c": vc.to_numpy().astype("int64"),
+                "tag": np.ones(len(vc), dtype="int64"),
+            }
+        )
+
+    tri_parts = (
+        _closure_input(oriented)
+        .sort(["x", "y"])  # exactly the group key (colocation invariant)
+        .map_batches(node_partials, batch_format="pandas", batch_size=None)
+    )
+    deg_tagged = deg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "node": df["node"].to_numpy(dtype=object),
+                "c": df["deg"].to_numpy().astype("int64"),
+                "tag": np.zeros(len(df), dtype="int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _OUT_EMPTY
+        d = df[df["tag"] == 0].set_index("node")["c"]
+        t = df[df["tag"] == 1].groupby("node", sort=False)["c"].sum()
+        out = pd.DataFrame({"deg": d})
+        out["n_tri"] = t.reindex(out.index, fill_value=0).astype("int64")
+        out = out[out["deg"] >= 2]
+        if len(out) == 0:
+            return _OUT_EMPTY
+        out["clustering_milli"] = (2000 * out["n_tri"]) // (
+            out["deg"] * (out["deg"] - 1)
+        )
+        out = out.reset_index().rename(columns={"index": "node"})
+        return pd.DataFrame(
+            {
+                "host": out["node"].to_numpy(dtype=object),
+                "deg": out["deg"].astype("int64"),
+                "n_tri": out["n_tri"].astype("int64"),
+                "clustering_milli": out["clustering_milli"].astype("int64"),
+            }
+        )
+
+    # one node-cardinality tagged exchange (colocation invariant on [node])
+    return (
+        tri_parts.union(deg_tagged)
+        .sort(["node"])
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+    )
+
+
+def sql_host_clustering() -> str:
+    return (
+        f"WITH lg AS ({sql_link_graph()}), "
+        "e0 AS (SELECT DISTINCT LEAST(src_host, dst_host) AS a, "
+        "GREATEST(src_host, dst_host) AS b FROM lg "
+        "WHERE src_host <> dst_host), "
+        "t AS (SELECT x.a AS p, x.b AS q, y.b AS r FROM e0 x "
+        "JOIN e0 y ON y.a = x.b JOIN e0 z ON z.a = x.a AND z.b = y.b), "
+        "tc AS (SELECT h, COUNT(*) AS n_tri FROM "
+        "(SELECT p AS h FROM t UNION ALL SELECT q FROM t "
+        "UNION ALL SELECT r FROM t) GROUP BY h), "
+        "dg AS (SELECT h, COUNT(*) AS deg FROM "
+        "(SELECT a AS h FROM e0 UNION ALL SELECT b AS h FROM e0) GROUP BY h) "
+        "SELECT dg.h AS host, CAST(dg.deg AS BIGINT) AS deg, "
+        "CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri, "
+        "CAST((2000 * COALESCE(tc.n_tri, 0)) // (dg.deg * (dg.deg - 1)) "
+        "AS BIGINT) AS clustering_milli "
+        "FROM dg LEFT JOIN tc ON tc.h = dg.h WHERE dg.deg >= 2"
     )

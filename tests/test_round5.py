@@ -935,3 +935,119 @@ def test_events_funnel_empty_shard(ray_session, empty_facts_sf):
     # SQL's scalar subqueries emit the 3 stage rows with zero counts
     assert list(r["stage"]) == [1, 2, 3]
     assert list(r["n_users"]) == [0, 0, 0]
+
+
+def test_type_distinct_users_exact_and_sketch(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        sql_type_distinct_users,
+        type_distinct_users,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = type_distinct_users(sf).reset_index(drop=True)
+    con = duckdb.connect()
+    _tpch_views(con, sf, ("events",))
+    want = (
+        con.execute(sql_type_distinct_users())
+        .df()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert list(got["event_type"]) == list(want["event_type"])
+    assert got["n_users"].astype("int64").equals(want["n_users"].astype("int64"))
+    # HLL-per-group sketch: within 5% of exact per group (p=12, ~1.6% sigma)
+    sk = type_distinct_users(sf, exact=False).set_index("event_type")["n_users"]
+    ex = got.set_index("event_type")["n_users"]
+    for t in ex.index:
+        assert abs(int(sk[t]) - int(ex[t])) <= max(2, int(0.05 * ex[t])), t
+
+
+def test_host_clustering_matches_duckdb_and_join_path(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.web_ops import (
+        host_clustering,
+        sql_host_clustering,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = host_clustering(sf).to_pandas().sort_values("host").reset_index(drop=True)
+    b = (
+        host_clustering(sf, broadcast_max=0)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    con = duckdb.connect()
+    _tpch_views(con, sf, ("documents",))
+    want = (
+        con.execute(sql_host_clustering()).df().sort_values("host").reset_index(drop=True)
+    )
+    assert len(a) == len(want) > 0
+    assert list(a["host"]) == list(want["host"])
+    for col in ("deg", "n_tri", "clustering_milli"):
+        assert a[col].astype("int64").equals(want[col].astype("int64")), col
+    # coefficient is a milli-fraction: 0 <= c <= 1000
+    assert (a["clustering_milli"] >= 0).all()
+    assert (a["clustering_milli"] <= 1000).all()
+
+
+def test_pmi_collocations_matches_duckdb(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.text_ops import (
+        pmi_collocations,
+        sql_pmi_collocations,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = pmi_collocations(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    _tpch_views(con, sf, ("documents",))
+    want = con.execute(sql_pmi_collocations()).df().reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    # the oracle's ORDER BY is total — compare positionally
+    for col in ("w1", "w2"):
+        assert list(got[col]) == list(want[col]), col
+    for col in ("c12", "c1", "c2", "pmi_micro"):
+        assert got[col].astype("int64").equals(want[col].astype("int64")), col
+    # min_count binds: every kept pair saw >= 5 occurrences, and PMI ranks
+    # genuinely reorder vs raw counts
+    assert (got["c12"] >= 5).all()
+    assert list(got["c12"]) != sorted(got["c12"], reverse=True)
+
+
+def test_host_clustering_empty_shard(ray_session, empty_facts_sf):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.web_ops import (
+        host_clustering,
+    )
+
+    r = host_clustering(empty_facts_sf)
+    if hasattr(r, "to_pandas"):
+        r = r.to_pandas()
+    assert len(r) == 0
+
+
+def test_pmi_collocations_empty_shard(ray_session, empty_facts_sf):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.text_ops import (
+        pmi_collocations,
+    )
+
+    r = pmi_collocations(empty_facts_sf)
+    if hasattr(r, "to_pandas"):
+        r = r.to_pandas()
+    assert len(r) == 0
+
+
+def test_type_distinct_users_empty_shard(ray_session, empty_facts_sf):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        type_distinct_users,
+    )
+
+    r = type_distinct_users(empty_facts_sf)
+    assert len(r) == 0
+    r = type_distinct_users(empty_facts_sf, exact=False)
+    assert len(r) == 0
