@@ -245,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_distinct_users": relational.type_distinct_users,
         "host_clustering": web_ops.host_clustering,
         "pmi_collocations": text_ops.pmi_collocations,
+        "ann_eval": similarity.ann_eval,
+        "ann_eval_ivf": lambda sf: similarity.ann_eval(sf, index="ivf"),
         "tfidf_topk": text_ops.tfidf_topk,
         "incremental_dedup": text_ops.incremental_dedup,
         "substring_dedup": text_ops.substring_dedup,
@@ -452,6 +454,8 @@ def oracle_sql() -> dict[str, str]:
         "type_distinct_users": relational.sql_type_distinct_users(),
         "host_clustering": web_ops.sql_host_clustering(),
         "pmi_collocations": text_ops.sql_pmi_collocations(),
+        "ann_eval": similarity.sql_ann_eval(dim, k=5, n_queries=10, planes=8),
+        "ann_eval_ivf": similarity.sql_ann_eval(dim, k=5, n_queries=10, index="ivf"),
         "events_asof_order": (
             "SELECT e.event_id, epoch_us(o.o_orderdate) AS order_ts_us "
             "FROM events e ASOF LEFT JOIN orders o "
@@ -574,17 +578,5 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY value DESC, event_id) AS rk FROM events"
             ") WHERE rk <= 3"
         ),
-        "knn_search": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
-            "           ORDER BY vec_id LIMIT 10), "
-            "sims AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
-            "  list_cosine_similarity("
-            "    list_transform(q.embedding, x -> CAST(x AS DOUBLE)), "
-            "    list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim "
-            "  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id), "
-            "ranked AS (SELECT query_id, neighbor_id, "
-            "  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
-            "  FROM sims) "
-            "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5"
-        ),
+        "knn_search": similarity.sql_knn_search(k=5, n_queries=10),
     }

@@ -567,3 +567,106 @@ def sql_knn_search_sq(k: int = 5, n_queries: int = 10) -> str:
         "FROM sims) "
         f"SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}"
     )
+
+
+def sql_knn_search(k: int = 5, n_queries: int = 10) -> str:
+    """Brute-force cosine top-k oracle (DuckDB list_cosine_similarity)."""
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+        f"           ORDER BY vec_id LIMIT {n_queries}), "
+        "sims AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        "  list_cosine_similarity("
+        "    list_transform(q.embedding, x -> CAST(x AS DOUBLE)), "
+        "    list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim "
+        "  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id), "
+        "ranked AS (SELECT query_id, neighbor_id, "
+        "  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+        "  FROM sims) "
+        f"SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}"
+    )
+
+
+def ann_eval(sf_dir: str, *, k: int = 5, n_queries: int = 10,
+             planes: int = 8, index: str = "lsh") -> pd.DataFrame:
+    """ANN index QA — empirical recall@k of an approximate index
+    (``index`` = "lsh" multi-probe sign-projection, or "ivf" probed
+    cells) against brute-force exact-cosine ground truth; the second
+    member of the evaluation family beside ``dedup_eval`` (an index
+    whose recall silently degrades is the classic production failure an
+    eval harness exists to catch).  Unlike ``dedup_eval`` — whose LSH
+    banding provably reaches recall 1000 and whose oracle ENCODES it —
+    this eval MEASURES: on the synthetic embeddings the 8-plane
+    hamming-1 LSH lands 0–400 milli and IVF n_probe=4 substantially
+    higher, and the gate pins the measurement bit-exactly, so any probe
+    or banding regression moves a recorded number instead of silently
+    shipping a worse index.
+
+    Scale design: both legs are the production pipelines themselves
+    (``knn_search`` truth, ``knn_search_lsh`` candidate) — nothing is
+    recomputed — and both outputs are PARAMETER-bounded (≤ k·n_queries
+    rows), so the driver-side join is output-sized by construction, the
+    same precedent as ``rerank_search``'s candidate table.  The SQL
+    oracle composes the two legs' full replays, so a future banding or
+    probe regression fails the gate's hash match rather than drifting
+    silently.
+
+    Output: (query_id, n_truth, n_hit, recall_milli), one row per query.
+    """
+    ensure_picklable()
+    truth = knn_search(sf_dir, k=k, n_queries=n_queries).to_pandas()
+    if index == "lsh":
+        approx = knn_search_lsh(sf_dir, k=k, n_queries=n_queries, planes=planes)
+    else:
+        assert index == "ivf", index
+        approx = knn_search_ivf(sf_dir, k=k, n_queries=n_queries)
+    if len(truth) == 0:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "n_truth": pd.Series([], dtype="int64"),
+                "n_hit": pd.Series([], dtype="int64"),
+                "recall_milli": pd.Series([], dtype="int64"),
+            }
+        )
+    m = truth.merge(
+        approx[["query_id", "neighbor_id"]].assign(hit=np.int64(1)),
+        on=["query_id", "neighbor_id"],
+        how="left",
+    )
+    g = m.groupby("query_id", as_index=False).agg(
+        n_truth=("rank", "size"), n_hit=("hit", "count")
+    )
+    return pd.DataFrame(
+        {
+            "query_id": g["query_id"].astype("int64"),
+            "n_truth": g["n_truth"].astype("int64"),
+            "n_hit": g["n_hit"].astype("int64"),
+            "recall_milli": (
+                (1000 * g["n_hit"].astype("int64")) // g["n_truth"].astype("int64")
+            ).astype("int64"),
+        }
+    )
+
+
+def sql_ann_eval(dim: int, k: int = 5, n_queries: int = 10,
+                 planes: int = 8, index: str = "lsh") -> str:
+    from .sql_oracles import sql_knn_search_ivf, sql_knn_search_lsh
+
+    if index == "lsh":
+        approx_sql = sql_knn_search_lsh(dim, k=k, n_queries=n_queries, planes=planes)
+    else:
+        assert index == "ivf", index
+        approx_sql = sql_knn_search_ivf(
+            dim, k=k, n_queries=n_queries, n_clusters=16, n_probe=4
+        )
+    return (
+        f"WITH t AS ({sql_knn_search(k=k, n_queries=n_queries)}), "
+        f"a AS ({approx_sql}) "
+        "SELECT t.query_id, COUNT(*) AS n_truth, "
+        "CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit, "
+        "CAST((1000 * COUNT(a.neighbor_id)) // COUNT(*) AS BIGINT) "
+        "AS recall_milli "
+        "FROM t LEFT JOIN a ON a.query_id = t.query_id "
+        "AND a.neighbor_id = t.neighbor_id "
+        "GROUP BY t.query_id"
+    )

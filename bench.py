@@ -119,6 +119,11 @@ BENCH_QUERIES = [
     "events_user_running",
     "min_price_supplier",
     "host_triangles",
+    "host_clustering",
+    "events_funnel",
+    "cohort_retention",
+    "type_distinct_users",
+    "pmi_collocations",
 ]
 
 

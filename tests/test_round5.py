@@ -1051,3 +1051,42 @@ def test_type_distinct_users_empty_shard(ray_session, empty_facts_sf):
     assert len(r) == 0
     r = type_distinct_users(empty_facts_sf, exact=False)
     assert len(r) == 0
+
+
+def test_ann_eval_matches_duckdb_and_binds(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.similarity import (
+        ann_eval,
+        sql_ann_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    _tpch_views(con, sf, ("embeddings",))
+    dim = len(
+        con.execute("SELECT embedding FROM embeddings LIMIT 1").fetchone()[0]
+    )
+
+    lsh = ann_eval(sf).sort_values("query_id").reset_index(drop=True)
+    want = (
+        con.execute(sql_ann_eval(dim)).df().sort_values("query_id").reset_index(drop=True)
+    )
+    for col in ("query_id", "n_truth", "n_hit", "recall_milli"):
+        assert lsh[col].astype("int64").equals(want[col].astype("int64")), col
+
+    ivf = ann_eval(sf, index="ivf").sort_values("query_id").reset_index(drop=True)
+    want_ivf = (
+        con.execute(sql_ann_eval(dim, index="ivf"))
+        .df()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    for col in ("query_id", "n_truth", "n_hit", "recall_milli"):
+        assert ivf[col].astype("int64").equals(want_ivf[col].astype("int64")), col
+
+    # the eval MEASURES (it does not encode recall == 1000 the way
+    # dedup_eval does): on these embeddings the LSH index is provably
+    # lossy and IVF provably better — the comparison the harness exists for
+    assert (lsh["recall_milli"] < 1000).any()
+    assert int(ivf["recall_milli"].sum()) > int(lsh["recall_milli"].sum())
