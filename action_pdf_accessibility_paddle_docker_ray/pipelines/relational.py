@@ -886,3 +886,91 @@ def sql_type_distinct_users() -> str:
         "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
         "FROM events GROUP BY event_type"
     )
+
+
+def source_length_stats(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-source document-length moments — count, mean, population
+    variance — from MERGEABLE integer moment partials (n, Σx, Σx²): the
+    one-pass grouped-statistics shape (Welford/Chan parallel moments) that
+    a 10^12-row profile job runs instead of two scans.
+
+    Scale plan: each batch combines to one (source, n, s1, s2) row; ONE
+    source-cardinality grouped exchange folds them (integer sums — exact,
+    order-free under any parallelism); mean/variance derive from the
+    folded integers in milli-units with floor division replayed
+    identically in SQL.  Magnitude bound: s2 ≤ n·max(n_chars)² and the
+    variance numerator 1000·(n·s2 − s1²) must stay < 2^63 — holds to
+    ~10^6 docs/source at 10^4 chars; beyond that the partials switch to
+    HUGEINT/float128 territory (documented, not needed at gate scale).
+
+    Output: (source, n_docs, mean_milli, var_milli)."""
+    import numpy as np
+
+    ensure_picklable()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                    "s1": pd.Series([], dtype="int64"),
+                    "s2": pd.Series([], dtype="int64"),
+                }
+            )
+        x = df["n_chars"].astype("int64")
+        g = (
+            pd.DataFrame({"source": df["source"], "x": x, "x2": x * x})
+            .groupby("source", as_index=False, sort=False)
+            .agg(n=("x", "size"), s1=("x", "sum"), s2=("x2", "sum"))
+        )
+        for c in ("n", "s1", "s2"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "n_docs": pd.Series([], dtype="int64"),
+                    "mean_milli": pd.Series([], dtype="int64"),
+                    "var_milli": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby("source", as_index=False, sort=False).agg(
+            n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum")
+        )
+        n = g["n"].to_numpy(dtype=np.int64)
+        s1 = g["s1"].to_numpy(dtype=np.int64)
+        s2 = g["s2"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "source": g["source"],
+                "n_docs": n,
+                "mean_milli": (1000 * s1) // n,
+                "var_milli": (1000 * (n * s2 - s1 * s1)) // (n * n),
+            }
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    # ONE source-cardinality grouped exchange; a million-host profile never
+    # lands partial rows on the driver (colocation invariant on [source])
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .sort(["source"])
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+    )
+
+
+def sql_source_length_stats() -> str:
+    return (
+        "WITH m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(n_chars) AS BIGINT) AS s1, "
+        "CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS s2 "
+        "FROM documents GROUP BY source) "
+        "SELECT source, n AS n_docs, "
+        "CAST((1000 * s1) // n AS BIGINT) AS mean_milli, "
+        "CAST((1000 * (n * s2 - s1 * s1)) // (n * n) AS BIGINT) AS var_milli "
+        "FROM m"
+    )

@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "cohort_retention",
     "type_distinct_users",
     "pmi_collocations",
+    "ann_eval",
+    "source_length_stats",
 ]
 
 

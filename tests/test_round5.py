@@ -741,7 +741,8 @@ def empty_facts_sf(tmp_path_factory):
     pq.write_table(
         pa.table(
             {"doc_id": pa.array([], pa.int64()), "source": pa.array([], pa.string()),
-             "text": pa.array([], pa.string())}
+             "text": pa.array([], pa.string()), "lang": pa.array([], pa.string()),
+             "n_chars": pa.array([], pa.int64())}
         ), str(d / "documents.parquet"))
     return str(d)
 
@@ -1090,3 +1091,45 @@ def test_ann_eval_matches_duckdb_and_binds(ray_session):
     # lossy and IVF provably better — the comparison the harness exists for
     assert (lsh["recall_milli"] < 1000).any()
     assert int(ivf["recall_milli"].sum()) > int(lsh["recall_milli"].sum())
+
+
+def test_source_length_stats_matches_duckdb(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        source_length_stats,
+        sql_source_length_stats,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = (
+        source_length_stats(sf)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    _tpch_views(con, sf, ("documents",))
+    want = (
+        con.execute(sql_source_length_stats())
+        .df()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert list(got["source"]) == list(want["source"])
+    for col in ("n_docs", "mean_milli", "var_milli"):
+        assert got[col].astype("int64").equals(want[col].astype("int64")), col
+    # moments discriminate across sources
+    assert got["var_milli"].nunique() > 1
+
+
+def test_source_length_stats_empty_shard(ray_session, empty_facts_sf):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        source_length_stats,
+    )
+
+    r = source_length_stats(empty_facts_sf)
+    if hasattr(r, "to_pandas"):
+        r = r.to_pandas()
+    assert len(r) == 0
