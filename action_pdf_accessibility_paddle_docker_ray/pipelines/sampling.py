@@ -481,3 +481,93 @@ def sql_corpus_mix(seed: int = _MIX_SEED) -> str:
         "SELECT doc_id, source, CAST(u.c AS BIGINT) AS copy "
         "FROM n, UNNEST(range(0, n_copies)) AS u(c)"
     )
+
+
+def corpus_curate(sf_dir: str, *, seed: int = _SAMPLE_SEED) -> ray.data.Dataset:
+    """End-to-end curation composite — the three-stage pipeline a
+    training-data team actually ships, chained over ONE corpus scan:
+    Gopher quality gate → exact content dedup (min-doc_id winner) →
+    per-language stratified hash downsample.
+
+    Scale shape: stage A is stateless vectorized scoring fused with the
+    scan plus a batch-local dedup combiner (same-batch clones never reach
+    the shuffle); the ONLY exchange is the content-hash grouped dedup
+    (``grouped_block_dedup`` — zero per-group dispatch); stage C is a pure
+    per-row hash-threshold keep, so adding the sampler costs nothing.
+    Composing operators adds NO driver state and no extra all-to-all —
+    the composite's exchange count equals its dedup member's.
+
+    Output: (doc_id, lang) of the curated corpus.  The SQL oracle chains
+    the three members' replays (gopher CTE → GROUP BY text → fmix32
+    threshold), so the whole funnel is hash-checked end-to-end."""
+    import hashlib
+
+    ensure_picklable()
+    from .util import grouped_block_dedup
+    from .web_ops import gopher_scores
+
+    _A_EMPTY = {"doc_id": "int64", "lang": "object", "text_sha": "object"}
+
+    def stage_a(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in _A_EMPTY.items()}
+            )
+        keep = gopher_scores(df[["doc_id", "text"]])["keep"].to_numpy() == 1
+        out = df.loc[keep, ["doc_id", "lang", "text"]].copy()
+        out["text_sha"] = [
+            hashlib.sha1(t.encode("utf-8")).hexdigest() for t in out["text"]
+        ]
+        # batch-local combiner: same-batch clones drop before the exchange
+        out = out.sort_values(["text_sha", "doc_id"], kind="mergesort")
+        out = out.groupby("text_sha", sort=False).head(1)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out[["doc_id", "lang", "text_sha"]]
+
+    def stage_c(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "lang": pd.Series([], dtype="object"),
+                }
+            )
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        h = fmix32_np((ids % _M32) ^ np.uint64(seed))
+        thr = (
+            df["lang"].map(SAMPLE_RATES_PER_10K)
+            .fillna(_SAMPLE_DEFAULT_10K)
+            .to_numpy(dtype="int64")
+        )
+        m = (h % np.uint32(10000)).astype("int64") < thr
+        out = df.loc[m, ["doc_id", "lang"]].copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    quality = ds.map_batches(stage_a, batch_format="pandas")
+    unique = grouped_block_dedup(quality, ["text_sha"], order=["doc_id"])
+    return unique.map_batches(stage_c, batch_format="pandas")
+
+
+def sql_corpus_curate(seed: int = _SAMPLE_SEED) -> str:
+    from .sql_oracles import _fmix32_ctes
+    from .web_ops import sql_gopher_filter
+
+    frag, final = _fmix32_ctes("fx", "fsrc", ["doc_id, lang"], "hin", "hv")
+    case = "CASE lang " + " ".join(
+        f"WHEN '{lang}' THEN {thr}"
+        for lang, thr in sorted(SAMPLE_RATES_PER_10K.items())
+    ) + f" ELSE {_SAMPLE_DEFAULT_10K} END"
+    return (
+        f"WITH g AS ({sql_gopher_filter()}), "
+        "q AS (SELECT d.doc_id, d.lang, d.text FROM documents d "
+        "JOIN g ON g.doc_id = d.doc_id AND g.keep = 1), "
+        "u AS (SELECT MIN(doc_id) AS doc_id, text FROM q GROUP BY text), "
+        "j AS (SELECT u.doc_id, d.lang FROM u "
+        "JOIN documents d ON d.doc_id = u.doc_id), "
+        f"fsrc AS (SELECT doc_id, lang, xor(doc_id % {_M32}, {seed}) AS hin "
+        "FROM j), "
+        f"{frag} "
+        f"SELECT doc_id, lang FROM {final} WHERE hv % 10000 < {case}"
+    )

@@ -205,9 +205,15 @@ def gopher_filter(sf_dir: str) -> ray.data.Dataset:
     fully vectorized, no exchange.  Output: (doc_id, n_words, mwl_milli,
     n_stop_kinds, sym_milli, alpha_milli, keep)."""
     ensure_picklable()
-    stops = STOPWORDS["en"]
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        gopher_scores, batch_format="pandas"
+    )
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
+
+def gopher_scores(df: pd.DataFrame) -> pd.DataFrame:
+    """Module-level Gopher scorer (shared with ``sampling.corpus_curate``)."""
+    stops = STOPWORDS["en"]
+    if len(df):
         text = df["text"]
         n_words = text.str.count(r"\S+").astype("int64")
         word_chars = (
@@ -246,10 +252,9 @@ def gopher_filter(sf_dir: str) -> ray.data.Dataset:
                 "keep": keep.astype("int64"),
             }
         )
-
-    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        score, batch_format="pandas"
-    )
+    cols = ["doc_id", "n_words", "mwl_milli", "n_stop_kinds", "sym_milli",
+            "alpha_milli", "keep"]
+    return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
 
 
 def sql_gopher_filter() -> str:

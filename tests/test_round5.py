@@ -1133,3 +1133,45 @@ def test_source_length_stats_empty_shard(ray_session, empty_facts_sf):
     if hasattr(r, "to_pandas"):
         r = r.to_pandas()
     assert len(r) == 0
+
+
+def test_corpus_curate_matches_duckdb_and_funnel_binds(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.sampling import (
+        corpus_curate,
+        sql_corpus_curate,
+    )
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.web_ops import (
+        sql_gopher_filter,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = (
+        corpus_curate(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    _tpch_views(con, sf, ("documents",))
+    want = (
+        con.execute(sql_corpus_curate()).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got["doc_id"].astype("int64").equals(want["doc_id"].astype("int64"))
+    assert list(got["lang"]) == list(want["lang"])
+    # every stage of the funnel binds: quality < input, sampled < quality
+    n_all = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    n_q = con.execute(
+        f"SELECT count(*) FROM ({sql_gopher_filter()}) WHERE keep = 1"
+    ).fetchone()[0]
+    assert n_all > n_q > len(got) > 0
+
+
+def test_corpus_curate_empty_shard(ray_session, empty_facts_sf):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.sampling import (
+        corpus_curate,
+    )
+
+    r = corpus_curate(empty_facts_sf)
+    if hasattr(r, "to_pandas"):
+        r = r.to_pandas()
+    assert len(r) == 0
