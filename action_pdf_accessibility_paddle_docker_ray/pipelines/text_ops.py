@@ -2605,6 +2605,7 @@ def sql_rerank_search(
 
 _PMI_MIN_COUNT = 5
 _PMI_TOPK = 50
+_PMI_BUCKETS = 64
 
 
 def pmi_collocations(sf_dir: str, *, min_count: int = _PMI_MIN_COUNT,
@@ -2699,12 +2700,23 @@ def pmi_collocations(sf_dir: str, *, min_count: int = _PMI_MIN_COUNT,
     if n_bg == 0:
         return ray.data.from_pandas(_OUT_EMPTY)
 
-    def _attach(ds_rows, key_col: str, out_col: str):
-        """Tagged-sides sorted exchange: unigram counts onto bigram rows."""
+    def _attach(ds_rows, key_col: str, out_col: str, carry: list):
+        """Tagged-sides bucket co-partition: unigram counts onto bigram
+        rows.  The exchange key is hash(word) % B — an int64 sort — not
+        the word itself (a string sort over the bigram table measured
+        ~2x the whole op's useful work); the in-block pandas hash merge
+        on the word is exact."""
+
+        def _bkt(keys: pd.Series) -> "np.ndarray":
+            return (
+                pd.util.hash_array(keys.to_numpy(dtype=object)) % _PMI_BUCKETS
+            ).astype("int64")
+
         tagged_u = uni.map_batches(
             lambda df: pd.DataFrame(
                 {
                     "key": df["w"].to_numpy(dtype=object),
+                    "bucket": _bkt(df["w"]),
                     "uc": df["c"].to_numpy().astype("int64"),
                     "tag": np.zeros(len(df), dtype="int64"),
                 }
@@ -2715,13 +2727,13 @@ def pmi_collocations(sf_dir: str, *, min_count: int = _PMI_MIN_COUNT,
         def tag_rows(df: pd.DataFrame) -> pd.DataFrame:
             out = df.assign(
                 key=df[key_col].to_numpy(dtype=object),
+                bucket=_bkt(df[key_col]),
                 uc=np.zeros(len(df), dtype="int64"),
                 tag=np.ones(len(df), dtype="int64"),
             )
             return out
 
         tagged_b = ds_rows.map_batches(tag_rows, batch_format="pandas")
-        carry = [c for c in ds_rows.schema().names]
 
         def merge_block(df: pd.DataFrame) -> pd.DataFrame:
             b = df[df["tag"] == 1]
@@ -2739,7 +2751,7 @@ def pmi_collocations(sf_dir: str, *, min_count: int = _PMI_MIN_COUNT,
             return out
 
         # union carries heterogeneous cols; normalize both sides first
-        cols = ["key", "uc", "tag"] + carry
+        cols = ["key", "bucket", "uc", "tag"] + carry
         tagged_u = tagged_u.map_batches(
             lambda df: df.assign(
                 **{
@@ -2756,12 +2768,12 @@ def pmi_collocations(sf_dir: str, *, min_count: int = _PMI_MIN_COUNT,
         )
         return (
             tagged_u.union(tagged_b)
-            .sort(["key"])  # exactly the group key (colocation invariant)
+            .sort(["bucket"])  # exactly the group key (colocation invariant)
             .map_batches(merge_block, batch_format="pandas", batch_size=None)
         )
 
-    with_c1 = _attach(bg, "w1", "c1")
-    with_c2 = _attach(with_c1, "w2", "c2")
+    with_c1 = _attach(bg, "w1", "c1", ["w1", "w2", "c12"])
+    with_c2 = _attach(with_c1, "w2", "c2", ["w1", "w2", "c12", "c1"])
 
     def score_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["c12"].to_numpy() >= min_count]

@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "pmi_collocations",
     "ann_eval",
     "source_length_stats",
+    "corpus_curate",
 ]
 
 
