@@ -1378,13 +1378,15 @@ _TRI_BROADCAST_MAX = 2_000_000  # max nodes in the broadcast degree map
 _TRI_BUCKETS = 32
 
 
-def _host_graph(sf_dir: str, broadcast_max: int):
+def _host_graph(sf_dir: str, broadcast_max: int, edges_ds=None):
     """Shared graph-construction stage for ``host_triangles`` /
     ``host_clustering``: canonical deduped undirected edges, the degree
     table, and the (degree, name)-oriented edge set (broadcast degree
     attach under the proven bound, else two bucketed tagged-sides joins).
     Returns (edges, deg, oriented, n_nodes, n_edges); oriented is None
-    when the graph is empty.
+    when the graph is empty.  ``edges_ds`` injects a raw
+    (src_host, dst_host) edge dataset in place of ``link_graph`` —
+    the seam the known-topology tests drive.
 
     Scale plan (degree-ordered wedge join — the standard distributed
     triangle algorithm): edges from ``link_graph`` are canonicalized and
@@ -1426,8 +1428,9 @@ def _host_graph(sf_dir: str, broadcast_max: int):
     # orders of magnitude below the corpus); it feeds four consumers
     # (degrees, counts, orientation), so pin it in the object store once
     # instead of re-running the corpus scan per consumer
+    raw = link_graph(sf_dir) if edges_ds is None else edges_ds
     edges = grouped_block_dedup(
-        link_graph(sf_dir).map_batches(canon, batch_format="pandas"), ["a", "b"]
+        raw.map_batches(canon, batch_format="pandas"), ["a", "b"]
     ).materialize()
 
     _DEG_EMPTY = {"node": "object", "c": "int64"}

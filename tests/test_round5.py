@@ -1175,3 +1175,89 @@ def test_corpus_curate_empty_shard(ray_session, empty_facts_sf):
     if hasattr(r, "to_pandas"):
         r = r.to_pandas()
     assert len(r) == 0
+
+
+def _edges_ds(pairs):
+    import ray.data
+
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "src_host": [a for a, _ in pairs],
+                "dst_host": [b for _, b in pairs],
+            }
+        )
+    )
+
+
+def test_triangle_machinery_on_known_graphs(ray_session):
+    """Exact triangle counts on analytically-known topologies, driven
+    through the production _host_graph/_closure_input machinery."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.web_ops import (
+        _closure_input,
+        _host_graph,
+    )
+
+    def count(pairs, broadcast_max=2_000_000):
+        edges, deg, oriented, n_nodes, n_edges = _host_graph(
+            "unused", broadcast_max, edges_ds=_edges_ds(pairs)
+        )
+        if oriented is None:
+            return 0
+
+        def close_count(df):
+            if len(df) == 0:
+                return pd.DataFrame({"t": pd.Series([], dtype="int64")})
+            m = df.groupby(["x", "y"], sort=False)["tag"].transform("min")
+            t = int(((df["tag"].to_numpy() == 1) & (m.to_numpy() == 0)).sum())
+            return pd.DataFrame({"t": pd.Series([t], dtype="int64")})
+
+        return int(
+            _closure_input(oriented)
+            .sort(["x", "y"])
+            .map_batches(close_count, batch_format="pandas", batch_size=None)
+            .sum("t")
+            or 0
+        )
+
+    nodes = [f"h{i:03d}" for i in range(8)]
+    clique = [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+    assert count(clique) == 8 * 7 * 6 // 6  # C(8,3) = 56
+    star = [("hub", f"leaf{i:03d}") for i in range(50)]
+    assert count(star) == 0
+    cycle = [(nodes[i], nodes[(i + 1) % len(nodes)]) for i in range(len(nodes))]
+    assert count(cycle) == 0
+    tri_plus_tail = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    assert count(tri_plus_tail) == 1
+    # duplicate/reversed/self-loop edges canonicalize away
+    noisy = tri_plus_tail + [("b", "a"), ("a", "b"), ("d", "d")]
+    assert count(noisy) == 1
+    # join-path (degree table never broadcast) agrees
+    assert count(clique, broadcast_max=0) == 56
+
+
+def test_degree_orientation_bounds_star_wedges(ray_session):
+    """The O(m^1.5) claim, made testable: on a hot-host star every edge
+    orients leaf -> hub (leaves have lower degree), so every wedge
+    center has out-degree 1 and emission is ZERO — naive neighbor
+    pairing would emit C(500, 2) = 124,750 pairs at the hub."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.util import (
+        grouped_block_map,
+    )
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.web_ops import (
+        _host_graph,
+        _wedge_rows,
+    )
+
+    star = [("hub", f"leaf{i:04d}") for i in range(500)]
+    edges, deg, oriented, n_nodes, n_edges = _host_graph(
+        "unused", 2_000_000, edges_ds=_edges_ds(star)
+    )
+    assert n_edges == 500
+    o = oriented.to_pandas()
+    # every edge points AT the hub
+    assert (o["v"] == "hub").all()
+    wedges = grouped_block_map(
+        oriented, ["u"], _wedge_rows, drop_singletons=True
+    ).to_pandas()
+    assert len(wedges) == 0
