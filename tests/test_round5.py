@@ -1261,3 +1261,55 @@ def test_degree_orientation_bounds_star_wedges(ray_session):
         oriented, ["u"], _wedge_rows, drop_singletons=True
     ).to_pandas()
     assert len(wedges) == 0
+
+
+def test_triangle_hot_hub_stress_matches_brute_force(ray_session):
+    """Dense 300-node graph with a degree-299 hub: the production wedge
+    join must match an adjacency-matrix brute force exactly (the scaled
+    stress — 2000 nodes / 100,618 edges / 246,417 triangles in 8.5 s at
+    32 CPUs — is recorded in BASELINE.md)."""
+    import ray.data
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.web_ops import (
+        _closure_input,
+        _host_graph,
+    )
+
+    N, D = 300, 12
+    A = np.zeros((N, N), dtype=bool)
+    src, dst = [], []
+    for i in range(N):
+        for j in range(1, D + 1):
+            k = (i * 7 + j) % N
+            if i != k:
+                A[i, k] = A[k, i] = True
+            src.append(f"h{i:04d}")
+            dst.append(f"h{k:04d}")
+    for i in range(1, N):
+        A[i, 0] = A[0, i] = True
+        src.append(f"h{i:04d}")
+        dst.append("h0000")
+    want = int(round(np.trace(
+        A.astype(np.float64) @ A @ A.astype(np.float64)) / 6))
+
+    eds = ray.data.from_pandas(pd.DataFrame({"src_host": src, "dst_host": dst}))
+    edges, deg, oriented, n_nodes, n_edges = _host_graph(
+        "unused", 2_000_000, edges_ds=eds
+    )
+    assert n_edges == int(A.sum()) // 2
+
+    def close_count(df):
+        if len(df) == 0:
+            return pd.DataFrame({"t": pd.Series([], dtype="int64")})
+        m = df.groupby(["x", "y"], sort=False)["tag"].transform("min")
+        t = int(((df["tag"].to_numpy() == 1) & (m.to_numpy() == 0)).sum())
+        return pd.DataFrame({"t": pd.Series([t], dtype="int64")})
+
+    got = int(
+        _closure_input(oriented)
+        .sort(["x", "y"])
+        .map_batches(close_count, batch_format="pandas", batch_size=None)
+        .sum("t")
+        or 0
+    )
+    assert got == want > 0
