@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_eval_ivf": lambda sf: similarity.ann_eval(sf, index="ivf"),
         "source_length_stats": relational.source_length_stats,
         "corpus_curate": sampling.corpus_curate,
+        "blocklist_filter": web_ops.blocklist_filter,
         "tfidf_topk": text_ops.tfidf_topk,
         "incremental_dedup": text_ops.incremental_dedup,
         "substring_dedup": text_ops.substring_dedup,
@@ -460,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_eval_ivf": similarity.sql_ann_eval(dim, k=5, n_queries=10, index="ivf"),
         "source_length_stats": relational.sql_source_length_stats(),
         "corpus_curate": sampling.sql_corpus_curate(),
+        "blocklist_filter": web_ops.sql_blocklist_filter(),
         "events_asof_order": (
             "SELECT e.event_id, epoch_us(o.o_orderdate) AS order_ts_us "
             "FROM events e ASOF LEFT JOIN orders o "

@@ -1789,3 +1789,62 @@ def sql_host_clustering() -> str:
         "AS BIGINT) AS clustering_milli "
         "FROM dg LEFT JOIN tc ON tc.h = dg.h WHERE dg.deg >= 2"
     )
+
+
+# C4-style blocklist (Raffel et al. 2020 used a published "bad words"
+# list; the mechanism is the operator — the list here names one word and
+# two phrases that exist in the synthetic vocabulary so the filter
+# provably binds at gate scale, ~15% of docs)
+_BLOCKLIST = ("dup", "slow query", "big join")
+
+
+def blocklist_filter(sf_dir: str) -> ray.data.Dataset:
+    """Blocklist screen — the C4 lineage web-text cleanup: a document is
+    dropped if it contains ANY blocklisted word/phrase; per-doc hit
+    counts are reported so the list's bite is auditable.
+
+    Scale design: stateless and fully vectorized (one compiled regex
+    count per pattern per batch — patterns are a fixed, tiny list, so
+    this is k passes over the batch's string column, not a scan per
+    pattern per row), zero exchange, zero state; the same shape as
+    ``gopher_filter`` and composable into ``corpus_curate``'s stage A.
+
+    Output: (doc_id, n_hits, keep) for every document."""
+    ensure_picklable()
+
+    def screen(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_hits": pd.Series([], dtype="int64"),
+                    "keep": pd.Series([], dtype="int64"),
+                }
+            )
+        low = df["text"].str.lower()
+        hits = sum(
+            low.str.count(rf"\b{p}\b").astype("int64") for p in _BLOCKLIST
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_hits": hits.astype("int64"),
+                "keep": (hits == 0).astype("int64"),
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        screen, batch_format="pandas"
+    )
+
+
+def sql_blocklist_filter() -> str:
+    hit_sum = " + ".join(
+        rf"CAST(len(regexp_extract_all(lower(text), '\b{p}\b')) AS BIGINT)"
+        for p in _BLOCKLIST
+    )
+    return (
+        f"SELECT doc_id, {hit_sum} AS n_hits, "
+        f"CAST(CASE WHEN {hit_sum} = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep "
+        "FROM documents"
+    )

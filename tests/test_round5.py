@@ -1313,3 +1313,41 @@ def test_triangle_hot_hub_stress_matches_brute_force(ray_session):
         or 0
     )
     assert got == want > 0
+
+
+def test_blocklist_filter_matches_duckdb_and_binds(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.web_ops import (
+        blocklist_filter,
+        sql_blocklist_filter,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = (
+        blocklist_filter(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    _tpch_views(con, sf, ("documents",))
+    want = (
+        con.execute(sql_blocklist_filter())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for col in ("doc_id", "n_hits", "keep"):
+        assert got[col].astype("int64").equals(want[col].astype("int64")), col
+    # the list bites, but not everything: both classes non-empty
+    assert 0 < int(got["keep"].sum()) < len(got)
+
+
+def test_blocklist_filter_empty_shard(ray_session, empty_facts_sf):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.web_ops import (
+        blocklist_filter,
+    )
+
+    r = blocklist_filter(empty_facts_sf)
+    if hasattr(r, "to_pandas"):
+        r = r.to_pandas()
+    assert len(r) == 0
