@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_length_stats": relational.source_length_stats,
         "corpus_curate": sampling.corpus_curate,
         "blocklist_filter": web_ops.blocklist_filter,
+        "events_anomaly": relational.events_anomaly,
         "tfidf_topk": text_ops.tfidf_topk,
         "incremental_dedup": text_ops.incremental_dedup,
         "substring_dedup": text_ops.substring_dedup,
@@ -462,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
         "source_length_stats": relational.sql_source_length_stats(),
         "corpus_curate": sampling.sql_corpus_curate(),
         "blocklist_filter": web_ops.sql_blocklist_filter(),
+        "events_anomaly": relational.sql_events_anomaly(),
         "events_asof_order": (
             "SELECT e.event_id, epoch_us(o.o_orderdate) AS order_ts_us "
             "FROM events e ASOF LEFT JOIN orders o "

@@ -974,3 +974,119 @@ def sql_source_length_stats() -> str:
         "CAST((1000 * (n * s2 - s1 * s1)) // (n * n) AS BIGINT) AS var_milli "
         "FROM m"
     )
+
+
+def events_anomaly(sf_dir: str) -> ray.data.Dataset:
+    """Per-type 3σ outlier detection over event values — the anomaly
+    screen a telemetry pipeline runs, with the z-score test rewritten as
+    EXACT INTEGER arithmetic: flag iff (n·v − s1)² > 9·n·(n·s2 − s1²)
+    (multiply (v−μ)² > 9σ² through by n²; μ = s1/n, σ² = (n·s2 − s1²)/n²)
+    — no division, no sqrt, bit-identical in both engines.
+
+    Scale plan: per-type moments come from the same mergeable (n, Σv, Σv²)
+    combiner partials as ``source_length_stats`` (one type-cardinality
+    exchange, 5 rows here); the tiny moment table broadcasts via ray.put
+    and the flagging pass is a zero-exchange streaming scan.  Magnitude
+    bound: |n·v − s1| must stay < 3·10⁹ so its int64 square is exact —
+    holds to ~10⁷ events/type at |v| ≤ 100; asserted per batch, switch to
+    object-dtype Python ints past it (documented).
+
+    Output: (event_id, event_type, v_milli, is_outlier)."""
+    import numpy as np
+
+    ensure_picklable()
+
+    def v_milli_of(df: pd.DataFrame) -> "np.ndarray":
+        return np.floor(
+            df["value"].to_numpy(dtype="float64") * 1000.0 + 0.5
+        ).astype("int64")
+
+    def moment_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                    "s1": pd.Series([], dtype="int64"),
+                    "s2": pd.Series([], dtype="int64"),
+                }
+            )
+        v = v_milli_of(df)
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "v": v, "v2": v * v})
+            .groupby("event_type", as_index=False, sort=False)
+            .agg(n=("v", "size"), s1=("v", "sum"), s2=("v2", "sum"))
+        )
+        for c in ("n", "s1", "s2"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    part = ds.map_batches(moment_partial, batch_format="pandas").to_pandas()
+    # type-cardinality fold (a handful of rows per block by construction)
+    if len(part):
+        m = part.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum")
+        )
+        moments = {
+            t: (int(n), int(s1), int(s2))
+            for t, n, s1, s2 in zip(m["event_type"], m["n"], m["s1"], m["s2"])
+        }
+    else:
+        moments = {}
+    mref = ray.put(moments)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "event_type": pd.Series([], dtype="object"),
+                    "v_milli": pd.Series([], dtype="int64"),
+                    "is_outlier": pd.Series([], dtype="int64"),
+                }
+            )
+        mm = ray.get(mref)
+        v = v_milli_of(df)
+        n = df["event_type"].map(lambda t: mm[t][0]).to_numpy("int64")
+        s1 = df["event_type"].map(lambda t: mm[t][1]).to_numpy("int64")
+        # exact form without the n² division: compare n²·(v−μ)² > 9·n²·σ²
+        # i.e. (n·v − s1)² > 9·(n·s2 − s1²)
+        lhs_root = n * v - s1
+        assert (np.abs(lhs_root) < 3_000_000_000).all(), "int64 square bound"
+        lhs = lhs_root * lhs_root
+        # rhs per TYPE in arbitrary-precision Python ints (types are few),
+        # clamped into int64: rhs ≥ 2^63 can never be exceeded by an
+        # in-bound int64 lhs, so the clamp preserves the comparison
+        imax = np.iinfo(np.int64).max
+        rhs_by_type = {
+            t: min(9 * (tn * ts2 - ts1 * ts1), imax)
+            for t, (tn, ts1, ts2) in mm.items()
+        }
+        rhs = df["event_type"].map(rhs_by_type).to_numpy("int64")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "v_milli": v,
+                "is_outlier": (lhs > rhs).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+def sql_events_anomaly() -> str:
+    return (
+        "WITH v AS (SELECT event_id, event_type, "
+        "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli FROM events), "
+        "m AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, "
+        "CAST(SUM(v_milli) AS HUGEINT) AS s1, "
+        "CAST(SUM(CAST(v_milli AS HUGEINT) * v_milli) AS HUGEINT) AS s2 "
+        "FROM v GROUP BY event_type) "
+        "SELECT v.event_id, v.event_type, v.v_milli, "
+        "CAST(CASE WHEN (m.n * v.v_milli - m.s1) * (m.n * v.v_milli - m.s1) "
+        "> 9 * (m.n * m.s2 - m.s1 * m.s1) THEN 1 ELSE 0 END AS BIGINT) "
+        "AS is_outlier "
+        "FROM v JOIN m ON m.event_type = v.event_type"
+    )

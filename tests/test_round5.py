@@ -1351,3 +1351,43 @@ def test_blocklist_filter_empty_shard(ray_session, empty_facts_sf):
     if hasattr(r, "to_pandas"):
         r = r.to_pandas()
     assert len(r) == 0
+
+
+def test_events_anomaly_matches_duckdb_and_binds(ray_session):
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        events_anomaly,
+        sql_events_anomaly,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = (
+        events_anomaly(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    _tpch_views(con, sf, ("events",))
+    want = (
+        con.execute(sql_events_anomaly())
+        .df()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for col in ("event_id", "v_milli", "is_outlier"):
+        assert got[col].astype("int64").equals(want[col].astype("int64")), col
+    assert list(got["event_type"]) == list(want["event_type"])
+    # 3-sigma flags a small non-empty tail
+    n_out = int(got["is_outlier"].sum())
+    assert 0 < n_out < len(got) // 10
+
+
+def test_events_anomaly_empty_shard(ray_session, empty_facts_sf):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        events_anomaly,
+    )
+
+    r = events_anomaly(empty_facts_sf)
+    if hasattr(r, "to_pandas"):
+        r = r.to_pandas()
+    assert len(r) == 0
