@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "ann_eval",
     "source_length_stats",
     "corpus_curate",
+    "blocklist_filter",
+    "events_anomaly",
 ]
 
 
