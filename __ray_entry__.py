@@ -133,7 +133,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # by tools/check_correctness.py regardless of position; the dedup
     # entries whose candidate generation changed post-r04 (LSH bucket
     # bounding) are re-proven by this round's full repo-gate run recorded
-    # in BASELINE.md.
+    # in BASELINE.md.  The round-5 extension ops (joins, window functions,
+    # graph, funnel/cohort, PMI, evals, moments, curation composite,
+    # blocklist, anomaly) were added PAST the window; their certification
+    # is the closing full-gate run in BASELINE.md (117/117, failures 0)
+    # plus per-op pytest pins at sf0.001/sf0.01/sf0.1.
     return {
         # SQL-checkable projections of the flagship pipeline (plan gained
         # the GPU-seam passthrough this round; CPU default unchanged)
