@@ -1391,3 +1391,46 @@ def test_events_anomaly_empty_shard(ray_session, empty_facts_sf):
     if hasattr(r, "to_pandas"):
         r = r.to_pandas()
     assert len(r) == 0
+
+
+def test_corpus_curate_dedup_stage_binds(ray_session, tmp_path):
+    """The gate corpus has no exact-duplicate texts, so the composite's
+    middle stage never fires there; plant clones of quality-passing docs
+    and pin (a) exactly one survivor per clone set (min doc_id), and
+    (b) the DuckDB chained replay still matches on the augmented table."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.sampling import (
+        corpus_curate,
+        sql_corpus_curate,
+    )
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    t = pq.read_table(src, columns=["doc_id", "lang", "text"]).to_pandas()
+    base = corpus_curate("/root/testdata/sf0.01").to_pandas()
+    # clone 5 docs that survive the full funnel, at fresh higher ids
+    survivors = base["doc_id"].head(5).tolist()
+    clones = t[t["doc_id"].isin(survivors)].copy()
+    clones["doc_id"] = clones["doc_id"] + 1_000_000
+    aug = pd.concat([t, clones], ignore_index=True)
+    d = tmp_path / "aug"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(aug, preserve_index=False),
+                   str(d / "documents.parquet"))
+
+    got = corpus_curate(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # dedup binds: the clone (higher id) loses to the original every time
+    assert not got["doc_id"].isin(clones["doc_id"]).any()
+    assert got["doc_id"].isin(survivors).sum() == 5
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = (
+        con.execute(sql_corpus_curate()).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["doc_id"].astype("int64").equals(want["doc_id"].astype("int64"))
+    assert list(got["lang"]) == list(want["lang"])
