@@ -571,3 +571,76 @@ def sql_corpus_curate(seed: int = _SAMPLE_SEED) -> str:
         f"{frag} "
         f"SELECT doc_id, lang FROM {final} WHERE hv % 10000 < {case}"
     )
+
+
+def curate_dup_losers_ds(sf_dir: str) -> ray.data.Dataset:
+    """The one corpus-GLOBAL decision inside ``corpus_curate``: among
+    quality-passing docs, the doc_ids that LOSE the exact-content dedup
+    (everything except each text's min doc_id).  Loser-count-sized —
+    empty on a clean corpus — and the only state a resumable curate run
+    needs to checkpoint: the quality gate and the sampler are stateless
+    per-row and recompute per bucket for free."""
+    import hashlib
+
+    ensure_picklable()
+    from .web_ops import gopher_scores
+
+    def stage_a(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "text_sha": pd.Series([], dtype="object"),
+                }
+            )
+        keep = gopher_scores(df[["doc_id", "text"]])["keep"].to_numpy() == 1
+        out = df.loc[keep, ["doc_id", "text"]].copy()
+        out["text_sha"] = [
+            hashlib.sha1(t.encode("utf-8")).hexdigest() for t in out["text"]
+        ]
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out[["doc_id", "text_sha"]]
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        df = df.sort_values(["text_sha", "doc_id"], kind="mergesort")
+        lose = df.duplicated("text_sha", keep="first")
+        return pd.DataFrame({"doc_id": df.loc[lose, "doc_id"].astype("int64")})
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    q = ds.map_batches(stage_a, batch_format="pandas")
+    # sort by EXACTLY the dedup key (colocation invariant, util.py)
+    return q.sort(["text_sha"]).map_batches(
+        losers, batch_format="pandas", batch_size=None
+    )
+
+
+def curate_keep_mask(df: pd.DataFrame, losers: frozenset, seed: int) -> pd.DataFrame:
+    """Stateless per-bucket finish of ``corpus_curate``: gopher gate ∧
+    not-a-dedup-loser ∧ stratified hash sample.  Shared by the plain and
+    resumable paths so they stay decision-identical."""
+    from .web_ops import gopher_scores
+
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "lang": pd.Series([], dtype="object"),
+            }
+        )
+    quality = gopher_scores(df[["doc_id", "text"]])["keep"].to_numpy() == 1
+    ids64 = df["doc_id"].astype("int64")
+    not_loser = ~ids64.isin(losers).to_numpy()
+    ids = ids64.to_numpy().astype(np.uint64)
+    h = fmix32_np((ids % _M32) ^ np.uint64(seed))
+    thr = (
+        df["lang"].map(SAMPLE_RATES_PER_10K)
+        .fillna(_SAMPLE_DEFAULT_10K)
+        .to_numpy(dtype="int64")
+    )
+    sampled = (h % np.uint32(10000)).astype("int64") < thr
+    m = quality & not_loser & sampled
+    return pd.DataFrame(
+        {"doc_id": ids64[m].to_numpy(), "lang": df["lang"].to_numpy(dtype=object)[m]}
+    )

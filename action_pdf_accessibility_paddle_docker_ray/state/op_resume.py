@@ -669,3 +669,87 @@ def run_incremental_fuzzy_dedup_resumable(
         "rows_written": total_rows,
         "wall_sec": round(time.time() - t_run, 3),
     }
+
+
+def run_corpus_curate_resumable(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    n_buckets: int = 8,
+    stop_after_buckets: int | None = None,
+    seed: int = 7,
+) -> dict:
+    """Resumable ``corpus_curate``: phase A checkpoints ONLY the dedup
+    loser set (``curate_dup_losers_ds`` — the single corpus-global
+    decision in the composite; loser-count-sized, empty on a clean
+    corpus), phase B recomputes the stateless quality gate + stratified
+    sampler per doc bucket (free — pure per-row kernels) and publishes
+    survivors atomically per bucket.  Same manifest/skip-done contract
+    as the other resumable sinks; the output union is bit-identical to
+    ``corpus_curate``."""
+    import ray
+
+    from ..pipelines.sampling import curate_dup_losers_ds, curate_keep_mask
+    from ..sources.pages import read_table
+
+    params = {"op": "corpus_curate", "n_buckets": n_buckets, "seed": seed}
+    fingerprint = _table_fingerprint(sf_dir, "documents")
+    state_dir = os.path.join(out_dir, "_state")
+    os.makedirs(state_dir, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+
+    losers_path = os.path.join(state_dir, "dup_losers.parquet")
+    state_reused = _state_valid(state_dir, fingerprint, params)
+    if not state_reused:
+        losers_df = curate_dup_losers_ds(sf_dir).to_pandas()
+        if "doc_id" not in losers_df.columns:  # clean corpus: zero losers,
+            losers_df = pd.DataFrame(          # Ray drops the empty schema
+                {"doc_id": pd.Series([], dtype="int64")}
+            )
+        tmp = losers_path + ".tmp"
+        losers_df.to_parquet(tmp, index=False)
+        os.replace(tmp, losers_path)
+        _atomic_write_json(
+            os.path.join(state_dir, "state.json"),
+            {"fingerprint": fingerprint, "params": params},
+        )
+    else:
+        losers_df = pd.read_parquet(losers_path)
+
+    losers_ref = ray.put(frozenset(int(d) for d in losers_df["doc_id"]))
+
+    done = _load_bucket_manifests(out_dir)
+    buckets_run, skipped, total_rows = 0, 0, 0
+    t_run = time.time()
+    for b in range(n_buckets):
+        e = done.get(b)
+        if e and e["fingerprint"] == fingerprint and e["params"] == params:
+            skipped += 1
+            continue
+        if stop_after_buckets is not None and buckets_run >= stop_after_buckets:
+            break
+        t0 = time.time()
+        nb, bucket = n_buckets, b
+
+        def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+            losers = ray.get(losers_ref)
+            if len(df):
+                df = df[df["doc_id"].astype("int64") % nb == bucket]
+            return curate_keep_mask(df, losers, seed)
+
+        ds = read_table(
+            sf_dir, "documents", columns=["doc_id", "lang", "text"]
+        ).map_batches(bucket_fn, batch_format="pandas")
+        n_rows = _write_bucket(ds, out_dir, b)
+        _commit_bucket(out_dir, b, fingerprint, params, n_rows, time.time() - t0)
+        total_rows += n_rows
+        buckets_run += 1
+
+    return {
+        "buckets_total": n_buckets,
+        "buckets_skipped": skipped,
+        "buckets_run": buckets_run,
+        "state_reused": state_reused,
+        "rows_written": total_rows,
+        "wall_sec": round(time.time() - t_run, 3),
+    }

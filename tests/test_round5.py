@@ -1434,3 +1434,79 @@ def test_corpus_curate_dedup_stage_binds(ray_session, tmp_path):
     )
     assert got["doc_id"].astype("int64").equals(want["doc_id"].astype("int64"))
     assert list(got["lang"]) == list(want["lang"])
+
+
+def test_corpus_curate_resumable_kill_restart(ray_session, tmp_path):
+    """Kill after 2 of 8 buckets, restart: the dedup-loser checkpoint is
+    reused, only the remaining buckets run, and the union equals the
+    direct composite (doc_id set AND langs) with no dup/missing rows."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.sampling import (
+        corpus_curate,
+    )
+    from action_pdf_accessibility_paddle_docker_ray.state.op_resume import (
+        run_corpus_curate_resumable,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curate")
+    r1 = run_corpus_curate_resumable(sf, out, n_buckets=8, stop_after_buckets=2)
+    assert r1["buckets_run"] == 2 and not r1["state_reused"]
+    r2 = run_corpus_curate_resumable(sf, out, n_buckets=8)
+    assert r2["state_reused"] and r2["buckets_skipped"] == 2
+    assert r2["buckets_run"] == 6
+
+    got = _read_buckets(out).sort_values("doc_id").reset_index(drop=True)
+    want = (
+        corpus_curate(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "lang"]], want[["doc_id", "lang"]]
+    )
+    assert got["doc_id"].is_unique
+
+    r3 = run_corpus_curate_resumable(sf, out, n_buckets=8)
+    assert r3["buckets_skipped"] == 8 and r3["buckets_run"] == 0
+
+
+def test_corpus_curate_resumable_losers_bind(ray_session, tmp_path):
+    """Planted clones: the loser checkpoint is non-empty, survives the
+    kill-restart, and the resumed union still equals the direct
+    composite on the augmented corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.sampling import (
+        corpus_curate,
+    )
+    from action_pdf_accessibility_paddle_docker_ray.state.op_resume import (
+        run_corpus_curate_resumable,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    t = pq.read_table(src).to_pandas()
+    base = corpus_curate("/root/testdata/sf0.001").to_pandas()
+    clones = t[t["doc_id"].isin(base["doc_id"].head(4))].copy()
+    clones["doc_id"] = clones["doc_id"] + 1_000_000
+    d = tmp_path / "aug"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat([t, clones], ignore_index=True), preserve_index=False
+        ),
+        str(d / "documents.parquet"),
+    )
+
+    out = str(tmp_path / "curate_aug")
+    r1 = run_corpus_curate_resumable(str(d), out, n_buckets=4, stop_after_buckets=1)
+    assert r1["buckets_run"] == 1
+    # the checkpoint binds: planted clones lost the dedup
+    losers = pd.read_parquet(f"{out}/_state/dup_losers.parquet")
+    assert set(losers["doc_id"]) == set(clones["doc_id"].astype("int64"))
+    r2 = run_corpus_curate_resumable(str(d), out, n_buckets=4)
+    assert r2["state_reused"] and r2["buckets_skipped"] == 1
+
+    got = _read_buckets(out).sort_values("doc_id").reset_index(drop=True)
+    want = (
+        corpus_curate(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["doc_id", "lang"]], want[["doc_id", "lang"]])
