@@ -21,6 +21,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 from action_pdf_accessibility_paddle_docker_ray.pipelines import (  # noqa: E402
     analytics,
     dedup_ops,
+    digest,
     joins,
     relational,
     sampling,
@@ -135,9 +136,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # bounding) are re-proven by this round's full repo-gate run recorded
     # in BASELINE.md.  The round-5 extension ops (joins, window functions,
     # graph, funnel/cohort, PMI, evals, moments, curation composite,
-    # blocklist, anomaly) were added PAST the window; their certification
-    # is the closing full-gate run in BASELINE.md (117/117, failures 0)
-    # plus per-op pytest pins at sf0.001/sf0.01/sf0.1.
+    # blocklist, anomaly, sessionize) were added PAST the window; each
+    # earns a driver-recorded hash-match row through the in-window
+    # composite ``r5_ext_digest`` (one oracled (op, n_rows, digest) row
+    # per member — pipelines/digest.py), on top of the closing full-gate
+    # run in BASELINE.md and per-op pytest pins at sf0.001/sf0.01/sf0.1.
     return {
         # SQL-checkable projections of the flagship pipeline (plan gained
         # the GPU-seam passthrough this round; CPU default unchanged)
@@ -197,13 +200,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_stats": relational.part_brand_stats,
         "top_longest": relational.top_longest,
         "lang_stats": relational.lang_stats,
-        "events_sessionize": relational.events_sessionize,
+        # composite digest: one oracled (op, n_rows, digest) row per
+        # round-5 extension op (pipelines/digest.py) — gives every
+        # past-window round-5 op a driver-recorded hash-match row;
+        # events_sessionize yielded this slot and is a digest member
+        "r5_ext_digest": digest.r5_ext_digest,
         # ---- entries past the driver's 50-entry recording window ----
         # (everything below has a green hash-match row in CORRECTNESS_r04;
         # all still pytest-pinned and re-runnable by
         # tools/check_correctness.py at any position)
         "extract_docs": _extract_docs,
         "extract_spans": _extract_spans,
+        "events_sessionize": relational.events_sessionize,
         "domain_stats": domain_stats,
         # dedup family (SQL oracles recompute the LSH/verify in DuckDB)
         "minhash_dedup": dedup_ops.minhash_dedup,
@@ -293,7 +301,7 @@ def oracle_sql() -> dict[str, str]:
     from action_pdf_accessibility_paddle_docker_ray.pipelines.text_ops import STOPWORDS
 
     dim = _embedding_dim(SF_ORACLE)
-    return {
+    d = {
         # --- generated oracles (pipelines/sql_oracles.py): recompute the
         # operator's hashes/LSH/exact-verify logic inside DuckDB -----------
         "langid": sql_oracles.sql_langid(STOPWORDS),
@@ -592,3 +600,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_search": similarity.sql_knn_search(k=5, n_queries=10),
     }
+    # composite digest: one (op, n_rows, digest) oracle row per round-5
+    # extension op, replaying the md5-prefix sum over each member's own
+    # oracle SQL (see pipelines/digest.py)
+    d["r5_ext_digest"] = digest.digest_oracle_sql(
+        {op: d[op] for op in digest.DIGEST_OPS}
+    )
+    return d

@@ -1,0 +1,186 @@
+"""Composite correctness digest for the round-5 extension operators.
+
+The external driver's correctness gate records only the first 50
+``queries()`` entries; the round-5 extension ops (multi-way joins, window
+functions, graph analytics, funnel/cohort, PMI, ANN evals, moments,
+curation composite, blocklist, anomaly, sessionize) sit past that window.
+``r5_ext_digest`` folds all of them into ONE oracled gate row each:
+
+    (op, n_rows, digest)
+
+where ``digest`` is the order-insensitive sum, over the op's result rows,
+of the first 8 hex digits of ``md5(canon)`` parsed as an integer, and
+``canon`` joins the row's INTEGER and STRING column values (column names
+sorted, NULL → ``~``) with ``|``.  Float/date columns are excluded from
+the canon (their parallel-summation formatting is engine-dependent) but
+the rows they *select* still bind — a wrong top-k or a wrong rollup
+changes the surviving keys and therefore the digest.
+
+The DuckDB oracle replays the identical computation over each op's
+existing SQL oracle: ``('0x' || substr(md5(canon), 1, 8))::BIGINT`` parses
+the same prefix, ``CONCAT_WS('|', COALESCE(CAST(c AS VARCHAR), '~'), …)``
+builds the same canon (DuckDB's BIGINT→VARCHAR cast matches Python's
+``str(int)`` exactly; both md5 over UTF-8 bytes).  A sum of 32-bit values
+stays far below BIGINT range for any plausible row count.
+
+Scale note: the digest adds no new distributed work — it runs each
+member op's existing pipeline (all individually scale-audited) and folds
+a constant-size summary per op on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from . import joins, relational, sampling, similarity, text_ops, web_ops
+
+# op name -> (callable, canon columns).  Canon columns are the op's
+# INTEGER and STRING output columns, listed here explicitly (not
+# introspected) so the Python and SQL sides can never drift.
+DIGEST_OPS: dict[str, tuple] = {
+    "top_orders_q3": (
+        joins.top_orders_q3,
+        ["o_orderkey", "o_orderpriority"],
+    ),
+    "regional_revenue_q5": (
+        joins.regional_revenue_q5,
+        ["n_name", "n_items"],
+    ),
+    "big_order_customers": (
+        joins.big_order_customers,
+        ["c_name", "c_custkey", "o_orderkey", "sum_qty"],
+    ),
+    "nation_year_rollup": (
+        relational.nation_year_rollup,
+        ["n_name", "o_year", "n_orders"],
+    ),
+    "events_user_running": (
+        relational.events_user_running,
+        ["event_id", "user_id", "rn", "cum_milli", "prev_milli"],
+    ),
+    "min_price_supplier": (
+        joins.min_price_supplier,
+        ["l_partkey", "min_price_milli", "n_at_min", "best_suppkey"],
+    ),
+    "host_triangles": (
+        web_ops.host_triangles,
+        ["n_hosts", "n_edges", "n_triangles"],
+    ),
+    "events_funnel": (
+        relational.events_funnel,
+        ["stage", "n_users"],
+    ),
+    "cohort_retention": (
+        relational.cohort_retention,
+        ["cohort_day", "day_offset", "n_users"],
+    ),
+    "type_distinct_users": (
+        relational.type_distinct_users,
+        ["event_type", "n_users"],
+    ),
+    "host_clustering": (
+        web_ops.host_clustering,
+        ["host", "deg", "n_tri", "clustering_milli"],
+    ),
+    "pmi_collocations": (
+        text_ops.pmi_collocations,
+        ["w1", "w2", "c12", "c1", "c2", "pmi_micro"],
+    ),
+    "ann_eval": (
+        similarity.ann_eval,
+        ["query_id", "n_truth", "n_hit", "recall_milli"],
+    ),
+    "ann_eval_ivf": (
+        lambda sf: similarity.ann_eval(sf, index="ivf"),
+        ["query_id", "n_truth", "n_hit", "recall_milli"],
+    ),
+    "source_length_stats": (
+        relational.source_length_stats,
+        ["source", "n_docs", "mean_milli", "var_milli"],
+    ),
+    "corpus_curate": (
+        sampling.corpus_curate,
+        ["doc_id", "lang"],
+    ),
+    "blocklist_filter": (
+        web_ops.blocklist_filter,
+        ["doc_id", "n_hits", "keep"],
+    ),
+    "events_anomaly": (
+        relational.events_anomaly,
+        ["event_id", "event_type", "v_milli", "is_outlier"],
+    ),
+    "events_sessionize": (
+        relational.events_sessionize,
+        ["user_id", "session_id", "n_events", "session_start_us",
+         "session_end_us"],
+    ),
+}
+
+_NULL = "~"
+
+
+def _canon_series(df: pd.DataFrame, cols: list[str]) -> pd.Series:
+    """`|`-joined string values in sorted-column order, NULL → `~`."""
+    parts = []
+    for c in sorted(cols):
+        s = df[c]
+        if pd.api.types.is_integer_dtype(s) and not s.isna().any():
+            txt = s.astype("int64").astype(str)
+        else:
+            # string, or integer-with-NULLs (which pandas widens to float):
+            # format each non-null value like DuckDB's VARCHAR cast
+            txt = s.map(
+                lambda v: _NULL
+                if pd.isna(v)
+                else (str(int(v)) if isinstance(v, float) else str(v))
+            )
+        parts.append(txt)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + "|" + p
+    return out
+
+
+def digest_frame(df: pd.DataFrame, cols: list[str]) -> int:
+    """Order-insensitive md5-prefix sum over the canon strings."""
+    if len(df) == 0:
+        return 0
+    canon = _canon_series(df.reset_index(drop=True), cols)
+    return int(
+        sum(
+            int(hashlib.md5(c.encode("utf-8")).hexdigest()[:8], 16)
+            for c in canon
+        )
+    )
+
+
+def r5_ext_digest(sf_dir: str) -> pd.DataFrame:
+    """One (op, n_rows, digest) row per round-5 extension operator."""
+    rows = []
+    for op, (fn, cols) in DIGEST_OPS.items():
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        rows.append(
+            {"op": op, "n_rows": len(res), "digest": digest_frame(res, cols)}
+        )
+    return pd.DataFrame(rows).sort_values("op", ignore_index=True)
+
+
+def digest_oracle_sql(member_oracles: dict[str, str]) -> str:
+    """DuckDB replay: the same canon/md5/sum over each member's oracle."""
+    arms = []
+    for op, (_fn, cols) in sorted(DIGEST_OPS.items()):
+        canon = ", ".join(
+            f"COALESCE(CAST({c} AS VARCHAR), '{_NULL}')" for c in sorted(cols)
+        )
+        arms.append(
+            f"SELECT '{op}' AS op, COUNT(*) AS n_rows, "
+            f"CAST(COALESCE(SUM(('0x' || substr(md5(CONCAT_WS('|', {canon})),"
+            f" 1, 8))::BIGINT), 0) AS BIGINT) AS digest "
+            f"FROM ({member_oracles[op]})"
+        )
+    return " UNION ALL ".join(arms)

@@ -1510,3 +1510,53 @@ def test_corpus_curate_resumable_losers_bind(ray_session, tmp_path):
         corpus_curate(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["doc_id", "lang"]], want[["doc_id", "lang"]])
+
+
+# ---------------------------------------------------------------------------
+# r5_ext_digest: composite driver-gate digest over the round-5 extension ops
+# ---------------------------------------------------------------------------
+
+
+def test_digest_frame_matches_duckdb_replay():
+    """The Python md5-prefix sum equals DuckDB's on ints, strings, NULLs."""
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.digest import (
+        digest_frame,
+    )
+
+    df = pd.DataFrame(
+        {
+            "b_key": [1, -7, 2**40, 5, 6],
+            "a_name": ["x", "with|pipe", None, "", "Ünïcödé"],
+            "c_cnt": pd.array([3, None, 0, 9, 9], dtype="Int64"),
+        }
+    )
+    got = digest_frame(df, ["b_key", "a_name", "c_cnt"])
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        "SELECT CAST(COALESCE(SUM(('0x' || substr(md5(CONCAT_WS('|', "
+        "COALESCE(CAST(a_name AS VARCHAR), '~'), "
+        "COALESCE(CAST(b_key AS VARCHAR), '~'), "
+        "COALESCE(CAST(c_cnt AS VARCHAR), '~'))), 1, 8))::BIGINT), 0) "
+        "AS BIGINT) FROM t"
+    ).fetchone()[0]
+    assert got == want
+    assert digest_frame(df.iloc[:0], ["b_key", "a_name", "c_cnt"]) == 0
+
+
+def test_r5_ext_digest_entry(ray_session):
+    """One row per member op at sf0.001; digest binds to member output."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.digest import (
+        DIGEST_OPS,
+        r5_ext_digest,
+    )
+
+    out = r5_ext_digest("/root/testdata/sf0.001")
+    assert list(out.columns) == ["op", "n_rows", "digest"]
+    assert sorted(out["op"]) == sorted(DIGEST_OPS)
+    assert (out["n_rows"] > 0).all()
+    # every digest is a plain int64 (never float — the driver hashes dtypes)
+    assert str(out["digest"].dtype) == "int64"
+    assert str(out["n_rows"].dtype) == "int64"
