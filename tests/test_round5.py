@@ -1560,3 +1560,23 @@ def test_r5_ext_digest_entry(ray_session):
     # every digest is a plain int64 (never float — the driver hashes dtypes)
     assert str(out["digest"].dtype) == "int64"
     assert str(out["n_rows"].dtype) == "int64"
+
+
+def test_gate_window_ordering_contract():
+    """The driver records only the first 50 queries() entries: the window
+    must hold the digest plus only never-r04-recorded entries (the two
+    flagship projections are the deliberate exceptions)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry_mod
+
+    window = list(entry_mod.queries())[:50]
+    assert "r5_ext_digest" in window
+    r04 = json.load(open("/root/repo/CORRECTNESS_r04.json"))
+    recorded = {
+        n for n, v in r04.items() if v.get("hash_match")
+    } - {"extract_doc_meta", "extract_span_stats"}
+    dup = [n for n in window if n in recorded]
+    assert dup == [], f"window wastes slots on r04-recorded entries: {dup}"
