@@ -125,21 +125,24 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external driver's correctness gate records only
     # the FIRST 50 entries.  Round-5 rotation (VERDICT r4 task 2): the
-    # window holds exactly the 48 entries that have NO CORRECTNESS_r04 row
-    # (they sat past the cutoff when the dedup/similarity/multimodal
-    # families rotated in last round) plus the two flagship SQL
-    # projections, whose physical plan gained the GPU-seam kwarg this
-    # round.  Everything now past the cutoff has a green hash-match row in
-    # CORRECTNESS_r04 (driver gate) and remains pytest-pinned and runnable
-    # by tools/check_correctness.py regardless of position; the dedup
-    # entries whose candidate generation changed post-r04 (LSH bucket
-    # bounding) are re-proven by this round's full repo-gate run recorded
-    # in BASELINE.md.  The round-5 extension ops (joins, window functions,
-    # graph, funnel/cohort, PMI, evals, moments, curation composite,
-    # blocklist, anomaly, sessionize) were added PAST the window; each
-    # earns a driver-recorded hash-match row through the in-window
-    # composite ``r5_ext_digest`` (one oracled (op, n_rows, digest) row
-    # per member — pipelines/digest.py), on top of the closing full-gate
+    # window holds the entries that have NO CORRECTNESS_r04 row (they sat
+    # past the cutoff when the dedup/similarity/multimodal families
+    # rotated in last round) plus the two flagship SQL projections (whose
+    # physical plan gained the GPU-seam kwarg this round) and two
+    # composite digests: ``dedup_recert_digest`` re-certifies the four
+    # dedup ops whose candidate generation changed post-r04 (LSH bucket
+    # bounding), and ``r5_ext_digest`` covers every round-5 extension op
+    # (each digest = one oracled (op, n_rows, digest) row per member —
+    # pipelines/digest.py).  The two window slots they need came from
+    # events_asof_order_salted (a physical-plan twin; the unsalted
+    # sibling stays in-window) and events_sessionize (a digest member).
+    # Everything now past the cutoff has a green hash-match row in
+    # CORRECTNESS_r04 (driver gate) or is digest-covered, and remains
+    # pytest-pinned and runnable by tools/check_correctness.py
+    # regardless of position.  The round-5 extension ops (joins, window
+    # functions, graph, funnel/cohort, PMI, evals, moments, curation
+    # composite, blocklist, anomaly, sessionize) sit past the window but
+    # are all ``r5_ext_digest`` members, on top of the closing full-gate
     # run in BASELINE.md and per-op pytest pins at sf0.001/sf0.01/sf0.1.
     return {
         # SQL-checkable projections of the flagship pipeline (plan gained
@@ -190,8 +193,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_order": joins.events_asof_order,
         "events_orders_range_join": joins.events_orders_range_join,
         "orders_lineitem_join_salted": joins.orders_lineitem_join_salted,
-        "events_asof_order_salted": lambda sf: joins.events_asof_order(sf, salt=4),
         "events_orders_range_join_salted": lambda sf: joins.events_orders_range_join(sf, salt=4),
+        # composite digest over the four dedup ops whose candidate
+        # generation changed AFTER their r04 rows (LSH bucket bounding) —
+        # driver-recorded post-change certification; it took the window
+        # slot of events_asof_order_salted, a physical-plan twin whose
+        # semantics stay in-window via the unsalted sibling
+        "dedup_recert_digest": digest.dedup_recert_digest,
         # relational operator demos (SQL-checked)
         "quality_filter": relational.quality_filter,
         "events_top3_per_user": relational.events_top3_per_user,
@@ -212,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs": _extract_docs,
         "extract_spans": _extract_spans,
         "events_sessionize": relational.events_sessionize,
+        "events_asof_order_salted": lambda sf: joins.events_asof_order(sf, salt=4),
         "domain_stats": domain_stats,
         # dedup family (SQL oracles recompute the LSH/verify in DuckDB)
         "minhash_dedup": dedup_ops.minhash_dedup,
@@ -605,5 +614,9 @@ def oracle_sql() -> dict[str, str]:
     # oracle SQL (see pipelines/digest.py)
     d["r5_ext_digest"] = digest.digest_oracle_sql(
         {op: d[op] for op in digest.DIGEST_OPS}
+    )
+    d["dedup_recert_digest"] = digest.digest_oracle_sql(
+        {op: d[op] for op in digest.DEDUP_RECERT_OPS},
+        digest.DEDUP_RECERT_OPS,
     )
     return d

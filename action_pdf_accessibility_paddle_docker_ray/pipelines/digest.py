@@ -34,7 +34,15 @@ import hashlib
 
 import pandas as pd
 
-from . import joins, relational, sampling, similarity, text_ops, web_ops
+from . import (
+    dedup_ops,
+    joins,
+    relational,
+    sampling,
+    similarity,
+    text_ops,
+    web_ops,
+)
 
 # op name -> (callable, canon columns).  Canon columns are the op's
 # INTEGER and STRING output columns, listed here explicitly (not
@@ -119,6 +127,25 @@ DIGEST_OPS: dict[str, tuple] = {
     ),
 }
 
+# The four ops whose candidate generation changed AFTER their green
+# CORRECTNESS_r04 rows were recorded (the round-5 LSH degenerate-bucket
+# bounding: slabbed agree matrix + spanning-subset emission).  Folding
+# them into an in-window digest gives the post-change code its own
+# driver-recorded hash-match rows; all emit integer-only columns.
+DEDUP_RECERT_OPS: dict[str, tuple] = {
+    "minhash_dedup": (dedup_ops.minhash_dedup, ["doc_id", "rep_id"]),
+    "dedup_keep_best": (dedup_ops.dedup_keep_best, ["doc_id"]),
+    "incremental_fuzzy_dedup": (
+        dedup_ops.incremental_fuzzy_dedup,
+        ["doc_id"],
+    ),
+    "dedup_eval": (
+        dedup_ops.dedup_eval,
+        ["n_docs", "n_truth_pairs", "n_found_pairs", "n_missed",
+         "recall_milli", "precision_milli"],
+    ),
+}
+
 _NULL = "~"
 
 
@@ -157,10 +184,9 @@ def digest_frame(df: pd.DataFrame, cols: list[str]) -> int:
     )
 
 
-def r5_ext_digest(sf_dir: str) -> pd.DataFrame:
-    """One (op, n_rows, digest) row per round-5 extension operator."""
+def _run_digest(sf_dir: str, members: dict[str, tuple]) -> pd.DataFrame:
     rows = []
-    for op, (fn, cols) in DIGEST_OPS.items():
+    for op, (fn, cols) in members.items():
         res = fn(sf_dir)
         if hasattr(res, "to_pandas"):
             res = res.to_pandas()
@@ -170,10 +196,23 @@ def r5_ext_digest(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("op", ignore_index=True)
 
 
-def digest_oracle_sql(member_oracles: dict[str, str]) -> str:
+def r5_ext_digest(sf_dir: str) -> pd.DataFrame:
+    """One (op, n_rows, digest) row per round-5 extension operator."""
+    return _run_digest(sf_dir, DIGEST_OPS)
+
+
+def dedup_recert_digest(sf_dir: str) -> pd.DataFrame:
+    """One (op, n_rows, digest) row per post-r04-changed dedup op."""
+    return _run_digest(sf_dir, DEDUP_RECERT_OPS)
+
+
+def digest_oracle_sql(
+    member_oracles: dict[str, str],
+    members: dict[str, tuple] = DIGEST_OPS,
+) -> str:
     """DuckDB replay: the same canon/md5/sum over each member's oracle."""
     arms = []
-    for op, (_fn, cols) in sorted(DIGEST_OPS.items()):
+    for op, (_fn, cols) in sorted(members.items()):
         canon = ", ".join(
             f"COALESCE(CAST({c} AS VARCHAR), '{_NULL}')" for c in sorted(cols)
         )

@@ -1562,6 +1562,19 @@ def test_r5_ext_digest_entry(ray_session):
     assert str(out["n_rows"].dtype) == "int64"
 
 
+def test_dedup_recert_digest_entry(ray_session):
+    """The post-r04-changed dedup ops' digest: one row each at sf0.001."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.digest import (
+        DEDUP_RECERT_OPS,
+        dedup_recert_digest,
+    )
+
+    out = dedup_recert_digest("/root/testdata/sf0.001")
+    assert sorted(out["op"]) == sorted(DEDUP_RECERT_OPS)
+    assert (out["n_rows"] > 0).all()
+    assert str(out["digest"].dtype) == "int64"
+
+
 def test_gate_window_ordering_contract():
     """The driver records only the first 50 queries() entries: the window
     must hold the digest plus only never-r04-recorded entries (the two
@@ -1574,6 +1587,7 @@ def test_gate_window_ordering_contract():
 
     window = list(entry_mod.queries())[:50]
     assert "r5_ext_digest" in window
+    assert "dedup_recert_digest" in window
     r04 = json.load(open("/root/repo/CORRECTNESS_r04.json"))
     recorded = {
         n for n, v in r04.items() if v.get("hash_match")
