@@ -609,26 +609,39 @@ _Q5_DATE_LO = "1996-01-01"
 _Q5_DATE_HI = "1997-01-01"
 
 
-def regional_revenue_q5(sf_dir: str) -> ray.data.Dataset:
+def regional_revenue_q5(
+    sf_dir: str, broadcast_limit: int = 2_000_000
+) -> ray.data.Dataset:
     """TPC-H Q5-shaped 6-table star join: revenue per nation for one region
     and one order-date year, counting only lineitems whose SUPPLIER sits in
     the same nation as the ordering CUSTOMER (the classic Q5 twist that
     makes this a real multi-way join, not a chain of lookups).
 
-    Scale plan (two grouped exchanges, dimensions broadcast):
+    Scale plan (dimensions broadcast, dual customer plan, one orderkey
+    exchange):
     - region ⋈ nation collapses to a ≤25-entry nationkey→name map; the
       region's supplier side to a suppkey→nationkey dict (both broadcast
       once via ``ray.put`` — supplier is SF·10k rows, bounded).
     - customer is row-filtered AT THE READ to the region's nationkeys
       (pyarrow ``isin`` pushdown), orders to the date window.
-    - Exchange 1 co-partitions orders+customer on ``custkey %
-      JOIN_BUCKETS`` → (orderkey, customer_nation).
+    - Customer attach — distributed-count-proven dual plan (the
+      big_order_customers idiom): the region customer count is computed
+      first (one pruned 2-column scan); under ``broadcast_limit`` the
+      (custkey, nationkey) pairs ship once via ``ray.put`` (sorted arrays
+      + searchsorted) and the orders scan attaches the customer nation
+      per batch — zero exchange.  Above the limit, exchange 1 bucket
+      co-partitions orders+customer on ``custkey % JOIN_BUCKETS``
+      (forced in tests; plans pinned identical).
     - lineitem maps supplier→nation per batch (region misses dropped
       immediately) and per-batch combines to (orderkey, s_nation,
       partial_rev, partial_n).
     - Exchange 2 co-partitions on ``orderkey % JOIN_BUCKETS``, joins, keeps
       rows with customer_nation == supplier_nation, folds per-nation
-      partials; the final groupby is ≤25 rows.
+      partials inside each bucket — ≤ |region nations| rows per block.
+    - The final fold is BOUNDED (≤ 25 nations × buckets partial rows), so
+      it is a single ``repartition(1)`` merge + in-block groupby, not a
+      sorted aggregate exchange (a 192-partition groupby over ~150 rows
+      measured 1.9 s of pure task overhead).
 
     Output: (n_name, n_items, revenue) — revenue rounded to cents.
     """
@@ -636,7 +649,6 @@ def regional_revenue_q5(sf_dir: str) -> ray.data.Dataset:
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
 
     region = pq.read_table(f"{sf_dir}/region.parquet")
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
@@ -675,46 +687,89 @@ def regional_revenue_q5(sf_dir: str) -> ray.data.Dataset:
         ),
     )
 
-    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "key": df["c_custkey"].astype("int64"),
-                "bucket": (df["c_custkey"] % JOIN_BUCKETS).astype("int64"),
-                "side": "c",
-                "val": df["c_nationkey"].astype("int64"),
-            }
+    n_cust = cust.count()  # distributed scalar — proves the broadcast bound
+    if n_cust == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "n_name": pd.Series([], dtype="object"),
+                    "n_items": pd.Series([], dtype="int64"),
+                    "revenue": pd.Series([], dtype="float64"),
+                }
+            )
+        )
+    if n_cust <= broadcast_limit:
+        # ---- Plan A: broadcast the (custkey → nationkey) pairs once ----
+        cdf = cust.to_pandas()  # bound proven ≤ broadcast_limit rows
+        ckeys = cdf["c_custkey"].to_numpy(dtype=np.int64)
+        cnats = cdf["c_nationkey"].to_numpy(dtype=np.int64)
+        corder = np.argsort(ckeys)
+        c_ref = ray.put((ckeys[corder], cnats[corder]))
+
+        def attach_cust_nat(df: pd.DataFrame) -> pd.DataFrame:
+            keys, nats = ray.get(c_ref)
+            v = df["o_custkey"].to_numpy(dtype=np.int64)
+            if len(keys) == 0:
+                hit = np.zeros(len(v), dtype=bool)
+                pos = hit.astype(np.int64)
+            else:
+                pos = np.searchsorted(keys, v)
+                hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == v)
+            okey = df["o_orderkey"].to_numpy(dtype=np.int64)[hit]
+            return pd.DataFrame(
+                {
+                    "key": okey,
+                    "bucket": okey % JOIN_BUCKETS,
+                    "side": "o",
+                    "nat": nats[pos[hit]] if len(keys) else np.zeros(0, dtype=np.int64),
+                    "rev": np.zeros(len(okey), dtype=np.float64),
+                    "n": np.zeros(len(okey), dtype=np.int64),
+                }
+            )
+
+        orders_nat = orders.map_batches(attach_cust_nat, batch_format="pandas")
+    else:
+        # ---- Plan B: bucket co-partitioned exchange (forced in tests) ----
+        def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["c_custkey"].astype("int64"),
+                    "bucket": (df["c_custkey"] % JOIN_BUCKETS).astype("int64"),
+                    "side": "c",
+                    "val": df["c_nationkey"].astype("int64"),
+                }
+            )
+
+        def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["o_custkey"].astype("int64"),
+                    "bucket": (df["o_custkey"] % JOIN_BUCKETS).astype("int64"),
+                    "side": "o",
+                    "val": df["o_orderkey"].astype("int64"),
+                }
+            )
+
+        stage1 = cust.map_batches(tag_cust, batch_format="pandas").union(
+            orders.map_batches(tag_orders, batch_format="pandas")
         )
 
-    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "key": df["o_custkey"].astype("int64"),
-                "bucket": (df["o_custkey"] % JOIN_BUCKETS).astype("int64"),
-                "side": "o",
-                "val": df["o_orderkey"].astype("int64"),
-            }
-        )
+        def join_cust(df: pd.DataFrame) -> pd.DataFrame:
+            c = df[df["side"] == "c"][["key", "val"]].rename(columns={"val": "c_nat"})
+            o = df[df["side"] == "o"][["key", "val"]].rename(columns={"val": "okey"})
+            j = o.merge(c, on="key", how="inner")
+            return pd.DataFrame(
+                {
+                    "key": j["okey"].to_numpy(dtype=np.int64),
+                    "bucket": (j["okey"] % JOIN_BUCKETS).to_numpy(dtype=np.int64),
+                    "side": "o",
+                    "nat": j["c_nat"].to_numpy(dtype=np.int64),
+                    "rev": np.zeros(len(j), dtype=np.float64),
+                    "n": np.zeros(len(j), dtype=np.int64),
+                }
+            )
 
-    stage1 = cust.map_batches(tag_cust, batch_format="pandas").union(
-        orders.map_batches(tag_orders, batch_format="pandas")
-    )
-
-    def join_cust(df: pd.DataFrame) -> pd.DataFrame:
-        c = df[df["side"] == "c"][["key", "val"]].rename(columns={"val": "c_nat"})
-        o = df[df["side"] == "o"][["key", "val"]].rename(columns={"val": "okey"})
-        j = o.merge(c, on="key", how="inner")
-        return pd.DataFrame(
-            {
-                "key": j["okey"].to_numpy(dtype=np.int64),
-                "bucket": (j["okey"] % JOIN_BUCKETS).to_numpy(dtype=np.int64),
-                "side": "o",
-                "nat": j["c_nat"].to_numpy(dtype=np.int64),
-                "rev": np.zeros(len(j), dtype=np.float64),
-                "n": np.zeros(len(j), dtype=np.int64),
-            }
-        )
-
-    orders_nat = grouped_block_map(stage1, ["bucket"], join_cust)
+        orders_nat = grouped_block_map(stage1, ["bucket"], join_cust)
 
     lineitem = read_table(
         sf_dir, "lineitem",
@@ -779,20 +834,25 @@ def regional_revenue_q5(sf_dir: str) -> ray.data.Dataset:
         )
 
     partials = grouped_block_map(stage2, ["bucket"], join_line)
-    agg = partials.groupby("nationkey").aggregate(
-        Sum("p_rev", alias_name="rev_raw"), Sum("p_n", alias_name="n_raw")
-    )
 
+    # bounded fold: ≤ |region nations| (≤ 25) partial rows per bucket block,
+    # so one repartition(1) merge + in-block groupby replaces a sorted
+    # aggregate exchange whose per-partition task overhead dwarfs the data
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("nationkey", as_index=False, sort=True).agg(
+            rev_raw=("p_rev", "sum"), n_raw=("p_n", "sum")
+        )
         return pd.DataFrame(
             {
-                "n_name": df["nationkey"].map(nat_names),
-                "n_items": df["n_raw"].astype("int64"),
-                "revenue": df["rev_raw"].round(2),
+                "n_name": g["nationkey"].map(nat_names),
+                "n_items": g["n_raw"].astype("int64"),
+                "revenue": g["rev_raw"].round(2),
             }
         )
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
 
 
 def sql_regional_revenue_q5() -> str:

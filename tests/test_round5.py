@@ -619,6 +619,31 @@ def test_regional_revenue_q5_matches_duckdb(ray_session):
     assert np.allclose(got["revenue"], want["revenue"], atol=0)
 
 
+def test_regional_revenue_q5_plans_identical(ray_session):
+    # Plan A (broadcast customer pairs, default) vs Plan B (bucket
+    # co-partitioned exchange, forced via broadcast_limit=0) must agree
+    # bit-for-bit — the big_order_customers dual-plan idiom
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.joins import (
+        regional_revenue_q5,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        regional_revenue_q5(sf)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    b = (
+        regional_revenue_q5(sf, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    assert a.equals(b)
+
+
 def test_big_order_customers_plans_identical_and_match_duckdb(ray_session):
     import duckdb
 
