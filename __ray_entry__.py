@@ -300,6 +300,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_sketch": lambda sf: analytics.approx_quantiles(
             sf, sketch=True
         ),
+        # round-5 session-4 additions (past the window; all are
+        # ``r5_ext_digest`` members, so each earns a driver-recorded
+        # hash-match row through the in-window digest entry)
+        "nation_year_cube": relational.nation_year_cube,
+        "user_mode_type": relational.user_mode_type,
+        "type_value_median": relational.type_value_median,
+        "events_ntile": relational.events_ntile,
+        "part_skyline": relational.part_skyline,
+        "url_typo_pairs": web_ops.url_typo_pairs,
+        "page_link_audit": web_ops.page_link_audit,
     }
 
 
@@ -485,6 +495,13 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curate": sampling.sql_corpus_curate(),
         "blocklist_filter": web_ops.sql_blocklist_filter(),
         "events_anomaly": relational.sql_events_anomaly(),
+        "nation_year_cube": relational.sql_nation_year_cube(),
+        "user_mode_type": relational.sql_user_mode_type(),
+        "type_value_median": relational.sql_type_value_median(),
+        "events_ntile": relational.sql_events_ntile(),
+        "part_skyline": relational.sql_part_skyline(),
+        "url_typo_pairs": web_ops.sql_url_typo_pairs(),
+        "page_link_audit": web_ops.sql_page_link_audit(),
         "events_asof_order": (
             "SELECT e.event_id, epoch_us(o.o_orderdate) AS order_ts_us "
             "FROM events e ASOF LEFT JOIN orders o "

@@ -125,6 +125,36 @@ DIGEST_OPS: dict[str, tuple] = {
         ["user_id", "session_id", "n_events", "session_start_us",
          "session_end_us"],
     ),
+    # round-5 session-4 additions (float `revenue` excluded from the cube
+    # canon like the rollup member; the keys it selects still bind)
+    "nation_year_cube": (
+        relational.nation_year_cube,
+        ["n_name", "o_year", "n_orders"],
+    ),
+    "user_mode_type": (
+        relational.user_mode_type,
+        ["user_id", "mode_type", "n_events"],
+    ),
+    "type_value_median": (
+        relational.type_value_median,
+        ["event_type", "n_events", "med_lo_milli", "med_hi_milli"],
+    ),
+    "events_ntile": (
+        relational.events_ntile,
+        ["event_id", "v_milli", "tile"],
+    ),
+    "part_skyline": (
+        relational.part_skyline,
+        ["p_size", "min_price_cents", "best_partkey"],
+    ),
+    "url_typo_pairs": (
+        web_ops.url_typo_pairs,
+        ["url_a", "url_b"],
+    ),
+    "page_link_audit": (
+        web_ops.page_link_audit,
+        ["host", "n_pages", "n_orphans", "n_dangling"],
+    ),
 }
 
 # The four ops whose candidate generation changed AFTER their green

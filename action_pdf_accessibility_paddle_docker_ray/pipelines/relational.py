@@ -389,23 +389,12 @@ def quality_filter(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def nation_year_rollup(sf_dir: str) -> pd.DataFrame:
-    """Revenue by (customer nation, order year) with ROLLUP subtotals —
-    the multi-level aggregate shape (fine level + per-nation totals +
-    grand total) computed from ONE corpus exchange.
-
-    Scale plan: customer's custkey→nationkey map and nation's ≤25-entry
-    name map broadcast once; orders is the only corpus-sized scan, and
-    each batch combines to (nationkey, year, partial_n, partial_rev)
-    before the one grouped exchange.  The two coarser ROLLUP levels are
-    re-aggregated from the FINE-LEVEL RESULT (≤ 25·n_years rows —
-    driver-side by construction), never from a second corpus pass.
-
-    Output: (n_name, o_year, n_orders, revenue); subtotal rows carry
-    n_name='ALL' / o_year=-1, mirroring the SQL oracle's COALESCE over
-    GROUP BY ROLLUP.
-    """
-    ensure_picklable()
+def _nation_year_fine(sf_dir: str) -> tuple[pd.DataFrame, dict]:
+    """Shared fine-level scan for the ROLLUP/CUBE aggregates: one
+    corpus-sized pass over orders with per-batch (nationkey, year)
+    combiner partials into one grouped exchange; the fine-level result is
+    ≤ 25·n_years rows by construction.  Returns (fine_df with columns
+    natkey/o_year/n_raw/rev_raw, nationkey→name dict)."""
     customer = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
@@ -444,6 +433,28 @@ def nation_year_rollup(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("p_n", alias_name="n_raw"), Sum("p_rev", alias_name="rev_raw"))
         .to_pandas()  # ≤ 25·n_years rows by construction
     )
+    return fine, nat_names
+
+
+def nation_year_rollup(sf_dir: str) -> pd.DataFrame:
+    """Revenue by (customer nation, order year) with ROLLUP subtotals —
+    the multi-level aggregate shape (fine level + per-nation totals +
+    grand total) computed from ONE corpus exchange.
+
+    Scale plan: customer's custkey→nationkey map and nation's ≤25-entry
+    name map broadcast once; orders is the only corpus-sized scan, and
+    each batch combines to (nationkey, year, partial_n, partial_rev)
+    before the one grouped exchange (``_nation_year_fine``).  The two
+    coarser ROLLUP levels are re-aggregated from the FINE-LEVEL RESULT
+    (≤ 25·n_years rows — driver-side by construction), never from a
+    second corpus pass.
+
+    Output: (n_name, o_year, n_orders, revenue); subtotal rows carry
+    n_name='ALL' / o_year=-1, mirroring the SQL oracle's COALESCE over
+    GROUP BY ROLLUP.
+    """
+    ensure_picklable()
+    fine, nat_names = _nation_year_fine(sf_dir)
 
     if len(fine) == 0:
         # SQL ROLLUP over zero rows emits zero rows (no grand-total row)
@@ -1089,4 +1100,471 @@ def sql_events_anomaly() -> str:
         "> 9 * (m.n * m.s2 - m.s1 * m.s1) THEN 1 ELSE 0 END AS BIGINT) "
         "AS is_outlier "
         "FROM v JOIN m ON m.event_type = v.event_type"
+    )
+
+
+# --- round-5 session-4 additions --------------------------------------------
+
+
+def nation_year_cube(sf_dir: str) -> pd.DataFrame:
+    """Revenue by (customer nation, order year) with CUBE subtotals — the
+    full grouping-set lattice (fine level + per-nation totals + per-year
+    totals + grand total) computed from ONE corpus exchange.
+
+    Scale plan: identical to ``nation_year_rollup`` (shared
+    ``_nation_year_fine`` scan — broadcast dimension maps, per-batch
+    combiner partials, one grouped exchange); ALL THREE coarser CUBE
+    levels are re-aggregated from the ≤ 25·n_years-row fine level on the
+    driver, never from extra corpus passes.  This is how a production
+    engine computes any grouping-set lattice: one exchange at the finest
+    requested level, then lattice re-aggregation over the result.
+
+    Output: (n_name, o_year, n_orders, revenue); subtotal rows carry
+    n_name='ALL' / o_year=-1, mirroring the oracle's COALESCE over
+    GROUP BY CUBE.
+    """
+    ensure_picklable()
+    fine, nat_names = _nation_year_fine(sf_dir)
+
+    if len(fine) == 0:
+        # SQL CUBE over zero rows emits zero rows (no subtotal rows)
+        return pd.DataFrame(
+            {
+                "n_name": pd.Series([], dtype="object"),
+                "o_year": pd.Series([], dtype="int64"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "revenue": pd.Series([], dtype="float64"),
+            }
+        )
+
+    nat_level = fine.groupby("natkey", as_index=False).agg(
+        n_raw=("n_raw", "sum"), rev_raw=("rev_raw", "sum")
+    )
+    nat_level["o_year"] = -1
+    year_level = fine.groupby("o_year", as_index=False).agg(
+        n_raw=("n_raw", "sum"), rev_raw=("rev_raw", "sum")
+    )
+    year_level["natkey"] = -1
+    total = pd.DataFrame(
+        {
+            "natkey": [-1],
+            "o_year": [-1],
+            "n_raw": [fine["n_raw"].sum()],
+            "rev_raw": [fine["rev_raw"].sum()],
+        }
+    )
+    out = pd.concat([fine, nat_level, year_level, total], ignore_index=True)
+    return pd.DataFrame(
+        {
+            "n_name": out["natkey"].map(lambda k: nat_names.get(k, "ALL")),
+            "o_year": out["o_year"].astype("int64"),
+            "n_orders": out["n_raw"].astype("int64"),
+            "revenue": out["rev_raw"].round(2),
+        }
+    )
+
+
+def sql_nation_year_cube() -> str:
+    return (
+        "SELECT COALESCE(n.n_name, 'ALL') AS n_name, "
+        "COALESCE(CAST(year(o.o_orderdate) AS BIGINT), -1) AS o_year, "
+        "COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS revenue "
+        "FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+        "GROUP BY CUBE (n.n_name, CAST(year(o.o_orderdate) AS BIGINT))"
+    )
+
+
+def user_mode_type(sf_dir: str) -> ray.data.Dataset:
+    """Per-user MODE of event_type (most frequent value, ties broken by
+    lexicographically smallest type) — the grouped-mode aggregate SQL
+    writes as a ROW_NUMBER-over-count window.
+
+    Scale plan: a per-batch (user_id, event_type) count combiner collapses
+    each block to at most users×types rows before the ONE grouped
+    exchange keyed on (user_id, event_type); the argmax fold runs inside
+    blocks after a sort on exactly [user_id] (colocation invariant,
+    ``util.py``) — per-user candidate sets are bounded by the type
+    cardinality, so no key can go hot.  For an UNBOUNDED value domain
+    (mode of a free-text column) the same plan holds but the candidate
+    set per key is no longer bounded; production caps it with a count-min
+    candidate screen first (``countmin_tokens`` is the building block).
+
+    Output: (user_id, mode_type, n_events) — n_events is the mode's count.
+    """
+    import numpy as np
+
+    ensure_picklable()
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "event_type": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        g = (
+            df.groupby(["user_id", "event_type"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["user_id"] = g["user_id"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def argmax_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "mode_type": pd.Series([], dtype="object"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        # vectorized per-user argmax: order rows (count desc, type asc)
+        # then take each user's first row — zero per-group dispatch
+        df = df.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        first = df[~df["user_id"].duplicated()]
+        return pd.DataFrame(
+            {
+                "user_id": first["user_id"].astype("int64").to_numpy(),
+                "mode_type": first["event_type"].to_numpy(),
+                "n_events": first["n"].astype("int64").to_numpy(),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = (
+        ds.map_batches(count_partial, batch_format="pandas")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    # sort by EXACTLY the fold key (colocation invariant, util.py)
+    return counts.sort(["user_id"]).map_batches(
+        argmax_block, batch_format="pandas", batch_size=None
+    )
+
+
+def sql_user_mode_type() -> str:
+    return (
+        "WITH c AS (SELECT user_id, event_type, COUNT(*) AS n "
+        "FROM events GROUP BY user_id, event_type), "
+        "r AS (SELECT user_id, event_type, n, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id ORDER BY n DESC, event_type) AS rn FROM c) "
+        "SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n_events "
+        "FROM r WHERE rn = 1"
+    )
+
+
+def type_value_median(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-group median of event values — emitted as the two middle
+    ORDER STATISTICS in integer milli-units (med_lo = value at 1-based
+    rank ⌊(n+1)/2⌋, med_hi at ⌈(n+1)/2⌉; equal when n is odd) so the
+    result is bit-identical cross-engine with no float averaging.
+
+    Scale plan: the corpus collapses to (event_type, v_milli) VALUE
+    COUNTS via a per-batch combiner before the one grouped exchange —
+    the exchange is bounded by distinct (type, value) pairs, the same
+    family as ``token_histogram``, never by row count.  The per-type fold
+    (sorted cumulative counts → two rank probes) runs in-block after a
+    sort on exactly [event_type] (colocation invariant, ``util.py``);
+    a type's distinct-value set is the block ceiling, the standard
+    histogram-median trade (value-domain-sized, not row-sized).
+
+    Output: (event_type, n_events, med_lo_milli, med_hi_milli) — one row
+    per type, aggregate-sized, returned as pandas.
+    """
+    import numpy as np
+
+    ensure_picklable()
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "v_milli": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        v = np.floor(
+            df["value"].to_numpy(dtype="float64") * 1000.0 + 0.5
+        ).astype("int64")
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "v_milli": v})
+            .groupby(["event_type", "v_milli"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def median_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype="object"),
+                "n_events": pd.Series([], dtype="int64"),
+                "med_lo_milli": pd.Series([], dtype="int64"),
+                "med_hi_milli": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        rows = []
+        for t, g in df.groupby("event_type", sort=False):
+            g = g.sort_values("v_milli", kind="mergesort")
+            cum = g["n"].to_numpy("int64").cumsum()
+            n = int(cum[-1])
+            k_lo, k_hi = (n + 1) // 2, (n + 2) // 2  # 1-based middle ranks
+            v = g["v_milli"].to_numpy("int64")
+            lo = v[int(np.searchsorted(cum, k_lo))]
+            hi = v[int(np.searchsorted(cum, k_hi))]
+            rows.append((t, n, int(lo), int(hi)))
+        return pd.DataFrame(
+            rows, columns=["event_type", "n_events", "med_lo_milli", "med_hi_milli"]
+        )
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pandas")
+        .groupby(["event_type", "v_milli"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    # sort by EXACTLY the fold key (colocation invariant, util.py)
+    out = (
+        hist.sort(["event_type"])
+        .map_batches(median_block, batch_format="pandas", batch_size=None)
+        .to_pandas()  # one row per type by construction
+    )
+    return out.sort_values("event_type", ignore_index=True)
+
+
+def sql_type_value_median() -> str:
+    return (
+        "WITH v AS (SELECT event_type, "
+        "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli FROM events), "
+        "r AS (SELECT event_type, v_milli, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v_milli) AS rn, "
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM v) "
+        "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events, "
+        "CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN v_milli END) AS BIGINT) "
+        "AS med_lo_milli, "
+        "CAST(MAX(CASE WHEN rn = (n + 2) // 2 THEN v_milli END) AS BIGINT) "
+        "AS med_hi_milli "
+        "FROM r GROUP BY event_type"
+    )
+
+
+_NTILE_K = 10
+_NTILE_BUCKET_SHIFT = 13  # ~8192-milli ordered key-range buckets
+
+
+def events_ntile(sf_dir: str, *, k: int = _NTILE_K) -> ray.data.Dataset:
+    """Global NTILE(k) over the event-value order — the decile/quantile
+    bucketing SQL writes as ``NTILE(k) OVER (ORDER BY v, id)``, computed
+    WITHOUT a single-node sort: the counts-only distributed-rank shape
+    (``seeded_shuffle``'s pattern) over ordered key-range buckets.
+
+    Scale plan: rows are keyed into ordered buckets by the top bits of
+    v_milli (floor-shift, so negatives order correctly); the driver sees
+    only per-bucket COUNTS (≤ n_buckets × n_blocks tiny rows), broadcasts
+    cumulative offsets, and one grouped exchange on [bucket] gives every
+    row rank = bucket offset + in-bucket position; the tile is then pure
+    arithmetic on (rank, n, k) replicating SQL NTILE's first-(n mod k)-
+    tiles-get-one-extra rule.  Skewed value ranges make hot buckets —
+    production splits buckets from a first-pass histogram (the
+    ``key_skew_profile`` building block); here the shift is fixed and the
+    trade documented.
+
+    Output: (event_id, v_milli, tile), tile ∈ [1, k].
+    """
+    import numpy as np
+
+    ensure_picklable()
+
+    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "v_milli": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int64"),
+                }
+            )
+        v = np.floor(
+            df["value"].to_numpy(dtype="float64") * 1000.0 + 0.5
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64").to_numpy(),
+                "v_milli": v,
+                "bucket": v >> _NTILE_BUCKET_SHIFT,  # floor shift: negatives OK
+            }
+        )
+
+    keyed = (
+        read_table(sf_dir, "events", columns=["event_id", "value"])
+        .map_batches(key_rows, batch_format="pandas")
+        .materialize()  # consumed twice (counts + rank); 3-int rows only
+    )
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["bucket"].value_counts()
+        return pd.DataFrame(
+            {"bucket": c.index.astype("int64"), "n": c.to_numpy().astype("int64")}
+        )
+
+    parts = keyed.map_batches(bucket_counts, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return keyed.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "v_milli": pd.Series([], dtype="int64"),
+                    "tile": pd.Series([], dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+    totals = parts.groupby("bucket")["n"].sum().sort_index()
+    offsets = totals.cumsum().shift(fill_value=0)
+    n_total = int(totals.sum())
+    offsets_ref = ray.put(offsets.to_dict())
+
+    q, rem = divmod(n_total, k)
+    boundary = (q + 1) * rem  # first `rem` tiles take q+1 rows each
+
+    def tile_of(rank: "np.ndarray") -> "np.ndarray":
+        # SQL NTILE: tiles 1..rem have q+1 rows, tiles rem+1..k have q
+        if q == 0:
+            return rank + 1  # n < k: one row per tile
+        big = rank < boundary
+        return np.where(
+            big, rank // (q + 1) + 1, rem + (rank - boundary) // q + 1
+        ).astype("int64")
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(["v_milli", "event_id"], kind="mergesort")
+        rank = np.arange(off, off + len(g), dtype="int64")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "v_milli": g["v_milli"].to_numpy(),
+                "tile": tile_of(rank),
+            }
+        )
+
+    return grouped_block_map(keyed, ["bucket"], rank_bucket)
+
+
+def sql_events_ntile(k: int = _NTILE_K) -> str:
+    return (
+        "WITH v AS (SELECT event_id, "
+        "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli FROM events) "
+        "SELECT event_id, v_milli, "
+        f"CAST(NTILE({k}) OVER (ORDER BY v_milli, event_id) AS BIGINT) AS tile "
+        "FROM v"
+    )
+
+
+def part_skyline(sf_dir: str) -> pd.DataFrame:
+    """2-D Pareto frontier (skyline) over parts: the set of (size, price)
+    points not dominated by any other part (dominated = some part has
+    size ≥ AND price ≤ with at least one strict) — the multi-objective
+    shortlist query, with a deterministic representative part per point.
+
+    Scale plan: skylines are MERGEABLE with a bounded partial — for each
+    distinct size only the cheapest part can survive, so a per-batch
+    combiner collapses each block to ≤ n_distinct_sizes champion rows
+    (min price per size, min partkey at that price); the driver folds the
+    ≤ sizes×blocks partials and computes the frontier with one
+    sorted-scan (size desc, running strict-min of price).  No corpus
+    exchange at all — the same counts-only-driver-traffic shape as
+    ``seeded_shuffle``.  Prices fold in exact integer cents.
+
+    Output: (p_size, min_price_cents, best_partkey), frontier rows only.
+    """
+    import numpy as np
+
+    ensure_picklable()
+
+    def champion_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "p_size": pd.Series([], dtype="int64"),
+                    "pc": pd.Series([], dtype="int64"),
+                    "p_partkey": pd.Series([], dtype="int64"),
+                }
+            )
+        pc = np.floor(
+            df["p_retailprice"].to_numpy(dtype="float64") * 100.0 + 0.5
+        ).astype("int64")
+        d = pd.DataFrame(
+            {
+                "p_size": df["p_size"].astype("int64").to_numpy(),
+                "pc": pc,
+                "p_partkey": df["p_partkey"].astype("int64").to_numpy(),
+            }
+        ).sort_values(["p_size", "pc", "p_partkey"], kind="mergesort")
+        return d[~d["p_size"].duplicated()]
+
+    parts = (
+        read_table(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+        .map_batches(champion_partial, batch_format="pandas")
+        .to_pandas()  # ≤ n_sizes × n_blocks champion rows by construction
+    )
+    empty = pd.DataFrame(
+        {
+            "p_size": pd.Series([], dtype="int64"),
+            "min_price_cents": pd.Series([], dtype="int64"),
+            "best_partkey": pd.Series([], dtype="int64"),
+        }
+    )
+    if len(parts) == 0:
+        return empty
+    champ = parts.sort_values(
+        ["p_size", "pc", "p_partkey"], kind="mergesort"
+    ).drop_duplicates("p_size")
+    # frontier: walk sizes DESC keeping rows whose price strictly improves
+    champ = champ.sort_values("p_size", ascending=False, kind="mergesort")
+    prices = champ["pc"].to_numpy("int64")
+    keep = np.ones(len(champ), dtype=bool)
+    best = None
+    for i, p in enumerate(prices):
+        if best is not None and p >= best:
+            keep[i] = False
+        else:
+            best = int(p)
+    sky = champ[keep].sort_values("p_size", ignore_index=True)
+    return pd.DataFrame(
+        {
+            "p_size": sky["p_size"].astype("int64"),
+            "min_price_cents": sky["pc"].astype("int64"),
+            "best_partkey": sky["p_partkey"].astype("int64"),
+        }
+    )
+
+
+def sql_part_skyline() -> str:
+    return (
+        "WITH p AS (SELECT CAST(p_size AS BIGINT) AS p_size, "
+        "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS pc, "
+        "p_partkey FROM part), "
+        "m AS (SELECT p_size, MIN(pc) AS min_price_cents FROM p GROUP BY p_size), "
+        "b AS (SELECT m.p_size, m.min_price_cents, MIN(p.p_partkey) AS best_partkey "
+        "FROM m JOIN p ON p.p_size = m.p_size AND p.pc = m.min_price_cents "
+        "GROUP BY m.p_size, m.min_price_cents) "
+        "SELECT p_size, min_price_cents, best_partkey FROM b a "
+        "WHERE NOT EXISTS (SELECT 1 FROM b x WHERE x.p_size >= a.p_size "
+        "AND x.min_price_cents <= a.min_price_cents "
+        "AND (x.p_size > a.p_size OR x.min_price_cents < a.min_price_cents))"
     )

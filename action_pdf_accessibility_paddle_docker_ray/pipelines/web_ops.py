@@ -1848,3 +1848,270 @@ def sql_blocklist_filter() -> str:
         f"CAST(CASE WHEN {hit_sum} = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep "
         "FROM documents"
     )
+
+
+# --- round-5 session-4 additions --------------------------------------------
+
+_SLOT_RE = re.compile(r"/d/([0-9]+)$")
+
+
+def _page_url_universe(sf_dir: str) -> ray.data.Dataset:
+    """Distinct page URLs of the synthetic crawl: each document lives at
+    ``https://{source}.example.com/d/{doc_id % 97}`` (the same address
+    space ``_synth_links`` targets).  Per-batch distinct collapses each
+    block before the one dedup exchange keyed on the url."""
+    from .util import grouped_block_dedup
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"url": pd.Series([], dtype="object")})
+        slots = (df["doc_id"].to_numpy("int64") % 97).astype(str)
+        urls = (
+            "https://" + df["source"].astype(str) + ".example.com/d/"
+            + pd.Series(slots, index=df.index)
+        )
+        return pd.DataFrame({"url": urls}).drop_duplicates("url")
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return grouped_block_dedup(ds.map_batches(partial, batch_format="pandas"), ["url"])
+
+
+def _ed_le_1(s: str, t: str) -> bool:
+    """Exact edit-distance ≤ 1 check (strings known distinct)."""
+    ls, lt = len(s), len(t)
+    if ls == lt:
+        return sum(a != b for a, b in zip(s, t)) <= 1
+    if ls < lt:
+        s, t, ls, lt = t, s, lt, ls
+    if ls - lt != 1:
+        return False
+    i = 0
+    while i < lt and s[i] == t[i]:
+        i += 1
+    return s[i + 1:] == t[i:]
+
+
+def url_typo_pairs(sf_dir: str) -> ray.data.Dataset:
+    """All pairs of distinct page URLs within edit distance 1 — the
+    typo-/cybersquat-candidate join a crawl-hygiene pipeline runs, done
+    with DELETION-NEIGHBORHOOD banding (the SymSpell trick: two strings
+    with ed ≤ 1 always share a member of {s} ∪ {s minus one char}) so the
+    exact quadratic verify only ever runs inside shared-variant buckets,
+    never across the universe.
+
+    Scale plan: the universe is the DISTINCT url set (dedup exchange,
+    ``_page_url_universe``); each url fans out to len(url)+1 variant keys
+    (universe-sized × L emission, post-dedup — never corpus-sized); one
+    grouped exchange on [variant] with singleton pre-drop yields candidate
+    buckets; candidate pairs dedup with one (a, b) exchange and the exact
+    ed ≤ 1 verify runs only on that output-sized set.  A pathologically
+    hot variant (mirror farms one char apart) makes a big bucket — that
+    bucket's pairs are true candidate output, the intrinsic cost of the
+    all-pairs-within-ed-1 semantics (same honesty note as the dedup_ops
+    verify slabs).
+
+    Output: (url_a, url_b) with url_a < url_b, exact levenshtein ≤ 1.
+    """
+    from .util import grouped_block_dedup, grouped_block_map
+
+    ensure_picklable()
+    urls = _page_url_universe(sf_dir)
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        # universe-sized × (L+1) emission over the DISTINCT url set
+        out_v, out_u = [], []
+        for u in df["url"]:
+            out_v.append(u)
+            out_u.append(u)
+            for i in range(len(u)):
+                out_v.append(u[:i] + u[i + 1:])
+                out_u.append(u)
+        return pd.DataFrame({"variant": out_v, "url": out_u})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        us = sorted(set(g["url"]))
+        if len(us) < 2:
+            return pd.DataFrame(
+                {"url_a": pd.Series([], dtype="object"),
+                 "url_b": pd.Series([], dtype="object")}
+            )
+        pairs = [(a, b) for i, a in enumerate(us) for b in us[i + 1:]]
+        return pd.DataFrame(pairs, columns=["url_a", "url_b"])
+
+    cands = grouped_block_map(
+        urls.map_batches(variants, batch_format="pandas"),
+        ["variant"],
+        bucket_pairs,
+        drop_singletons=True,
+    )
+    cands = grouped_block_dedup(cands, ["url_a", "url_b"])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"url_a": pd.Series([], dtype="object"),
+                 "url_b": pd.Series([], dtype="object")}
+            )
+        keep = [
+            _ed_le_1(a, b) for a, b in zip(df["url_a"], df["url_b"])
+        ]
+        return df[pd.Series(keep, index=df.index)].reset_index(drop=True)
+
+    return cands.map_batches(verify, batch_format="pandas")
+
+
+def sql_url_typo_pairs() -> str:
+    return (
+        "WITH u AS (SELECT DISTINCT 'https://' || source || '.example.com/d/' "
+        "|| CAST(doc_id % 97 AS VARCHAR) AS url FROM documents) "
+        "SELECT a.url AS url_a, b.url AS url_b FROM u a JOIN u b "
+        "ON a.url < b.url AND abs(length(a.url) - length(b.url)) <= 1 "
+        "AND levenshtein(a.url, b.url) <= 1"
+    )
+
+
+def page_link_audit(sf_dir: str) -> ray.data.Dataset:
+    """Per-host link audit: how many distinct pages a host serves, how
+    many of them are ORPHANS (no inbound link anywhere in the crawl), and
+    how many DANGLING targets it receives (links to pages that don't
+    exist) — the anti-join pair every link-graph build runs before
+    PageRank, at page granularity.
+
+    Scale plan: both sides collapse to DISTINCT (host, page-slot) rows
+    inside each batch (pages from the doc scan, targets from the same
+    vectorized href extraction as ``link_graph``, page-references only —
+    ``/d/<slot>`` paths), then ONE grouped exchange on (host, slot) with
+    Max-flag aggregation merges the two tagged sides (the classic
+    full-outer-join-by-union shape, no broadcast needed); per-host counts
+    fold in-block after a sort on exactly [host] (colocation invariant,
+    ``util.py``) — a host's distinct-slot set is the block ceiling.
+
+    Output: (host, n_pages, n_orphans, n_dangling), one row per host that
+    serves or is linked at least once.
+    """
+    from ray.data.aggregate import Max
+
+    ensure_picklable()
+
+    def page_side(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"host": pd.Series([], dtype="object"),
+                 "slot": pd.Series([], dtype="int64"),
+                 "pg": pd.Series([], dtype="int64"),
+                 "tg": pd.Series([], dtype="int64")}
+            )
+        d = pd.DataFrame(
+            {
+                "host": (df["source"].astype(str) + ".example.com"),
+                "slot": (df["doc_id"].to_numpy("int64") % 97),
+            }
+        ).drop_duplicates()
+        d["pg"] = np.int64(1)
+        d["tg"] = np.int64(0)
+        return d
+
+    def target_side(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"host": pd.Series([], dtype="object"),
+             "slot": pd.Series([], dtype="int64"),
+             "pg": pd.Series([], dtype="int64"),
+             "tg": pd.Series([], dtype="int64")}
+        )
+        if len(df) == 0:
+            return empty
+        df = df.reset_index(drop=True)
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        links = pd.Series([_synth_links(int(i)) for i in ids])
+        html = _PAGE_HEAD + df["text"].astype(str) + _PAGE_MID + links + _PAGE_TAIL
+        m = html.str.extractall(_HREF_RE)
+        if len(m) == 0:
+            return empty
+        hrefs = m[0]
+        rows = m.index.get_level_values(0).to_numpy()
+        src = (df["source"] + ".example.com").to_numpy(dtype=object)[rows]
+        rel = hrefs.str.startswith("/").to_numpy()
+        host = hrefs.str.extract(_HOST_RE, expand=False).to_numpy(dtype=object)
+        slot = hrefs.str.extract(_SLOT_RE, expand=False)
+        ok = slot.notna().to_numpy()  # page references only (/d/<slot>)
+        d = pd.DataFrame(
+            {
+                "host": np.where(rel, src, host)[ok],
+                "slot": slot.to_numpy(dtype=object)[ok].astype("int64"),
+            }
+        ).drop_duplicates()
+        d["pg"] = np.int64(0)
+        d["tg"] = np.int64(1)
+        return d
+
+    pages = read_table(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+        page_side, batch_format="pandas"
+    )
+    targets = read_table(
+        sf_dir, "documents", columns=["doc_id", "source", "text"]
+    ).map_batches(target_side, batch_format="pandas")
+
+    merged = (
+        pages.union(targets)
+        .groupby(["host", "slot"])
+        .aggregate(Max("pg", alias_name="pg"), Max("tg", alias_name="tg"))
+    )
+
+    def host_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"host": pd.Series([], dtype="object"),
+                 "n_pages": pd.Series([], dtype="int64"),
+                 "n_orphans": pd.Series([], dtype="int64"),
+                 "n_dangling": pd.Series([], dtype="int64")}
+            )
+        pg = df["pg"].to_numpy("int64")
+        tg = df["tg"].to_numpy("int64")
+        g = pd.DataFrame(
+            {
+                "host": df["host"],
+                "n_pages": pg,
+                "n_orphans": ((pg == 1) & (tg == 0)).astype("int64"),
+                "n_dangling": ((tg == 1) & (pg == 0)).astype("int64"),
+            }
+        ).groupby("host", as_index=False, sort=False).sum()
+        for c in ("n_pages", "n_orphans", "n_dangling"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    # sort by EXACTLY the fold key (colocation invariant, util.py)
+    return merged.sort(["host"]).map_batches(
+        host_fold, batch_format="pandas", batch_size=None
+    )
+
+
+def sql_page_link_audit() -> str:
+    link_cases = " || ".join(
+        f"CASE WHEN doc_id % 3 >= {j} THEN "
+        f"'<p><a href=\"https://src' || CAST((doc_id + 1 + {j}) % {_N_SOURCES} AS VARCHAR) "
+        f"|| '.example.com/d/' || CAST(doc_id % 97 AS VARCHAR) || '\">l{j}</a></p>' "
+        "ELSE '' END"
+        for j in range(3)
+    )
+    return (
+        f"WITH l AS (SELECT doc_id, source, '{_PAGE_HEAD}' || text || "
+        f"'{_PAGE_MID}' || {link_cases} || '{_PAGE_TAIL}' AS html FROM documents), "
+        "h AS (SELECT source, unnest(regexp_extract_all(html, 'href=\"([^\"]*)\"', 1)) "
+        "AS href FROM l), "
+        "t AS (SELECT CASE WHEN starts_with(href, '/') THEN source || '.example.com' "
+        "ELSE regexp_extract(href, '^https?://([^/]+)', 1) END AS host, "
+        "TRY_CAST(regexp_extract(href, '/d/([0-9]+)$', 1) AS BIGINT) AS slot FROM h), "
+        "tt AS (SELECT DISTINCT host, slot FROM t WHERE slot IS NOT NULL), "
+        "pp AS (SELECT DISTINCT source || '.example.com' AS host, "
+        "doc_id % 97 AS slot FROM documents), "
+        "u AS (SELECT COALESCE(pp.host, tt.host) AS host, "
+        "CASE WHEN pp.host IS NOT NULL THEN 1 ELSE 0 END AS pg, "
+        "CASE WHEN tt.host IS NOT NULL THEN 1 ELSE 0 END AS tg "
+        "FROM pp FULL OUTER JOIN tt ON pp.host = tt.host AND pp.slot = tt.slot) "
+        "SELECT host, CAST(SUM(pg) AS BIGINT) AS n_pages, "
+        "CAST(SUM(CASE WHEN pg = 1 AND tg = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_orphans, "
+        "CAST(SUM(CASE WHEN tg = 1 AND pg = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dangling "
+        "FROM u GROUP BY host"
+    )

@@ -129,6 +129,13 @@ BENCH_QUERIES = [
     "corpus_curate",
     "blocklist_filter",
     "events_anomaly",
+    "nation_year_cube",
+    "user_mode_type",
+    "type_value_median",
+    "events_ntile",
+    "part_skyline",
+    "url_typo_pairs",
+    "page_link_audit",
 ]
 
 
