@@ -428,7 +428,8 @@ def _nation_year_fine(sf_dir: str) -> tuple[pd.DataFrame, dict]:
         sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
     )
     fine = (
-        orders.map_batches(partial, batch_format="pandas")
+        # block-sized batches: one vectorized combiner pass per block
+        orders.map_batches(partial, batch_format="pandas", batch_size=None)
         .groupby(["natkey", "o_year"])
         .aggregate(Sum("p_n", alias_name="n_raw"), Sum("p_rev", alias_name="rev_raw"))
         .to_pandas()  # ≤ 25·n_years rows by construction
@@ -1182,11 +1183,11 @@ def user_mode_type(sf_dir: str) -> ray.data.Dataset:
     writes as a ROW_NUMBER-over-count window.
 
     Scale plan: a per-batch (user_id, event_type) count combiner collapses
-    each block to at most users×types rows before the ONE grouped
-    exchange keyed on (user_id, event_type); the argmax fold runs inside
-    blocks after a sort on exactly [user_id] (colocation invariant,
-    ``util.py``) — per-user candidate sets are bounded by the type
-    cardinality, so no key can go hot.  For an UNBOUNDED value domain
+    each block to at most users×types rows before the ONE sort exchange
+    on exactly [user_id] (colocation invariant, ``util.py``); the
+    partial-merge AND the argmax both run vectorized inside the block —
+    per-user candidate sets are bounded by the type cardinality, so no
+    key can go hot.  For an UNBOUNDED value domain
     (mode of a free-text column) the same plan holds but the candidate
     set per key is no longer bounded; production caps it with a count-min
     candidate screen first (``countmin_tokens`` is the building block).
@@ -1197,23 +1198,24 @@ def user_mode_type(sf_dir: str) -> ray.data.Dataset:
 
     ensure_picklable()
 
-    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series([], dtype="int64"),
-                    "event_type": pd.Series([], dtype="object"),
-                    "n": pd.Series([], dtype="int64"),
-                }
-            )
+    def count_partial(df: pd.DataFrame):
+        # Arrow block out: Ray's sort-aggregate over pandas blocks with
+        # object-dtype keys measured ~8x slower than over Arrow (the
+        # token_histogram precedent)
+        import pyarrow as pa
+
         g = (
             df.groupby(["user_id", "event_type"], as_index=False, sort=False)
             .size()
             .rename(columns={"size": "n"})
         )
-        g["user_id"] = g["user_id"].astype("int64")
-        g["n"] = g["n"].astype("int64")
-        return g
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].astype("int64")),
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "n": pa.array(g["n"].astype("int64")),
+            }
+        )
 
     def argmax_block(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -1224,8 +1226,15 @@ def user_mode_type(sf_dir: str) -> ray.data.Dataset:
                     "n_events": pd.Series([], dtype="int64"),
                 }
             )
+        # merge the per-block partial counts (vectorized; every row of a
+        # user is in this block by the colocation invariant), then a
         # vectorized per-user argmax: order rows (count desc, type asc)
-        # then take each user's first row — zero per-group dispatch
+        # and take each user's first row — zero per-group dispatch
+        df = (
+            df.groupby(["user_id", "event_type"], as_index=False, sort=False)[
+                "n"
+            ].sum()
+        )
         df = df.sort_values(
             ["user_id", "n", "event_type"],
             ascending=[True, False, True],
@@ -1241,11 +1250,13 @@ def user_mode_type(sf_dir: str) -> ray.data.Dataset:
         )
 
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
-    counts = (
-        ds.map_batches(count_partial, batch_format="pandas")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    # block-sized batches: the combiner's cost is one vectorized groupby
+    # per BLOCK, not per 1024-row default batch (5x measured).  The
+    # partials go STRAIGHT into the key sort — Ray's groupby().aggregate()
+    # reduce step pays a per-key merge loop that measured ~1.5 s/task at
+    # 50k groups (the r4 many-group pathology); the in-block pandas sum
+    # after the sort does the same merge vectorized.
+    counts = ds.map_batches(count_partial, batch_format="pandas", batch_size=None)
     # sort by EXACTLY the fold key (colocation invariant, util.py)
     return counts.sort(["user_id"]).map_batches(
         argmax_block, batch_format="pandas", batch_size=None
@@ -1270,13 +1281,14 @@ def type_value_median(sf_dir: str) -> pd.DataFrame:
     result is bit-identical cross-engine with no float averaging.
 
     Scale plan: the corpus collapses to (event_type, v_milli) VALUE
-    COUNTS via a per-batch combiner before the one grouped exchange —
-    the exchange is bounded by distinct (type, value) pairs, the same
-    family as ``token_histogram``, never by row count.  The per-type fold
-    (sorted cumulative counts → two rank probes) runs in-block after a
-    sort on exactly [event_type] (colocation invariant, ``util.py``);
-    a type's distinct-value set is the block ceiling, the standard
-    histogram-median trade (value-domain-sized, not row-sized).
+    COUNTS via a per-batch combiner before the one sort exchange on
+    exactly [event_type] (colocation invariant, ``util.py``) — the
+    exchange is bounded by distinct (type, value) pairs per block, the
+    same family as ``token_histogram``, never by row count.  The
+    duplicate-key merge and the per-type fold (sorted cumulative counts
+    → two rank probes) run vectorized in-block; a type's distinct-value
+    set is the block ceiling, the standard histogram-median trade
+    (value-domain-sized, not row-sized).
 
     Output: (event_type, n_events, med_lo_milli, med_hi_milli) — one row
     per type, aggregate-sized, returned as pandas.
@@ -1285,15 +1297,12 @@ def type_value_median(sf_dir: str) -> pd.DataFrame:
 
     ensure_picklable()
 
-    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                {
-                    "event_type": pd.Series([], dtype="object"),
-                    "v_milli": pd.Series([], dtype="int64"),
-                    "n": pd.Series([], dtype="int64"),
-                }
-            )
+    def hist_partial(df: pd.DataFrame):
+        # Arrow block out: Ray's sort-aggregate over pandas blocks with
+        # object-dtype keys measured ~8x slower than over Arrow (the
+        # token_histogram precedent)
+        import pyarrow as pa
+
         v = np.floor(
             df["value"].to_numpy(dtype="float64") * 1000.0 + 0.5
         ).astype("int64")
@@ -1303,8 +1312,13 @@ def type_value_median(sf_dir: str) -> pd.DataFrame:
             .size()
             .rename(columns={"size": "n"})
         )
-        g["n"] = g["n"].astype("int64")
-        return g
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "v_milli": pa.array(g["v_milli"].astype("int64")),
+                "n": pa.array(g["n"].astype("int64")),
+            }
+        )
 
     def median_block(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -1317,6 +1331,15 @@ def type_value_median(sf_dir: str) -> pd.DataFrame:
         )
         if len(df) == 0:
             return empty
+        # merge duplicate (type, value) partials vectorized — every row
+        # of a type is in this block by the colocation invariant, so the
+        # in-block sum replaces a groupby().aggregate() exchange (whose
+        # reduce step pays ~1.5 s/task at 50k groups, the r4 pathology)
+        df = (
+            df.groupby(["event_type", "v_milli"], as_index=False, sort=False)[
+                "n"
+            ].sum()
+        )
         rows = []
         for t, g in df.groupby("event_type", sort=False):
             g = g.sort_values("v_milli", kind="mergesort")
@@ -1332,11 +1355,10 @@ def type_value_median(sf_dir: str) -> pd.DataFrame:
         )
 
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
-    hist = (
-        ds.map_batches(hist_partial, batch_format="pandas")
-        .groupby(["event_type", "v_milli"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    # block-sized batches (same rationale as user_mode_type); partials go
+    # straight into the key sort — the duplicate-key merge happens
+    # vectorized inside median_block
+    hist = ds.map_batches(hist_partial, batch_format="pandas", batch_size=None)
     # sort by EXACTLY the fold key (colocation invariant, util.py)
     out = (
         hist.sort(["event_type"])
@@ -1411,7 +1433,7 @@ def events_ntile(sf_dir: str, *, k: int = _NTILE_K) -> ray.data.Dataset:
 
     keyed = (
         read_table(sf_dir, "events", columns=["event_id", "value"])
-        .map_batches(key_rows, batch_format="pandas")
+        .map_batches(key_rows, batch_format="pandas", batch_size=None)
         .materialize()  # consumed twice (counts + rank); 3-int rows only
     )
 

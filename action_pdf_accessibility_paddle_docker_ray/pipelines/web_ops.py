@@ -2045,11 +2045,11 @@ def page_link_audit(sf_dir: str) -> ray.data.Dataset:
         return d
 
     pages = read_table(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
-        page_side, batch_format="pandas"
+        page_side, batch_format="pandas", batch_size=None
     )
     targets = read_table(
         sf_dir, "documents", columns=["doc_id", "source", "text"]
-    ).map_batches(target_side, batch_format="pandas")
+    ).map_batches(target_side, batch_format="pandas", batch_size=None)
 
     merged = (
         pages.union(targets)
