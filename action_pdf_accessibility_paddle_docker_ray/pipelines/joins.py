@@ -903,7 +903,7 @@ def big_order_customers(
     sum_qty) — one row per qualifying order.
     """
     ensure_picklable()
-    from ray.data.aggregate import Sum
+    from .util import grouped_block_sum
 
     lineitem = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
@@ -924,12 +924,20 @@ def big_order_customers(
         return df[df["qty"] > min_qty].reset_index(drop=True)
 
     # materialized ONCE: the post-HAVING survivors are output-sized, so the
-    # count and the (possible) driver collect don't re-run the lineitem scan
+    # count and the (possible) driver collect don't re-run the lineitem scan.
+    # The partial merge uses grouped_block_sum, not groupby().aggregate() —
+    # Ray's aggregate reduce pays a per-key merge loop (~1.5 s/task at 50k
+    # groups) and orderkey groups are corpus-scale; the quantity sum is
+    # reorder-exact (integral values in float64).
     qual = (
-        lineitem.map_batches(qty_partial, batch_format="pyarrow")
-        .groupby("key")
-        .aggregate(Sum("p_qty", alias_name="qty"))
-        .map_batches(having, batch_format="pandas")
+        grouped_block_sum(
+            lineitem.map_batches(
+                qty_partial, batch_format="pyarrow", batch_size=None
+            ),
+            ["key"],
+            {"p_qty": "qty"},
+        )
+        .map_batches(having, batch_format="pandas", batch_size=None)
         .materialize()
     )
 

@@ -102,3 +102,31 @@ def grouped_block_dedup(
         return df.drop_duplicates(keys, keep="first")
 
     return ds.sort(keys).map_batches(block, batch_format="pandas", batch_size=None)
+
+
+def grouped_block_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sums: dict[str, str],
+) -> ray.data.Dataset:
+    """Global grouped SUM with ZERO per-group dispatch — the fast
+    replacement for ``groupby(keys).aggregate(Sum(col))`` when groups are
+    many: Ray's aggregate REDUCE step pays a per-key merge loop that
+    measured ~1.5 s/task at 50k groups (r5 session 4, events value
+    histogram), while sort(keys) + one vectorized in-block pandas
+    groupby-sum does the identical merge in milliseconds.  The colocation
+    invariant (module docstring) guarantees every key's rows land in one
+    block, so the block-local sum IS the global sum.
+
+    ``sums`` maps input column → output column name.  Use only for
+    reorder-safe sums (ints, or floats whose partials are exact — the
+    caller owns that proof, same as with Ray's Sum)."""
+
+    cols = list(sums)
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        # pandas groupby on an empty frame still yields the right columns
+        g = df.groupby(keys, as_index=False, sort=False)[cols].sum()
+        return g.rename(columns=sums)
+
+    return ds.sort(keys).map_batches(block, batch_format="pandas", batch_size=None)
