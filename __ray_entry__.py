@@ -310,6 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": relational.part_skyline,
         "url_typo_pairs": web_ops.url_typo_pairs,
         "page_link_audit": web_ops.page_link_audit,
+        "dormant_customers": joins.dormant_customers,
+        "source_vocab_overlap": text_ops.source_vocab_overlap,
     }
 
 
@@ -502,6 +504,8 @@ def oracle_sql() -> dict[str, str]:
         "part_skyline": relational.sql_part_skyline(),
         "url_typo_pairs": web_ops.sql_url_typo_pairs(),
         "page_link_audit": web_ops.sql_page_link_audit(),
+        "dormant_customers": joins.sql_dormant_customers(),
+        "source_vocab_overlap": text_ops.sql_source_vocab_overlap(),
         "events_asof_order": (
             "SELECT e.event_id, epoch_us(o.o_orderdate) AS order_ts_us "
             "FROM events e ASOF LEFT JOIN orders o "

@@ -155,6 +155,14 @@ DIGEST_OPS: dict[str, tuple] = {
         web_ops.page_link_audit,
         ["host", "n_pages", "n_orphans", "n_dangling"],
     ),
+    "dormant_customers": (
+        joins.dormant_customers,
+        ["c_custkey", "c_name", "acctbal_cents"],
+    ),
+    "source_vocab_overlap": (
+        text_ops.source_vocab_overlap,
+        ["source_a", "source_b", "n_a", "n_b", "n_common", "jaccard_milli"],
+    ),
 }
 
 # The four ops whose candidate generation changed AFTER their green

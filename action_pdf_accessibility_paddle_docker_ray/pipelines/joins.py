@@ -1201,3 +1201,94 @@ def sql_min_price_supplier() -> str:
         "ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.mp "
         "GROUP BY m.l_partkey, m.mp"
     )
+
+
+def dormant_customers(
+    sf_dir: str, *, cutoff: str = "2000-01-01"
+) -> ray.data.Dataset:
+    """ANTI-JOIN — the join family's last missing member: customers with
+    NO order at or after ``cutoff`` (SQL ``NOT EXISTS`` with a date
+    predicate — the churn/dormancy screen), emitted as full customer
+    rows.  The left-outer op above aggregates its outer leg; this op
+    RETURNS it.
+
+    Scale plan: the order side is row-filtered AT THE READ (pyarrow
+    predicate pushdown — pre-cutoff row groups never leave storage) and
+    collapses to per-batch DISTINCT custkeys (id-width rows only — the
+    fact table's values never shuffle); both sides co-partition on
+    ``custkey % JOIN_BUCKETS`` in ONE tagged-union grouped exchange;
+    each bucket runs a vectorized ``isin`` anti-filter (every occurrence
+    of a key lands in its bucket, so bucket-local absence IS global
+    absence).  No broadcast, no driver materialization — the bucketed
+    hash-join topology with the probe side reduced to its key set.
+
+    Output: (c_custkey, c_name, acctbal_cents), one row per dormant
+    customer.
+    """
+    ensure_picklable()
+    import pyarrow.dataset as pads
+
+    cut = pd.Timestamp(cutoff)
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey"],
+        filter_expr=(pads.field("o_orderdate") >= cut.to_datetime64()),
+    )
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["c_custkey"].astype("int64"),
+                "bucket": (df["c_custkey"] % JOIN_BUCKETS).astype("int64"),
+                "side": "c",
+                "c_name": df["c_name"],
+                "acctbal_cents": np.floor(
+                    df["c_acctbal"].to_numpy(dtype="float64") * 100.0 + 0.5
+                ).astype("int64"),
+            }
+        )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        # batch-local combiner: one row per DISTINCT recent custkey
+        k = pd.unique(df["o_custkey"].to_numpy("int64"))
+        return pd.DataFrame(
+            {
+                "key": k,
+                "bucket": (k % JOIN_BUCKETS),
+                "side": "o",
+                "c_name": np.full(len(k), "", dtype=object),
+                "acctbal_cents": np.zeros(len(k), dtype=np.int64),
+            }
+        )
+
+    tagged = cust.map_batches(
+        tag_cust, batch_format="pandas", batch_size=None
+    ).union(
+        orders.map_batches(tag_orders, batch_format="pandas", batch_size=None)
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        has_recent = g.loc[g["side"] == "o", "key"]
+        c = g[g["side"] == "c"]
+        out = c[~c["key"].isin(has_recent)]
+        return pd.DataFrame(
+            {
+                "c_custkey": out["key"].to_numpy("int64"),
+                "c_name": out["c_name"].to_numpy(dtype=object),
+                "acctbal_cents": out["acctbal_cents"].to_numpy("int64"),
+            }
+        )
+
+    return grouped_block_map(tagged, ["bucket"], anti)
+
+
+def sql_dormant_customers(cutoff: str = "2000-01-01") -> str:
+    return (
+        "SELECT c_custkey, c_name, "
+        "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents "
+        "FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        f"AND o.o_orderdate >= TIMESTAMP '{cutoff}')"
+    )

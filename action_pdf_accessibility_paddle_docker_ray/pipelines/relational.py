@@ -999,9 +999,14 @@ def events_anomaly(sf_dir: str) -> ray.data.Dataset:
     combiner partials as ``source_length_stats`` (one type-cardinality
     exchange, 5 rows here); the tiny moment table broadcasts via ray.put
     and the flagging pass is a zero-exchange streaming scan.  Magnitude
-    bound: |n·v − s1| must stay < 3·10⁹ so its int64 square is exact —
-    holds to ~10⁷ events/type at |v| ≤ 100; asserted per batch, switch to
-    object-dtype Python ints past it (documented).
+    bound: the test is evaluated square-free as |n·v − s1| >
+    isqrt(9·(n·s2 − s1²)) with the per-type threshold an exact
+    arbitrary-precision isqrt (provably ⟺ the squared form), so the
+    int64 path only ever holds |n·v − s1| ≲ n·|v| — good to ~10¹³
+    events/type at |v| ≤ 10⁶ milli (the round-4 squared form asserted
+    out at sf0.1 magnitudes; this one runs it).  Remaining int64 ceiling
+    is the per-batch Σv² partial (~10⁷ rows/batch at |v| ≤ 10⁶ milli);
+    switch the partial to object-dtype past it (documented).
 
     Output: (event_id, event_type, v_milli, is_outlier)."""
     import numpy as np
@@ -1062,26 +1067,30 @@ def events_anomaly(sf_dir: str) -> ray.data.Dataset:
         v = v_milli_of(df)
         n = df["event_type"].map(lambda t: mm[t][0]).to_numpy("int64")
         s1 = df["event_type"].map(lambda t: mm[t][1]).to_numpy("int64")
-        # exact form without the n² division: compare n²·(v−μ)² > 9·n²·σ²
-        # i.e. (n·v − s1)² > 9·(n·s2 − s1²)
-        lhs_root = n * v - s1
-        assert (np.abs(lhs_root) < 3_000_000_000).all(), "int64 square bound"
-        lhs = lhs_root * lhs_root
-        # rhs per TYPE in arbitrary-precision Python ints (types are few),
-        # clamped into int64: rhs ≥ 2^63 can never be exceeded by an
-        # in-bound int64 lhs, so the clamp preserves the comparison
+        # exact form without the n² division: (n·v − s1)² > 9·(n·s2 − s1²)
+        # ⟺ |n·v − s1| > isqrt(9·(n·s2 − s1²))  (both sides non-negative
+        # ints: |x| > ⌊√r⌋ ⟺ |x| ≥ ⌊√r⌋+1 ⟺ x² ≥ (⌊√r⌋+1)² > r, and
+        # conversely |x| ≤ ⌊√r⌋ ⟹ x² ≤ r) — so the int64 path never
+        # squares: |n·v − s1| ≲ n·|v| stays in int64 to ~10¹³ events/type
+        # at |v| ≤ 10⁶ milli, and the per-TYPE threshold is an exact
+        # arbitrary-precision isqrt computed once (types are few), clamped
+        # into int64 (a clamped threshold ≥ 2^63 can never be exceeded by
+        # an in-range int64 lhs, so the clamp preserves the comparison)
+        import math
+
+        lhs = np.abs(n * v - s1)
         imax = np.iinfo(np.int64).max
-        rhs_by_type = {
-            t: min(9 * (tn * ts2 - ts1 * ts1), imax)
+        thr_by_type = {
+            t: min(math.isqrt(max(9 * (tn * ts2 - ts1 * ts1), 0)), imax)
             for t, (tn, ts1, ts2) in mm.items()
         }
-        rhs = df["event_type"].map(rhs_by_type).to_numpy("int64")
+        thr = df["event_type"].map(thr_by_type).to_numpy("int64")
         return pd.DataFrame(
             {
                 "event_id": df["event_id"].astype("int64"),
                 "event_type": df["event_type"],
                 "v_milli": v,
-                "is_outlier": (lhs > rhs).astype("int64"),
+                "is_outlier": (lhs > thr).astype("int64"),
             }
         )
 

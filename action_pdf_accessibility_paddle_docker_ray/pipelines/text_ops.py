@@ -2830,3 +2830,119 @@ def sql_pmi_collocations(min_count: int = _PMI_MIN_COUNT,
         f"WHERE c12.c12 >= {min_count} "
         f"ORDER BY pmi_micro DESC, c12.w1, c12.w2 LIMIT {k}"
     )
+
+
+# --- round-5 session-4: per-source vocabulary overlap -----------------------
+
+
+def source_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mixing
+    diagnostic (how lexically similar are two crawl feeds?) computed as a
+    SET-SIMILARITY MATRIX over grouped distinct token sets, in exact
+    integer milli-units.
+
+    Scale plan: the corpus collapses to DISTINCT (source, token) rows
+    (per-batch drop_duplicates, then one dedup exchange — bounded by
+    sources × vocab, never by token occurrences); set sizes fold from
+    per-block partials (≤ sources rows each); pair intersections come
+    from ONE further sort exchange on [token] with per-token source-pair
+    emission (≤ C(sources, 2) pairs per token) merged by
+    ``grouped_block_sum``.  Driver traffic is the final
+    C(sources, 2)-sized matrix only.  Same family as the LSH band→bucket
+    shape, with the band key = the token itself.
+
+    Output: (source_a, source_b, n_a, n_b, n_common, jaccard_milli) for
+    pairs with at least one shared token; jaccard_milli =
+    1000·|A∩B| // |A∪B|.
+    """
+    ensure_picklable()
+    from .util import grouped_block_sum
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(_TOKEN_RE)
+        d = pd.DataFrame(
+            {
+                "source": df["source"].repeat(toks.str.len()),
+                "token": toks.explode(),
+            }
+        ).dropna()
+        return d.drop_duplicates()
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    st = grouped_block_dedup(
+        ds.map_batches(distinct_partial, batch_format="pandas", batch_size=None),
+        ["source", "token"],
+    ).materialize()  # consumed twice (sizes + pairs); sources×vocab rows
+
+    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["source"].value_counts()
+        return pd.DataFrame(
+            {"source": c.index, "n": c.to_numpy().astype("int64")}
+        )
+
+    sizes = (
+        st.map_batches(size_partial, batch_format="pandas", batch_size=None)
+        .to_pandas()  # ≤ sources × blocks rows
+        .groupby("source")["n"].sum()
+    )
+
+    def pair_emit(g: pd.DataFrame) -> pd.DataFrame:
+        srcs = sorted(g["source"])
+        pairs = [
+            (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]
+        ]
+        out = pd.DataFrame(pairs, columns=["source_a", "source_b"])
+        out["c"] = pd.Series(1, index=out.index, dtype="int64")
+        return out
+
+    inter = (
+        grouped_block_sum(
+            grouped_block_map(st, ["token"], pair_emit, drop_singletons=True),
+            ["source_a", "source_b"],
+            {"c": "n_common"},
+        )
+        .to_pandas()  # ≤ C(sources, 2) rows by construction
+    )
+    if len(inter) == 0:
+        return pd.DataFrame(
+            {
+                "source_a": pd.Series([], dtype="object"),
+                "source_b": pd.Series([], dtype="object"),
+                "n_a": pd.Series([], dtype="int64"),
+                "n_b": pd.Series([], dtype="int64"),
+                "n_common": pd.Series([], dtype="int64"),
+                "jaccard_milli": pd.Series([], dtype="int64"),
+            }
+        )
+    n_a = inter["source_a"].map(sizes).astype("int64")
+    n_b = inter["source_b"].map(sizes).astype("int64")
+    common = inter["n_common"].astype("int64")
+    return pd.DataFrame(
+        {
+            "source_a": inter["source_a"],
+            "source_b": inter["source_b"],
+            "n_a": n_a,
+            "n_b": n_b,
+            "n_common": common,
+            "jaccard_milli": (1000 * common // (n_a + n_b - common)).astype(
+                "int64"
+            ),
+        }
+    ).sort_values(["source_a", "source_b"], ignore_index=True)
+
+
+def sql_source_vocab_overlap() -> str:
+    return (
+        r"WITH st AS (SELECT DISTINCT source, tok FROM documents, "
+        r"UNNEST(regexp_extract_all(text, '\S+')) AS u(tok)), "
+        "sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source), "
+        "pr AS (SELECT a.source AS source_a, b.source AS source_b, "
+        "COUNT(*) AS n_common FROM st a JOIN st b "
+        "ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2) "
+        "SELECT pr.source_a, pr.source_b, sa.n AS n_a, sb.n AS n_b, "
+        "CAST(pr.n_common AS BIGINT) AS n_common, "
+        "CAST(1000 * pr.n_common // (sa.n + sb.n - pr.n_common) AS BIGINT) "
+        "AS jaccard_milli "
+        "FROM pr JOIN sz sa ON sa.source = pr.source_a "
+        "JOIN sz sb ON sb.source = pr.source_b"
+    )

@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "part_skyline",
     "url_typo_pairs",
     "page_link_audit",
+    "dormant_customers",
+    "source_vocab_overlap",
 ]
 
 

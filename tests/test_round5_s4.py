@@ -218,6 +218,54 @@ def test_page_link_audit_matches_duckdb_and_bounds(ray_session):
     assert got["n_dangling"].sum() > 0
 
 
+def test_dormant_customers_matches_duckdb_and_binds(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.joins import (
+        dormant_customers,
+        sql_dormant_customers,
+    )
+
+    got = _frame(dormant_customers(SF))
+    con = duckdb.connect()
+    _views(con, SF, ("customer", "orders"))
+    want = con.execute(sql_dormant_customers()).df()
+    _assert_frames_equal(got, want, ["c_custkey"])
+    # anti-join semantics: NO dormant customer has a post-cutoff order,
+    # and every non-dormant customer has one
+    recent = set(
+        con.execute(
+            "SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '2000-01-01'"
+        ).df()["o_custkey"]
+    )
+    assert not (set(got["c_custkey"]) & recent)
+    all_cust = set(con.execute("SELECT c_custkey FROM customer").df()["c_custkey"])
+    assert all_cust - set(got["c_custkey"]) == recent & all_cust
+    assert len(got) > 0  # the cutoff binds at every SF (14/135/1355)
+
+
+def test_source_vocab_overlap_matches_duckdb_and_set_laws(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.text_ops import (
+        source_vocab_overlap,
+        sql_source_vocab_overlap,
+    )
+
+    got = _frame(source_vocab_overlap(SF))
+    con = duckdb.connect()
+    _views(con, SF, ("documents",))
+    want = con.execute(sql_source_vocab_overlap()).df()
+    _assert_frames_equal(got, want, ["source_a", "source_b"])
+    # set laws: intersection bounded by both sizes; jaccard in [0, 1000];
+    # jaccard == 1000 iff the sets coincide exactly
+    assert (got["n_common"] <= got[["n_a", "n_b"]].min(axis=1)).all()
+    assert got["jaccard_milli"].between(0, 1000).all()
+    full = got["jaccard_milli"] == 1000
+    assert (
+        (got.loc[full, "n_a"] == got.loc[full, "n_b"])
+        & (got.loc[full, "n_a"] == got.loc[full, "n_common"])
+    ).all()
+    assert (got["source_a"] < got["source_b"]).all()
+
+
 def test_session4_ops_in_digest_and_entry():
     """Every session-4 op is a queries()/oracle_sql() entry AND an
     r5_ext_digest member (driver-recorded coverage through the window),
@@ -233,6 +281,7 @@ def test_session4_ops_in_digest_and_entry():
     ops = [
         "nation_year_cube", "user_mode_type", "type_value_median",
         "events_ntile", "part_skyline", "url_typo_pairs", "page_link_audit",
+        "dormant_customers", "source_vocab_overlap",
     ]
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     names = list(qs)
