@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_link_audit": web_ops.page_link_audit,
         "dormant_customers": joins.dormant_customers,
         "source_vocab_overlap": text_ops.source_vocab_overlap,
+        "order_month_rank": relational.order_month_rank,
     }
 
 
@@ -506,6 +507,7 @@ def oracle_sql() -> dict[str, str]:
         "page_link_audit": web_ops.sql_page_link_audit(),
         "dormant_customers": joins.sql_dormant_customers(),
         "source_vocab_overlap": text_ops.sql_source_vocab_overlap(),
+        "order_month_rank": relational.sql_order_month_rank(),
         "events_asof_order": (
             "SELECT e.event_id, epoch_us(o.o_orderdate) AS order_ts_us "
             "FROM events e ASOF LEFT JOIN orders o "

@@ -163,6 +163,11 @@ DIGEST_OPS: dict[str, tuple] = {
         text_ops.source_vocab_overlap,
         ["source_a", "source_b", "n_a", "n_b", "n_common", "jaccard_milli"],
     ),
+    "order_month_rank": (
+        relational.order_month_rank,
+        ["o_orderkey", "month", "price_cents", "rnk", "dense_rnk",
+         "pct_milli"],
+    ),
 }
 
 # The four ops whose candidate generation changed AFTER their green

@@ -1599,3 +1599,92 @@ def sql_part_skyline() -> str:
         "AND x.min_price_cents <= a.min_price_cents "
         "AND (x.p_size > a.p_size OR x.min_price_cents < a.min_price_cents))"
     )
+
+
+def order_month_rank(sf_dir: str) -> ray.data.Dataset:
+    """RANK / DENSE_RANK / percent-rank of every order's price within its
+    calendar month — the TIED-window member the ordered-window family
+    lacks (``events_user_running`` covers ROW_NUMBER/SUM/LAG, which never
+    tie; RANK semantics gap on equal keys and DENSE_RANK compacts them).
+    percent_rank is emitted in exact integer milli-units
+    (1000·(rank−1) // (n−1); 0 for single-row months) so every column is
+    bit-exact cross-engine.
+
+    Scale plan: ONE sort exchange keyed on exactly [month] (colocation
+    invariant, ``util.py``); all four window functions come from
+    cythonized pandas ``groupby().rank()`` / ``transform('size')`` inside
+    the block — zero per-group dispatch, zero further exchanges.  A month
+    is the block ceiling (the window family's standing trade).
+
+    Output: (o_orderkey, month, price_cents, rnk, dense_rnk, pct_milli).
+    """
+    import numpy as np
+
+    ensure_picklable()
+
+    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"]
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64").to_numpy(),
+                "month": (
+                    d.dt.year.to_numpy("int64") * 100 + d.dt.month.to_numpy("int64")
+                ),
+                "price_cents": np.floor(
+                    df["o_totalprice"].to_numpy(dtype="float64") * 100.0 + 0.5
+                ).astype("int64"),
+            }
+        )
+
+    def rank_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "month": pd.Series([], dtype="int64"),
+                    "price_cents": pd.Series([], dtype="int64"),
+                    "rnk": pd.Series([], dtype="int64"),
+                    "dense_rnk": pd.Series([], dtype="int64"),
+                    "pct_milli": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby("month", sort=False)["price_cents"]
+        rnk = g.rank(method="min").to_numpy("int64")
+        dense = g.rank(method="dense").to_numpy("int64")
+        n = g.transform("size").to_numpy("int64")
+        pct = np.where(n > 1, 1000 * (rnk - 1) // np.maximum(n - 1, 1), 0)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy("int64"),
+                "month": df["month"].to_numpy("int64"),
+                "price_cents": df["price_cents"].to_numpy("int64"),
+                "rnk": rnk,
+                "dense_rnk": dense,
+                "pct_milli": pct.astype("int64"),
+            }
+        )
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(key_rows, batch_format="pandas", batch_size=None)
+    # sort by EXACTLY the window partition key (colocation invariant)
+    return ds.sort(["month"]).map_batches(
+        rank_block, batch_format="pandas", batch_size=None
+    )
+
+
+def sql_order_month_rank() -> str:
+    return (
+        "WITH o AS (SELECT o_orderkey, "
+        "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month, "
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents "
+        "FROM orders), "
+        "c AS (SELECT *, COUNT(*) OVER (PARTITION BY month) AS cnt FROM o) "
+        "SELECT o_orderkey, month, price_cents, "
+        "CAST(RANK() OVER w AS BIGINT) AS rnk, "
+        "CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rnk, "
+        "CAST(CASE WHEN cnt > 1 THEN "
+        "1000 * (RANK() OVER w - 1) // (cnt - 1) ELSE 0 END AS BIGINT) "
+        "AS pct_milli "
+        "FROM c WINDOW w AS (PARTITION BY month ORDER BY price_cents)"
+    )

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "page_link_audit",
     "dormant_customers",
     "source_vocab_overlap",
+    "order_month_rank",
 ]
 
 

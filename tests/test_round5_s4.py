@@ -266,6 +266,71 @@ def test_source_vocab_overlap_matches_duckdb_and_set_laws(ray_session):
     assert (got["source_a"] < got["source_b"]).all()
 
 
+def test_order_month_rank_matches_duckdb_and_tie_laws(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        order_month_rank,
+        sql_order_month_rank,
+    )
+
+    got = _frame(order_month_rank(SF))
+    con = duckdb.connect()
+    _views(con, SF, ("orders",))
+    want = con.execute(sql_order_month_rank()).df()
+    _assert_frames_equal(got, want, ["o_orderkey"])
+    # tie laws: equal prices in a month share rnk AND dense_rnk; dense
+    # ranks are gapless (max == distinct price count); min rank is 1
+    for _, g in got.groupby("month"):
+        assert g["rnk"].min() == g["dense_rnk"].min() == 1
+        assert g["dense_rnk"].max() == g["price_cents"].nunique()
+        by_price = g.groupby("price_cents")[["rnk", "dense_rnk"]].nunique()
+        assert (by_price == 1).all().all()
+    assert got["pct_milli"].between(0, 1000).all()
+
+
+def test_order_month_rank_planted_ties_bind(ray_session, tmp_path):
+    """The gate corpus has no equal prices within a month, so RANK and
+    DENSE_RANK coincide there; a planted-tie table makes the tie
+    semantics (and the RANK gap) actually bind against DuckDB."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        order_month_rank,
+        sql_order_month_rank,
+    )
+
+    n = 300
+    # 3 months × 100 orders, prices drawn from 7 values → heavy ties
+    dates = pd.to_datetime(
+        ["1997-%02d-15" % (1 + i % 3) for i in range(n)]
+    ).astype("datetime64[us]")
+    prices = [100.0 + 10.0 * (i * 37 % 7) for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n), pa.int64()),
+                "o_custkey": pa.array([1] * n, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n),
+                "o_totalprice": pa.array(prices, pa.float64()),
+                "o_orderdate": pa.array(dates),
+                "o_orderpriority": pa.array(["1-URGENT"] * n),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    got = _frame(order_month_rank(str(tmp_path))).sort_values(
+        "o_orderkey", ignore_index=True
+    )
+    con = duckdb.connect()
+    _views(con, str(tmp_path), ("orders",))
+    want = con.execute(sql_order_month_rank()).df()
+    _assert_frames_equal(got, want, ["o_orderkey"])
+    # the ties bind: RANK gaps (rnk != dense_rnk somewhere) and shared
+    # ranks among equal prices
+    assert (got["rnk"] != got["dense_rnk"]).any()
+    assert got.duplicated(["month", "price_cents"]).any()
+
+
 def test_session4_ops_in_digest_and_entry():
     """Every session-4 op is a queries()/oracle_sql() entry AND an
     r5_ext_digest member (driver-recorded coverage through the window),
@@ -281,7 +346,7 @@ def test_session4_ops_in_digest_and_entry():
     ops = [
         "nation_year_cube", "user_mode_type", "type_value_median",
         "events_ntile", "part_skyline", "url_typo_pairs", "page_link_audit",
-        "dormant_customers", "source_vocab_overlap",
+        "dormant_customers", "source_vocab_overlap", "order_month_rank",
     ]
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     names = list(qs)
