@@ -354,3 +354,66 @@ def test_session4_ops_in_digest_and_entry():
         assert op in qs and op in osql
         assert op in DIGEST_OPS
         assert names.index(op) >= 50, f"{op} must sit past the gate window"
+
+
+def test_session4_events_ops_20x_scale_stress(ray_session, tmp_path):
+    """20× gate-scale stress for the session-4 event aggregates: 2M rows
+    through the counts-only NTILE rank, the grouped-mode exchange and the
+    histogram median — all three must stay EXACT vs DuckDB at a volume
+    where any per-row driver traffic or per-key merge loop would blow the
+    budget (the r4 aggregate pathology measured ~1.9 ms/key — 2M keys
+    would be an hour; this must finish in seconds)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        events_ntile,
+        sql_events_ntile,
+        sql_type_value_median,
+        sql_user_mode_type,
+        type_value_median,
+        user_mode_type,
+    )
+
+    n = 2_000_000
+    ids = np.arange(n, dtype=np.int64)
+    # deterministic mixed-magnitude values incl. negatives (exercises the
+    # floor-shift bucket ordering) and heavy value collisions per type
+    vals = ((ids * 2654435761) % 1_000_000 - 200_000) / 1000.0
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(ids),
+                "ts": pa.array(
+                    pd.to_datetime("2020-01-01").to_datetime64()
+                    + ids * np.timedelta64(1, "s")
+                ),
+                "user_id": pa.array(ids % 5000),
+                "event_type": pa.array(
+                    pd.Series(ids % 7).map(lambda k: f"t{k}").to_numpy(dtype=object)
+                ),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array([""] * n),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    con = duckdb.connect()
+    _views(con, str(tmp_path), ("events",))
+
+    t0 = time.time()
+    nt = _frame(events_ntile(str(tmp_path)))
+    md = type_value_median(str(tmp_path))
+    mo = _frame(user_mode_type(str(tmp_path)))
+    wall = time.time() - t0
+    assert wall < 120, f"20x stress took {wall:.1f}s"
+
+    want_nt = con.execute(sql_events_ntile()).df()
+    _assert_frames_equal(nt, want_nt, ["event_id"])
+    want_md = con.execute(sql_type_value_median()).df()
+    _assert_frames_equal(md, want_md, ["event_type"])
+    want_mo = con.execute(sql_user_mode_type()).df()
+    _assert_frames_equal(mo, want_mo, ["user_id"])
+    assert len(nt) == n and len(mo) == 5000 and len(md) == 7
