@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dormant_customers": joins.dormant_customers,
         "source_vocab_overlap": text_ops.source_vocab_overlap,
         "order_month_rank": relational.order_month_rank,
+        "orders_cdc_merge": joins.orders_cdc_merge,
     }
 
 
@@ -508,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
         "dormant_customers": joins.sql_dormant_customers(),
         "source_vocab_overlap": text_ops.sql_source_vocab_overlap(),
         "order_month_rank": relational.sql_order_month_rank(),
+        "orders_cdc_merge": joins.sql_orders_cdc_merge(),
         "events_asof_order": (
             "SELECT e.event_id, epoch_us(o.o_orderdate) AS order_ts_us "
             "FROM events e ASOF LEFT JOIN orders o "

@@ -168,6 +168,10 @@ DIGEST_OPS: dict[str, tuple] = {
         ["o_orderkey", "month", "price_cents", "rnk", "dense_rnk",
          "pct_milli"],
     ),
+    "orders_cdc_merge": (
+        joins.orders_cdc_merge,
+        ["o_orderkey", "price_cents", "ver"],
+    ),
 }
 
 # The four ops whose candidate generation changed AFTER their green

@@ -1292,3 +1292,96 @@ def sql_dormant_customers(cutoff: str = "2000-01-01") -> str:
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
         f"AND o.o_orderdate >= TIMESTAMP '{cutoff}')"
     )
+
+
+_CDC_PRICE_BUMP = 500.0
+_CDC_INSERT_BASE = 2_000_000
+
+
+def orders_cdc_merge(sf_dir: str) -> ray.data.Dataset:
+    """CDC UPSERT-MERGE — the lakehouse compaction primitive: fold a
+    changelog (updates + inserts) into a base table with
+    last-write-wins-by-version semantics, keyed on the primary key.
+    The changelog is synthesized deterministically from the base (the
+    line_dedup/pii_augment precedent): every ``o_orderkey % 7 == 3`` row
+    gets a price-corrected UPDATE, every ``% 13 == 5`` row an INSERT
+    under key+2,000,000 — the oracle replays the synthesis expression by
+    expression.
+
+    Scale plan: base and delta are two tagged scans (version 0 / 1) into
+    ONE dedup exchange keyed on the primary key —
+    ``grouped_block_dedup(key, order=[neg_ver])`` keeps each key's
+    highest-version row with zero per-group dispatch; nothing else
+    shuffles and the driver sees nothing.  This is exactly how a
+    periodic compaction job folds a day's CDC stream into a snapshot:
+    co-partition by key, keep max-version, write back partitioned.
+
+    Output: (o_orderkey, price_cents, ver) — the merged snapshot.
+    """
+    ensure_picklable()
+    from .util import grouped_block_dedup
+
+    base = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def tag_base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "price_cents": np.floor(
+                    df["o_totalprice"].to_numpy(dtype="float64") * 100.0 + 0.5
+                ).astype("int64"),
+                "ver": np.zeros(len(df), dtype=np.int64),
+                "neg_ver": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    def tag_delta(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy("int64")
+        pc = np.floor(
+            df["o_totalprice"].to_numpy(dtype="float64") * 100.0 + 0.5
+        ).astype("int64")
+        upd = k % 7 == 3
+        ins = k % 13 == 5
+        bump = np.int64(round(_CDC_PRICE_BUMP * 100))
+        out = pd.DataFrame(
+            {
+                "o_orderkey": np.concatenate(
+                    [k[upd], k[ins] + _CDC_INSERT_BASE]
+                ),
+                "price_cents": np.concatenate([pc[upd] + bump, pc[ins]]),
+            }
+        )
+        out["ver"] = np.int64(1)
+        out["neg_ver"] = np.int64(-1)
+        return out
+
+    tagged = base.map_batches(
+        tag_base, batch_format="pandas", batch_size=None
+    ).union(
+        base.map_batches(tag_delta, batch_format="pandas", batch_size=None)
+    )
+    merged = grouped_block_dedup(tagged, ["o_orderkey"], order=["neg_ver"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["o_orderkey", "price_cents", "ver"]]
+
+    return merged.map_batches(project, batch_format="pandas", batch_size=None)
+
+
+def sql_orders_cdc_merge() -> str:
+    bump = int(round(_CDC_PRICE_BUMP * 100))
+    return (
+        "WITH base AS (SELECT o_orderkey, "
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents, "
+        "CAST(0 AS BIGINT) AS ver FROM orders), "
+        "delta AS ("
+        f"SELECT o_orderkey, price_cents + {bump} AS price_cents, "
+        "CAST(1 AS BIGINT) AS ver FROM base WHERE o_orderkey % 7 = 3 "
+        "UNION ALL "
+        f"SELECT o_orderkey + {_CDC_INSERT_BASE} AS o_orderkey, price_cents, "
+        "CAST(1 AS BIGINT) AS ver FROM base WHERE o_orderkey % 13 = 5), "
+        "u AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey "
+        "ORDER BY ver DESC) AS rn FROM (SELECT * FROM base "
+        "UNION ALL SELECT * FROM delta)) "
+        "SELECT o_orderkey, price_cents, ver FROM u WHERE rn = 1"
+    )

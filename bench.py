@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "dormant_customers",
     "source_vocab_overlap",
     "order_month_rank",
+    "orders_cdc_merge",
 ]
 
 

@@ -347,6 +347,7 @@ def test_session4_ops_in_digest_and_entry():
         "nation_year_cube", "user_mode_type", "type_value_median",
         "events_ntile", "part_skyline", "url_typo_pairs", "page_link_audit",
         "dormant_customers", "source_vocab_overlap", "order_month_rank",
+        "orders_cdc_merge",
     ]
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     names = list(qs)
@@ -417,3 +418,36 @@ def test_session4_events_ops_20x_scale_stress(ray_session, tmp_path):
     want_mo = con.execute(sql_user_mode_type()).df()
     _assert_frames_equal(mo, want_mo, ["user_id"])
     assert len(nt) == n and len(mo) == 5000 and len(md) == 7
+
+
+def test_orders_cdc_merge_matches_duckdb_and_upsert_laws(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.joins import (
+        _CDC_INSERT_BASE,
+        orders_cdc_merge,
+        sql_orders_cdc_merge,
+    )
+
+    got = _frame(orders_cdc_merge(SF))
+    con = duckdb.connect()
+    _views(con, SF, ("orders",))
+    want = con.execute(sql_orders_cdc_merge()).df()
+    _assert_frames_equal(got, want, ["o_orderkey"])
+    base = con.execute(
+        "SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) "
+        "AS pc FROM orders"
+    ).df().set_index("o_orderkey")["pc"]
+    m = got.set_index("o_orderkey")
+    # upsert laws: updated keys carry ver=1 with the bumped price; every
+    # other base key survives untouched at ver=0; inserted keys sit above
+    # the insert base and exist nowhere in the base table
+    upd = m.index[(m.index % 7 == 3) & (m.index < _CDC_INSERT_BASE)]
+    assert len(upd) > 0 and (m.loc[upd, "ver"] == 1).all()
+    assert (m.loc[upd, "price_cents"] == base.loc[upd] + 50000).all()
+    untouched = m.index[(m.index % 7 != 3) & (m.index < _CDC_INSERT_BASE)]
+    assert (m.loc[untouched, "ver"] == 0).all()
+    assert (m.loc[untouched, "price_cents"] == base.loc[untouched]).all()
+    ins = m.index[m.index >= _CDC_INSERT_BASE]
+    assert len(ins) > 0 and (m.loc[ins, "ver"] == 1).all()
+    assert not set(ins) & set(base.index)
+    # exactly one row per key (the compaction invariant)
+    assert m.index.is_unique
