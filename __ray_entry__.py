@@ -314,6 +314,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": text_ops.source_vocab_overlap,
         "order_month_rank": relational.order_month_rank,
         "orders_cdc_merge": joins.orders_cdc_merge,
+        # round-5 session-5 additions (past the window; ``r5_ext_digest``
+        # members, so each earns a driver-recorded hash-match row)
+        "frequent_tokens": analytics.frequent_tokens,
+        "ppjoin_pairs": dedup_ops.ppjoin_pairs,
     }
 
 
@@ -633,6 +637,8 @@ def oracle_sql() -> dict[str, str]:
             ") WHERE rk <= 3"
         ),
         "knn_search": similarity.sql_knn_search(k=5, n_queries=10),
+        "frequent_tokens": analytics.sql_frequent_tokens(),
+        "ppjoin_pairs": dedup_ops.sql_ppjoin_pairs(),
     }
     # composite digest: one (op, n_rows, digest) oracle row per round-5
     # extension op, replaying the md5-prefix sum over each member's own

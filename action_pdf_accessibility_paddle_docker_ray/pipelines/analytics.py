@@ -1202,3 +1202,176 @@ def sql_label_quantiles(*, target: int = _LQ_TARGET) -> str:
         "CROSS JOIN lq_m m JOIN lq_r r ON r.label = m.label "
         "AND r.rn = (d.d * m.c + 9) // 10 ORDER BY label, decile"
     )
+
+
+# ---------------------------------------------------------------------------
+# frequent_tokens: exact heavy hitters via a bounded lossy-counting sketch
+# ---------------------------------------------------------------------------
+
+_FT_K = 8192          # counters kept per block partial
+_FT_SUPPORT_PPM = 300  # report tokens with count * 1e6 >= N_total * ppm
+
+
+def frequent_tokens(
+    sf_dir: str, *, k: int = _FT_K, support_ppm: int = _FT_SUPPORT_PPM,
+) -> pd.DataFrame:
+    """EXACT corpus-wide frequent tokens (count ≥ N·support_ppm/10⁶)
+    without ever exchanging the full vocabulary.
+
+    ``token_histogram`` moves one row per distinct token through its
+    exchange — correct, but at web scale the vocabulary is 10⁸–10⁹ rows
+    of long-tail junk while the answer is a few hundred heavy hitters.
+    This op is the classic two-pass sketch→verify plan (Misra–Gries /
+    lossy-counting family, Manku & Motwani VLDB'02):
+
+    1. **Sketch pass** — each block keeps only its top-``k`` token counts
+       (exact within the block) plus two scalars: its token total ``n_j``
+       and its truncation bound ``θ_j`` = the largest DROPPED count.  For
+       any token, the summed kept counts undercount its true total by at
+       most ``D = Σθ_j``, and ``θ_j ≤ n_j/(k+1)`` (k+1 tokens would each
+       need ≥ θ_j).  The grouped exchange is bounded by k×blocks rows —
+       independent of vocabulary size.
+    2. **Candidate screen** — with threshold ``thr = ⌈N·ppm/10⁶⌉``, every
+       true heavy hitter's sketch sum is ≥ thr − D, so whenever
+       thr − D > 0 the screen keeps a guaranteed SUPERSET of ≤ N/(thr−D)
+       tokens ((k+1)·ppm > 10⁶ makes that unconditional; the defaults
+       give ≤ ~5600 candidates).  If the data ever drives thr − D ≤ 0,
+       the op falls back to the exact full-vocabulary exchange — the
+       answer is identical, only the exchange bound degrades.
+    3. **Verify pass** — the candidate set broadcasts once (``ray.put``);
+       each block re-counts ONLY candidate tokens (≤ |cands| rows per
+       block) and one more bounded exchange yields exact totals; the
+       final filter is the exact integer compare c·10⁶ ≥ N·ppm.
+
+    Output: (token, c) exact, ordered by (−c, token).  Tokenization =
+    ``lower(text)`` split on whitespace — identical to
+    ``countmin_tokens``'s corpus convention, so the DuckDB oracle is the
+    plain exact count (the sketch is invisible in the answer).
+    """
+    ensure_picklable()
+    if k <= 0 or support_ppm <= 0:
+        raise ValueError(f"k and support_ppm must be positive: {k}, {support_ppm}")
+    import ray
+
+    from .util import grouped_block_sum
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def mg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"\S+").explode().dropna()
+        c = toks.value_counts()  # descending
+        n_j = int(c.sum())
+        if len(c) > k:
+            theta = int(c.iloc[k])  # max dropped count (ties: still a bound)
+            c = c.iloc[:k]
+        else:
+            theta = 0
+        out = pd.DataFrame(
+            {"token": c.index.astype(str), "c": c.to_numpy().astype("int64")}
+        )
+        # per-block scalars ride the same exchange under reserved keys
+        # (a leading space cannot appear in a \S+ token)
+        side = pd.DataFrame({"token": [" n", " theta"], "c": [n_j, theta]})
+        return pd.concat([out, side], ignore_index=True)
+
+    sketch = grouped_block_sum(
+        docs.map_batches(mg_partial, batch_format="pandas", batch_size=None),
+        ["token"],
+        {"c": "s"},
+    ).materialize()  # ≤ k×blocks + vocab-truncated rows; consumed twice
+
+    side = (
+        sketch.map_batches(
+            lambda df: df[df["token"].isin([" n", " theta"])],
+            batch_format="pandas",
+        )
+        .to_pandas()  # exactly 2 rows
+        .set_index("token")["s"]
+    )
+    n_total = int(side.get(" n", 0))
+    d_total = int(side.get(" theta", 0))
+    thr = -(-n_total * support_ppm // 1_000_000)  # ceil
+    cut = thr - d_total
+    if cut <= 0:
+        # The data's truncation deduction swallowed the threshold margin
+        # (possible only when (k+1)·support_ppm ≤ 1e6 — with the defaults
+        # D ≤ N/8193 < thr always): the sketch cannot certify a superset,
+        # so fall back to the exact full-vocabulary exchange
+        # (token_histogram's cost).  The ANSWER is identical either way.
+        def all_partial(df: pd.DataFrame) -> pd.DataFrame:
+            toks = df["text"].str.lower().str.findall(r"\S+").explode().dropna()
+            c = toks.value_counts()
+            return pd.DataFrame(
+                {"token": c.index.astype(str),
+                 "c": c.to_numpy().astype("int64")}
+            )
+
+        exact = grouped_block_sum(
+            docs.map_batches(
+                all_partial, batch_format="pandas", batch_size=None
+            ),
+            ["token"],
+            {"c": "c"},
+        )
+        out = (
+            exact.map_batches(
+                lambda df, t=thr: df[df["c"] >= t], batch_format="pandas"
+            )
+            .to_pandas()  # output-sized
+        )
+        out["c"] = out["c"].astype("int64")
+        return (
+            out.sort_values(["c", "token"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+
+    cands = (
+        sketch.map_batches(
+            lambda df, cut=cut: df[
+                (df["s"] >= cut) & ~df["token"].str.startswith(" ")
+            ][["token"]],
+            batch_format="pandas",
+        )
+        .to_pandas()["token"]  # ≤ N/cut rows by the counting bound
+        .tolist()
+    )
+    if not cands:
+        return pd.DataFrame(
+            {"token": pd.Series([], dtype="object"),
+             "c": pd.Series([], dtype="int64")}
+        )
+    cand_ref = ray.put(frozenset(cands))
+
+    def exact_partial(df: pd.DataFrame) -> pd.DataFrame:
+        wanted = ray.get(cand_ref)
+        toks = df["text"].str.lower().str.findall(r"\S+").explode().dropna()
+        c = toks.value_counts()
+        c = c[c.index.isin(wanted)]
+        return pd.DataFrame(
+            {"token": c.index.astype(str), "c": c.to_numpy().astype("int64")}
+        )
+
+    exact = grouped_block_sum(
+        docs.map_batches(exact_partial, batch_format="pandas", batch_size=None),
+        ["token"],
+        {"c": "c"},
+    ).to_pandas()  # candidate-bounded
+    out = exact[exact["c"] * 1_000_000 >= n_total * support_ppm].copy()
+    out["c"] = out["c"].astype("int64")
+    return (
+        out.sort_values(["c", "token"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+def sql_frequent_tokens(*, support_ppm: int = _FT_SUPPORT_PPM) -> str:
+    """The sketch is invisible in the answer: plain exact counts."""
+    return (
+        "WITH ft_toks AS (SELECT unnest(regexp_extract_all(lower(text), "
+        r"'\S+')) AS tok FROM documents), "
+        "ft_tot AS (SELECT COUNT(*)::BIGINT AS n FROM ft_toks), "
+        "ft_cnt AS (SELECT tok, COUNT(*)::BIGINT AS c FROM ft_toks "
+        "GROUP BY tok) "
+        "SELECT ft_cnt.tok AS token, ft_cnt.c AS c FROM ft_cnt, ft_tot "
+        f"WHERE ft_cnt.c * 1000000 >= ft_tot.n * {support_ppm}"
+    )

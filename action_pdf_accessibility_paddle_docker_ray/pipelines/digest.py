@@ -35,6 +35,7 @@ import hashlib
 import pandas as pd
 
 from . import (
+    analytics,
     dedup_ops,
     joins,
     relational,
@@ -171,6 +172,15 @@ DIGEST_OPS: dict[str, tuple] = {
     "orders_cdc_merge": (
         joins.orders_cdc_merge,
         ["o_orderkey", "price_cents", "ver"],
+    ),
+    # round-5 session-5 additions
+    "frequent_tokens": (
+        analytics.frequent_tokens,
+        ["token", "c"],
+    ),
+    "ppjoin_pairs": (
+        dedup_ops.ppjoin_pairs,
+        ["a", "b", "n_a", "n_b", "n_common", "jaccard_milli"],
     ),
 }
 

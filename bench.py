@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "source_vocab_overlap",
     "order_month_rank",
     "orders_cdc_merge",
+    "frequent_tokens",
+    "ppjoin_pairs",
 ]
 
 

@@ -1,0 +1,231 @@
+"""Round-5 session-5 operators: exact heavy hitters via a bounded
+lossy-counting sketch (``frequent_tokens``) and the exact prefix-filtered
+set-similarity self-join (``ppjoin_pairs``).
+
+Each op is checked against its DuckDB oracle at sf0.001 (the comparison
+the driver's gate runs at sf0.01) plus the invariants the oracle replay
+alone would not pin: the sketch's superset guarantee under forced
+truncation, and PPJoin's zero-false-negative exactness vs brute force.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _views(con, sf, tables):
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+
+def _frame(x):
+    return x.to_pandas() if hasattr(x, "to_pandas") else x
+
+
+def _assert_frames_equal(got, want, key):
+    got = _frame(got).sort_values(key, ignore_index=True)[sorted(got.columns)]
+    want = want.sort_values(key, ignore_index=True)[sorted(want.columns)]
+    assert len(got) == len(want) > 0
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), f"column {c} differs"
+
+
+# ---------------------------------------------------------------------------
+# frequent_tokens
+# ---------------------------------------------------------------------------
+
+
+def test_frequent_tokens_matches_duckdb(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        frequent_tokens,
+        sql_frequent_tokens,
+    )
+
+    got = frequent_tokens(SF)
+    con = duckdb.connect()
+    _views(con, SF, ["documents"])
+    want = con.execute(sql_frequent_tokens()).df()
+    want["c"] = want["c"].astype("int64")
+    _assert_frames_equal(got, want, ["token"])
+    # ordered by (-c, token)
+    pairs = list(zip(-got["c"], got["token"]))
+    assert pairs == sorted(pairs)
+
+
+def _write_block_files(tmp_path, blocks):
+    """One parquet file per logical block so Ray's per-file read tasks
+    reproduce the intended block structure."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    dd = d / "documents.parquet"
+    dd.mkdir()
+    doc_id = 0
+    for i, texts in enumerate(blocks):
+        rows = []
+        for t in texts:
+            rows.append({"doc_id": doc_id, "text": t, "source": "s"})
+            doc_id += 1
+        pd.DataFrame(rows).to_parquet(dd / f"part-{i}.parquet")
+    return str(d)
+
+
+def _brute_frequent(blocks, ppm):
+    toks = pd.Series(" ".join(t for b in blocks for t in b).lower().split())
+    n_total = len(toks)
+    cnt = toks.value_counts()
+    keep = cnt[cnt * 1_000_000 >= n_total * ppm]
+    return (
+        pd.DataFrame({"token": keep.index.astype(str),
+                      "c": keep.to_numpy().astype("int64")}),
+        n_total,
+    )
+
+
+def test_frequent_tokens_exact_under_forced_truncation(ray_session, tmp_path):
+    """The case a naive top-k merge gets wrong: 'needle' is loud in 2
+    blocks but truncated out of the other 6 blocks' top-k, so its sketch
+    sum (40) is BELOW the threshold (50) — only the θ-deduction screen
+    keeps it as a candidate, and the verify pass restores its exact
+    global count (58 ≥ 50)."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        frequent_tokens,
+    )
+
+    k = 17
+    blocks = []
+    for b in range(8):
+        body = []
+        for j in range(16):  # per-block loud tokens, unique to the block
+            body += [f"loud{b}_{j}"] * 30
+        if b < 2:
+            body += ["needle"] * 20  # kept: top-17 = 16 louds + needle
+        else:
+            body += [f"filler{b}"] * 5  # kept instead of needle
+            body += ["needle"] * 3  # dropped; theta_j = 3
+        body += [f"single{b}_{j}" for j in range(50)]  # truncated tail
+        blocks.append([" ".join(body)])
+    d = _write_block_files(tmp_path, blocks)
+
+    # thr = 50 exactly: ppm = floor(50e6 / N)
+    _, n_total = _brute_frequent(blocks, 1)
+    ppm = 50 * 1_000_000 // n_total
+    want, _ = _brute_frequent(blocks, ppm)
+    assert list(want["token"]) == ["needle"] and int(want["c"].iloc[0]) == 58
+    got = frequent_tokens(d, k=k, support_ppm=ppm)
+    _assert_frames_equal(got, want, ["token"])
+
+
+def test_frequent_tokens_fallback_when_sketch_uncertifiable(
+    ray_session, tmp_path
+):
+    """thr − D ≤ 0 (tiny k, low threshold): the op must detect that the
+    sketch cannot certify a superset and still return the exact answer
+    via the full-vocabulary fallback."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        frequent_tokens,
+    )
+
+    rng = np.random.default_rng(3)
+    blocks = []
+    for b in range(4):
+        body = []
+        for j in range(60):  # flat-ish counts: k=4 truncates almost all
+            body += [f"w{j}"] * int(rng.integers(4, 8))
+        rng.shuffle(body)
+        blocks.append([" ".join(body)])
+    d = _write_block_files(tmp_path, blocks)
+    _, n_total = _brute_frequent(blocks, 1)
+    ppm = 10 * 1_000_000 // n_total  # thr ~10 << D
+    want, _ = _brute_frequent(blocks, ppm)
+    assert len(want) > 10
+    got = frequent_tokens(d, k=4, support_ppm=ppm)
+    _assert_frames_equal(got, want, ["token"])
+
+    with pytest.raises(ValueError):
+        frequent_tokens(SF, k=0)
+
+
+# ---------------------------------------------------------------------------
+# ppjoin_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_ppjoin_pairs_matches_duckdb(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+        ppjoin_pairs,
+        sql_ppjoin_pairs,
+    )
+
+    got = ppjoin_pairs(SF)
+    con = duckdb.connect()
+    _views(con, SF, ["documents"])
+    want = con.execute(sql_ppjoin_pairs()).df()
+    for c in ("a", "b", "n_a", "n_b", "n_common", "jaccard_milli"):
+        want[c] = want[c].astype("int64")
+    _assert_frames_equal(got, want, ["a", "b"])
+
+
+def test_ppjoin_pairs_no_false_negatives_vs_brute_force(ray_session, tmp_path):
+    """Exactness (the property LSH lacks): every pair with word-Jaccard
+    >= t is found, including pairs whose similarity sits exactly AT the
+    threshold boundary."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+        ppjoin_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(120)]
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(8, 20))
+        toks = list(rng.choice(vocab, size=n, replace=False))
+        rows.append({"doc_id": i, "text": " ".join(toks), "source": "s"})
+    # planted exact-boundary pair: |A|=|B|=10, inter=7, union=13 -> J=7/13
+    a = [f"p{i}" for i in range(10)]
+    b = a[:7] + ["q0", "q1", "q2"]
+    rows.append({"doc_id": 100, "text": " ".join(a), "source": "s"})
+    rows.append({"doc_id": 101, "text": " ".join(b), "source": "s"})
+    # planted clone cluster (identical sets, shuffled order)
+    for i in range(4):
+        toks = [f"c{j}" for j in range(12)]
+        rng.shuffle(toks)
+        rows.append({"doc_id": 200 + i, "text": " ".join(toks), "source": "s"})
+    df = pd.DataFrame(rows)
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.to_parquet(d / "documents.parquet")
+
+    t_num, t_den = 7, 13  # threshold exactly at the planted boundary pair
+    got = _frame(ppjoin_pairs(str(d), threshold=(t_num, t_den)))
+
+    sets = {r["doc_id"]: frozenset(r["text"].split()) for r in rows}
+    ids = sorted(sets)
+    want_rows = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            sa, sb = sets[ids[x]], sets[ids[y]]
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if inter * t_den >= t_num * union:
+                want_rows.append(
+                    {
+                        "a": ids[x],
+                        "b": ids[y],
+                        "n_a": len(sa),
+                        "n_b": len(sb),
+                        "n_common": inter,
+                        "jaccard_milli": 1000 * inter // union,
+                    }
+                )
+    want = pd.DataFrame(want_rows).astype("int64")
+    assert (100, 101) in {(r["a"], r["b"]) for r in want_rows}  # boundary live
+    assert len(want) >= 1 + 6  # boundary pair + clone-cluster pairs
+    _assert_frames_equal(got, want, ["a", "b"])
