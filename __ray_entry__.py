@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # members, so each earns a driver-recorded hash-match row)
         "frequent_tokens": analytics.frequent_tokens,
         "ppjoin_pairs": dedup_ops.ppjoin_pairs,
+        "nation_trade_volume": joins.nation_trade_volume,
     }
 
 
@@ -639,6 +640,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_search": similarity.sql_knn_search(k=5, n_queries=10),
         "frequent_tokens": analytics.sql_frequent_tokens(),
         "ppjoin_pairs": dedup_ops.sql_ppjoin_pairs(),
+        "nation_trade_volume": joins.sql_nation_trade_volume(),
     }
     # composite digest: one (op, n_rows, digest) oracle row per round-5
     # extension op, replaying the md5-prefix sum over each member's own

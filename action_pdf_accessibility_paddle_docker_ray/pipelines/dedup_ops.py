@@ -2136,7 +2136,7 @@ def _wordset_verify(
 
 def ppjoin_pairs(
     sf_dir: str, *, threshold: tuple[int, int] = (19, 20),
-    as_dataset: bool = False,
+    as_dataset: bool = False, broadcast_limit: int = 500_000,
 ) -> pd.DataFrame | ray.data.Dataset:
     """EXACT word-set Jaccard self-join (J ≥ num/den) via prefix
     filtering — the zero-false-negative complement to ``jaccard_pairs``
@@ -2179,8 +2179,9 @@ def ppjoin_pairs(
     Default threshold 19/20: the synthetic corpus's docs share a source
     vocabulary, putting BACKGROUND word-set similarity near 0.9 (measured
     sf0.001: 54k pairs at t=0.7, 11k at 0.9, ~2k at 0.95 — and the 0.95
-    count does NOT grow corpus-quadratically: 1.9k at sf0.01), so 0.95 is
-    the level that isolates true near-clones from template noise."""
+    count grows LINEARLY in docs, not quadratically: 1.9k at sf0.01,
+    191k at sf0.1 over 100× the docs), so 0.95 is the level that
+    isolates true near-clones from template noise."""
     ensure_picklable()
     t_num, t_den = int(threshold[0]), int(threshold[1])
     if not (0 < t_num <= t_den):
@@ -2254,7 +2255,9 @@ def ppjoin_pairs(
         )
 
     cands = grouped_block_map(pref, ["token"], bucket_cand, drop_singletons=True)
-    verified = _wordset_verify(cands, docs, t_num, t_den)
+    verified = _wordset_verify(
+        cands, docs, t_num, t_den, broadcast_limit=broadcast_limit
+    )
     if as_dataset:
         return verified
     out = verified.to_pandas()

@@ -182,6 +182,10 @@ DIGEST_OPS: dict[str, tuple] = {
         dedup_ops.ppjoin_pairs,
         ["a", "b", "n_a", "n_b", "n_common", "jaccard_milli"],
     ),
+    "nation_trade_volume": (
+        joins.nation_trade_volume,
+        ["supp_nation", "cust_nation", "l_year", "n_items", "revenue_e4"],
+    ),
 }
 
 # The four ops whose candidate generation changed AFTER their green

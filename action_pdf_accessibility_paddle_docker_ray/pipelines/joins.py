@@ -1385,3 +1385,240 @@ def sql_orders_cdc_merge() -> str:
         "UNION ALL SELECT * FROM delta)) "
         "SELECT o_orderkey, price_cents, ver FROM u WHERE rn = 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# nation_trade_volume — TPC-H Q7-shaped nation-pair volume join
+# ---------------------------------------------------------------------------
+
+
+def nation_trade_volume(
+    sf_dir: str, broadcast_limit: int = 2_000_000
+) -> ray.data.Dataset:
+    """TPC-H Q7-shaped bilateral trade volume: revenue shipped from each
+    SUPPLIER nation to each (different) CUSTOMER nation per ship-year —
+    the multi-dimension volume join (nation-pair × year group keys) that
+    Q5's single-dimension rollup does not exercise.
+
+    Scale plan (same machinery as ``regional_revenue_q5``, without its
+    region/date pruning — every dimension still never shuffles):
+    - nation → name map (≤25 entries) and supplier → nationkey sorted
+      arrays broadcast once via ``ray.put``.
+    - customer attach is the distributed-count-proven dual plan: under
+      ``broadcast_limit`` the (custkey, nationkey) pairs broadcast and
+      orders attach the customer nation per batch with ZERO exchange;
+      above it, a ``custkey % JOIN_BUCKETS`` co-partitioned exchange
+      (forced in tests; plans pinned identical).
+    - lineitem maps supplier → nation and per-batch combines to
+      (orderkey, s_nat, year, partial_rev, partial_n) — the one
+      orderkey-bucket exchange ships combined partials, not line rows.
+    - per-bucket join keeps s_nat ≠ c_nat (the Q7 cross-nation filter)
+      and folds to ≤ 25·24·years partial rows per bucket; the bounded
+      final fold is one ``repartition(1)`` in-block groupby.
+
+    Output: (supp_nation, cust_nation, l_year, n_items, revenue_e4)\n    with revenue EXACT in integer 1e-4-dollar units (cents x (100-pct)),\n    so the result is bit-identical at any parallelism and in DuckDB."""
+    ensure_picklable()
+    import pyarrow.parquet as pq
+
+    import ray
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nat_names = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sup_keys = supplier["s_suppkey"].to_numpy().astype(np.int64)
+    sup_nats = supplier["s_nationkey"].to_numpy().astype(np.int64)
+    order = np.argsort(sup_keys)
+    sup_ref = ray.put((sup_keys[order], sup_nats[order]))
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    n_cust = cust.count()  # distributed scalar — proves the broadcast bound
+    if n_cust <= broadcast_limit:
+        cdf = cust.to_pandas()  # bound proven ≤ broadcast_limit rows
+        ckeys = cdf["c_custkey"].to_numpy(dtype=np.int64)
+        cnats = cdf["c_nationkey"].to_numpy(dtype=np.int64)
+        corder = np.argsort(ckeys)
+        c_ref = ray.put((ckeys[corder], cnats[corder]))
+
+        def attach_cust_nat(df: pd.DataFrame) -> pd.DataFrame:
+            keys, nats = ray.get(c_ref)
+            v = df["o_custkey"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(keys, v)
+            hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == v)
+            okey = df["o_orderkey"].to_numpy(dtype=np.int64)[hit]
+            return pd.DataFrame(
+                {
+                    "key": okey,
+                    "bucket": okey % JOIN_BUCKETS,
+                    "side": "o",
+                    "nat": nats[pos[hit]],
+                    "year": np.zeros(len(okey), dtype=np.int64),
+                    "rev": np.zeros(len(okey), dtype=np.int64),
+                    "n": np.zeros(len(okey), dtype=np.int64),
+                }
+            )
+
+        orders_nat = orders.map_batches(attach_cust_nat, batch_format="pandas")
+    else:
+        def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["c_custkey"].astype("int64"),
+                    "bucket": (df["c_custkey"] % JOIN_BUCKETS).astype("int64"),
+                    "side": "c",
+                    "val": df["c_nationkey"].astype("int64"),
+                }
+            )
+
+        def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["o_custkey"].astype("int64"),
+                    "bucket": (df["o_custkey"] % JOIN_BUCKETS).astype("int64"),
+                    "side": "o",
+                    "val": df["o_orderkey"].astype("int64"),
+                }
+            )
+
+        stage1 = cust.map_batches(tag_cust, batch_format="pandas").union(
+            orders.map_batches(tag_orders, batch_format="pandas")
+        )
+
+        def join_cust(df: pd.DataFrame) -> pd.DataFrame:
+            c = df[df["side"] == "c"][["key", "val"]].rename(
+                columns={"val": "c_nat"}
+            )
+            o = df[df["side"] == "o"][["key", "val"]].rename(
+                columns={"val": "okey"}
+            )
+            j = o.merge(c, on="key", how="inner")
+            return pd.DataFrame(
+                {
+                    "key": j["okey"].to_numpy(dtype=np.int64),
+                    "bucket": (j["okey"] % JOIN_BUCKETS).to_numpy(dtype=np.int64),
+                    "side": "o",
+                    "nat": j["c_nat"].to_numpy(dtype=np.int64),
+                    "year": np.zeros(len(j), dtype=np.int64),
+                    "rev": np.zeros(len(j), dtype=np.int64),
+                    "n": np.zeros(len(j), dtype=np.int64),
+                }
+            )
+
+        orders_nat = grouped_block_map(stage1, ["bucket"], join_cust)
+
+    lineitem = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+
+    def tag_lineitem(df: pd.DataFrame) -> pd.DataFrame:
+        skeys, snats = ray.get(sup_ref)
+        v = df["l_suppkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(skeys, v)
+        hit = (pos < len(skeys)) & (skeys[np.minimum(pos, len(skeys) - 1)] == v)
+        sel = df[hit].copy()
+        sel["nat"] = snats[pos[hit]]
+        sel["year"] = pd.DatetimeIndex(sel["l_shipdate"]).year.astype("int64")
+        # exact integer revenue in 1e-4 dollars: price and discount are
+        # 2-decimal-representable (max float error < 1e-9, measured), so
+        # cents x (100 - pct) is exact and parallel-sum-order-free --
+        # float SUM + ROUND(2) disagreed with DuckDB on 24/4188 groups
+        pc_ = np.rint(sel["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dp_ = np.rint(sel["l_discount"].to_numpy() * 100).astype(np.int64)
+        sel["rev"] = pc_ * (100 - dp_)
+        g = sel.groupby(["l_orderkey", "nat", "year"], as_index=False,
+                        sort=False).agg(rev=("rev", "sum"), n=("rev", "size"))
+        return pd.DataFrame(
+            {
+                "key": g["l_orderkey"].astype("int64"),
+                "bucket": (g["l_orderkey"] % JOIN_BUCKETS).astype("int64"),
+                "side": "l",
+                "nat": g["nat"].astype("int64"),
+                "year": g["year"].astype("int64"),
+                "rev": g["rev"].astype("int64"),
+                "n": g["n"].astype("int64"),
+            }
+        )
+
+    stage2 = orders_nat.union(
+        lineitem.map_batches(tag_lineitem, batch_format="pandas")
+    )
+
+    def join_line(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "s_nat": pd.Series([], dtype="int64"),
+                "c_nat": pd.Series([], dtype="int64"),
+                "year": pd.Series([], dtype="int64"),
+                "p_rev": pd.Series([], dtype="int64"),
+                "p_n": pd.Series([], dtype="int64"),
+            }
+        )
+        o = df[df["side"] == "o"][["key", "nat"]].rename(columns={"nat": "c_nat"})
+        l = df[df["side"] == "l"][["key", "nat", "year", "rev", "n"]]
+        if len(o) == 0 or len(l) == 0:
+            return empty
+        j = l.merge(o, on="key", how="inner")
+        j = j[j["nat"] != j["c_nat"]]  # the Q7 cross-nation filter
+        if len(j) == 0:
+            return empty
+        g = j.groupby(["nat", "c_nat", "year"], as_index=False, sort=False).agg(
+            p_rev=("rev", "sum"), p_n=("n", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "s_nat": g["nat"].to_numpy(dtype=np.int64),
+                "c_nat": g["c_nat"].to_numpy(dtype=np.int64),
+                "year": g["year"].to_numpy(dtype=np.int64),
+                "p_rev": g["p_rev"].to_numpy(),
+                "p_n": g["p_n"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    partials = grouped_block_map(stage2, ["bucket"], join_line)
+
+    # bounded fold: ≤ 25·24·years rows per bucket block
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["s_nat", "c_nat", "year"], as_index=False,
+                       sort=True).agg(rev_raw=("p_rev", "sum"),
+                                      n_raw=("p_n", "sum"))
+        return pd.DataFrame(
+            {
+                "supp_nation": g["s_nat"].map(nat_names),
+                "cust_nation": g["c_nat"].map(nat_names),
+                "l_year": g["year"].astype("int64"),
+                "n_items": g["n_raw"].astype("int64"),
+                "revenue_e4": g["rev_raw"].astype("int64"),
+            }
+        )
+
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def sql_nation_trade_volume() -> str:
+    return (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year, "
+        "CAST(count(*) AS BIGINT) AS n_items, "
+        "CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+        "AS revenue_e4 "
+        "FROM lineitem l "
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "JOIN nation n1 ON n1.n_nationkey = s.s_nationkey "
+        "JOIN nation n2 ON n2.n_nationkey = c.c_nationkey "
+        "WHERE n1.n_nationkey != n2.n_nationkey "
+        "GROUP BY 1, 2, 3"
+    )

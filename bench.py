@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "orders_cdc_merge",
     "frequent_tokens",
     "ppjoin_pairs",
+    "nation_trade_volume",
 ]
 
 

@@ -229,3 +229,51 @@ def test_ppjoin_pairs_no_false_negatives_vs_brute_force(ray_session, tmp_path):
     assert (100, 101) in {(r["a"], r["b"]) for r in want_rows}  # boundary live
     assert len(want) >= 1 + 6  # boundary pair + clone-cluster pairs
     _assert_frames_equal(got, want, ["a", "b"])
+
+
+def test_ppjoin_join_path_matches_broadcast_path(ray_session):
+    """broadcast_limit=0 forces the bucketed _attach_payload verify plan;
+    both physical plans must produce identical survivors."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+        ppjoin_pairs,
+    )
+
+    a = ppjoin_pairs(SF)
+    b = ppjoin_pairs(SF, broadcast_limit=0)
+    assert len(a) > 0
+    _assert_frames_equal(a, b, ["a", "b"])
+
+
+# ---------------------------------------------------------------------------
+# nation_trade_volume (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+
+
+def test_nation_trade_volume_matches_duckdb(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.joins import (
+        nation_trade_volume,
+        sql_nation_trade_volume,
+    )
+
+    got = _frame(nation_trade_volume(SF))
+    con = duckdb.connect()
+    _views(con, SF, ["lineitem", "orders", "supplier", "customer", "nation"])
+    want = con.execute(sql_nation_trade_volume()).df()
+    for c in ("l_year", "n_items", "revenue_e4"):
+        want[c] = want[c].astype("int64")
+    _assert_frames_equal(got, want, ["supp_nation", "cust_nation", "l_year"])
+    # Q7 invariant: no same-nation rows survive the cross filter
+    assert (got["supp_nation"] != got["cust_nation"]).all()
+
+
+def test_nation_trade_volume_bucket_plan_identical(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.joins import (
+        nation_trade_volume,
+    )
+
+    key = ["supp_nation", "cust_nation", "l_year"]
+    a = _frame(nation_trade_volume(SF)).sort_values(key, ignore_index=True)
+    b = _frame(nation_trade_volume(SF, broadcast_limit=0)).sort_values(
+        key, ignore_index=True
+    )
+    pd.testing.assert_frame_equal(a, b)
