@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_tokens": analytics.frequent_tokens,
         "ppjoin_pairs": dedup_ops.ppjoin_pairs,
         "nation_trade_volume": joins.nation_trade_volume,
+        "nation_market_share": joins.nation_market_share,
     }
 
 
@@ -641,6 +642,7 @@ def oracle_sql() -> dict[str, str]:
         "frequent_tokens": analytics.sql_frequent_tokens(),
         "ppjoin_pairs": dedup_ops.sql_ppjoin_pairs(),
         "nation_trade_volume": joins.sql_nation_trade_volume(),
+        "nation_market_share": joins.sql_nation_market_share(),
     }
     # composite digest: one (op, n_rows, digest) oracle row per round-5
     # extension op, replaying the md5-prefix sum over each member's own

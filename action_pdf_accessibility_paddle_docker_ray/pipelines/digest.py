@@ -186,6 +186,10 @@ DIGEST_OPS: dict[str, tuple] = {
         joins.nation_trade_volume,
         ["supp_nation", "cust_nation", "l_year", "n_items", "revenue_e4"],
     ),
+    "nation_market_share": (
+        joins.nation_market_share,
+        ["supp_nation", "l_year", "revenue_e4", "share_milli"],
+    ),
 }
 
 # The four ops whose candidate generation changed AFTER their green

@@ -1622,3 +1622,102 @@ def sql_nation_trade_volume() -> str:
         "WHERE n1.n_nationkey != n2.n_nationkey "
         "GROUP BY 1, 2, 3"
     )
+
+
+def nation_market_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q8-flavoured RATIO-OF-AGGREGATES: each supplier nation's
+    share of total shipped revenue per ship-year — the windowed
+    normalization pattern (a grouped aggregate divided by its
+    year-window total) the plain grouped ops don't exercise.
+
+    Scale plan — the cheapest shape in the join family: supplier →
+    nationkey sorted arrays broadcast once; every lineitem batch combines
+    to ≤ 25·years integer partial rows (exact 1e-4-dollar revenue, the
+    ``nation_trade_volume`` units), so the ONLY movement after the pruned
+    scan is a ``repartition(1)`` of bounded partials; both aggregate
+    levels (nation-year revenue and the year windows it normalizes by)
+    fold in that single in-block pass.  All-integer output —
+    share_milli = 1000·rev // year_total — so the result is bit-identical
+    at any parallelism and in DuckDB.
+
+    Output: (supp_nation, l_year, revenue_e4, share_milli)."""
+    ensure_picklable()
+    import pyarrow.parquet as pq
+
+    import ray
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nat_names = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sup_keys = supplier["s_suppkey"].to_numpy().astype(np.int64)
+    sup_nats = supplier["s_nationkey"].to_numpy().astype(np.int64)
+    order = np.argsort(sup_keys)
+    sup_ref = ray.put((sup_keys[order], sup_nats[order]))
+
+    lineitem = read_table(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        skeys, snats = ray.get(sup_ref)
+        v = df["l_suppkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(skeys, v)
+        hit = (pos < len(skeys)) & (skeys[np.minimum(pos, len(skeys) - 1)] == v)
+        sel = df[hit].copy()
+        sel["nat"] = snats[pos[hit]]
+        sel["year"] = pd.DatetimeIndex(sel["l_shipdate"]).year.astype("int64")
+        pc_ = np.rint(sel["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dp_ = np.rint(sel["l_discount"].to_numpy() * 100).astype(np.int64)
+        sel["rev"] = pc_ * (100 - dp_)
+        g = sel.groupby(["nat", "year"], as_index=False, sort=False)["rev"].sum()
+        return pd.DataFrame(
+            {
+                "nat": g["nat"].astype("int64"),
+                "year": g["year"].astype("int64"),
+                "rev": g["rev"].astype("int64"),
+            }
+        )
+
+    partials = lineitem.map_batches(partial, batch_format="pandas")
+
+    # bounded fold: ≤ 25 nations × years rows per input block
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["nat", "year"], as_index=False, sort=True)["rev"].sum()
+        totals = g.groupby("year")["rev"].transform("sum")
+        return pd.DataFrame(
+            {
+                "supp_nation": g["nat"].map(nat_names),
+                "l_year": g["year"].astype("int64"),
+                "revenue_e4": g["rev"].astype("int64"),
+                "share_milli": (1000 * g["rev"] // totals).astype("int64"),
+            }
+        )
+
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def sql_nation_market_share() -> str:
+    return (
+        "WITH ms AS (SELECT n.n_name AS supp_nation, "
+        "CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year, "
+        "CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+        "AS revenue_e4 "
+        "FROM lineitem l "
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+        "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+        "GROUP BY 1, 2) "
+        "SELECT supp_nation, l_year, revenue_e4, "
+        "CAST(1000 * revenue_e4 // "
+        "SUM(revenue_e4) OVER (PARTITION BY l_year) AS BIGINT) "
+        "AS share_milli FROM ms"
+    )

@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "frequent_tokens",
     "ppjoin_pairs",
     "nation_trade_volume",
+    "nation_market_share",
 ]
 
 

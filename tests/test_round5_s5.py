@@ -277,3 +277,71 @@ def test_nation_trade_volume_bucket_plan_identical(ray_session):
         key, ignore_index=True
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ppjoin_clone_cluster_stress_matches_oracle(ray_session, tmp_path):
+    """Medium clone-cluster stress (the pytest-sized sibling of the
+    36k-doc run recorded in BASELINE.md): 100 clusters of 10 near-clones
+    + noise; output is intrinsically C(10,2)-per-cluster sized and must
+    match the oracle's candidate-bounded replay exactly."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+        ppjoin_pairs,
+        sql_ppjoin_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"tok{i}" for i in range(5000)], dtype=object)
+    rows, doc_id = [], 0
+    for c in range(100):
+        base = list(rng.choice(vocab, size=25, replace=False))
+        for m in range(10):
+            toks = list(base)
+            if m % 3 == 0:
+                toks[int(rng.integers(len(toks)))] = f"sub{c}_{m}"
+            rng.shuffle(toks)
+            rows.append({"doc_id": doc_id, "text": " ".join(toks),
+                         "source": "s"})
+            doc_id += 1
+    for _ in range(500):
+        toks = list(rng.choice(vocab, size=int(rng.integers(15, 35)),
+                               replace=False))
+        rows.append({"doc_id": doc_id, "text": " ".join(toks), "source": "s"})
+        doc_id += 1
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+
+    got = _frame(ppjoin_pairs(str(d), threshold=(9, 10)))
+    con = duckdb.connect()
+    _views(con, str(d), ["documents"])
+    want = con.execute(sql_ppjoin_pairs(threshold=(9, 10))).df()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    assert len(want) >= 100 * 36  # every cluster contributes >= C(9,2)
+    _assert_frames_equal(got, want, ["a", "b"])
+
+
+# ---------------------------------------------------------------------------
+# nation_market_share (ratio-of-aggregates)
+# ---------------------------------------------------------------------------
+
+
+def test_nation_market_share_matches_duckdb(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.joins import (
+        nation_market_share,
+        sql_nation_market_share,
+    )
+
+    got = _frame(nation_market_share(SF))
+    con = duckdb.connect()
+    _views(con, SF, ["lineitem", "supplier", "nation"])
+    want = con.execute(sql_nation_market_share()).df()
+    for c in ("l_year", "revenue_e4", "share_milli"):
+        want[c] = want[c].astype("int64")
+    _assert_frames_equal(got, want, ["supp_nation", "l_year"])
+    # ratio law: per-year shares sum to 1000 - (floor losses < #nations)
+    per_year = got.groupby("l_year")["share_milli"].sum()
+    n_nat = got.groupby("l_year")["supp_nation"].nunique()
+    assert ((per_year > 1000 - n_nat) & (per_year <= 1000)).all()
+    # revenue consistency with the Q7 op family's exact integer units
+    assert (got["revenue_e4"] > 0).all()
