@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppjoin_pairs": dedup_ops.ppjoin_pairs,
         "nation_trade_volume": joins.nation_trade_volume,
         "nation_market_share": joins.nation_market_share,
+        "containment_pairs": dedup_ops.containment_pairs,
     }
 
 
@@ -643,6 +644,7 @@ def oracle_sql() -> dict[str, str]:
         "ppjoin_pairs": dedup_ops.sql_ppjoin_pairs(),
         "nation_trade_volume": joins.sql_nation_trade_volume(),
         "nation_market_share": joins.sql_nation_market_share(),
+        "containment_pairs": dedup_ops.sql_containment_pairs(),
     }
     # composite digest: one (op, n_rows, digest) oracle row per round-5
     # extension op, replaying the md5-prefix sum over each member's own

@@ -2024,10 +2024,13 @@ def _ppj_doc_tokens(df: pd.DataFrame) -> pd.DataFrame:
 
 def _wordset_verify(
     pairs: ray.data.Dataset, docs: ray.data.Dataset, t_num: int, t_den: int,
-    broadcast_limit: int = 500_000,
+    broadcast_limit: int = 500_000, mode: str = "jaccard",
 ) -> ray.data.Dataset:
-    """(a, b) candidates → exact word-set overlap rows with
-    den·|A∩B| ≥ num·|A∪B| — all-integer arithmetic, no float threshold.
+    """(a, b) candidates → exact word-set overlap rows — all-integer
+    arithmetic, no float threshold.  ``mode="jaccard"`` keeps
+    den·|A∩B| ≥ num·|A∪B| (column ``jaccard_milli``); ``"containment"``
+    keeps den·|A∩B| ≥ num·|A| (column ``containment_milli`` — the
+    directional predicate, a = contained side).
 
     Same dual plan as ``exact_jaccard_verify``: candidates ≤
     ``broadcast_limit`` gather the involved texts once (``ray.put``) and
@@ -2038,13 +2041,14 @@ def _wordset_verify(
     import ray
 
     word_re = re.compile(r"\S+")
+    score_col = "jaccard_milli" if mode == "jaccard" else "containment_milli"
     pairs = pairs.materialize()  # consumed twice (count + verify)
     n_cands = pairs.count()
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame(
             {c: pd.Series([], dtype="int64")
-             for c in ("a", "b", "n_a", "n_b", "n_common", "jaccard_milli")}
+             for c in ("a", "b", "n_a", "n_b", "n_common", score_col)}
         )
 
     if n_cands == 0:
@@ -2115,20 +2119,23 @@ def _wordset_verify(
             return s
 
         rows = {c: [] for c in
-                ("a", "b", "n_a", "n_b", "n_common", "jaccard_milli")}
+                ("a", "b", "n_a", "n_b", "n_common", score_col)}
         for a, b, pa, pb in zip(
             df["a"], df["b"], df["payload_a"], df["payload_b"]
         ):
             sa, sb = wset(int(a), pa), wset(int(b), pb)
             inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            if union and t_den * inter >= t_num * union:
+            if mode == "jaccard":
+                denom = len(sa) + len(sb) - inter
+            else:
+                denom = len(sa)
+            if denom and t_den * inter >= t_num * denom:
                 rows["a"].append(int(a))
                 rows["b"].append(int(b))
                 rows["n_a"].append(len(sa))
                 rows["n_b"].append(len(sb))
                 rows["n_common"].append(inter)
-                rows["jaccard_milli"].append(1000 * inter // union)
+                rows[score_col].append(1000 * inter // denom)
         return pd.DataFrame(rows).astype("int64")
 
     return step.map_batches(verify, batch_format="pandas")
@@ -2293,4 +2300,168 @@ def sql_ppjoin_pairs(*, threshold: tuple[int, int] = (19, 20)) -> str:
         "CAST(1000 * n_common // (la + lb - n_common) AS BIGINT) "
         "AS jaccard_milli FROM pj_int "
         f"WHERE {den} * n_common >= {num} * (la + lb - n_common)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs: EXACT directional set-containment join
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    sf_dir: str, *, threshold: tuple[int, int] = (19, 20),
+    min_contained: int = 30,
+    as_dataset: bool = False, broadcast_limit: int = 500_000,
+) -> pd.DataFrame | ray.data.Dataset:
+    """EXACT directional set-containment self-join: ordered pairs (a, b)
+    with |Sa ∩ Sb| ≥ c·|Sa| — doc a's word set c-contained in doc b's.
+    The SUBSET-duplicate detector (quotes, excerpts, page-within-page
+    mirrors) that symmetric Jaccard misses when the container is much
+    larger than the contained doc; the token-set complement of
+    ``substring_dedup``'s exact-substring containment.
+
+    Candidate generation is the asymmetric prefix-filter (the
+    set-containment-join variant of ``ppjoin_pairs``' symmetric filter):
+    only the CONTAINED side can be prefix-pruned — any container shares
+    one of a's first ``p = ℓa − ⌈c·ℓa⌉ + 1`` tokens in the df-ascending
+    order (same losslessness proof), while the container side must offer
+    ALL its tokens to the buckets (its required overlap depends on the
+    probe's size, so no symmetric prefix exists — this is why containment
+    joins cost more than similarity joins, here one corpus-token-sized
+    bucket side vs two prefix sides).  Per-bucket emission pairs probe
+    rows with container rows under the length filter den·ℓb ≥ num·ℓa
+    (slab-evaluated), and the dual broadcast-or-bucketed exact verify
+    decides den·|Sa∩Sb| ≥ num·ℓa — all-integer, no float threshold.
+
+    ``min_contained`` floors the CONTAINED side's distinct-token count —
+    applied at probe generation, so undersized docs never emit candidate
+    rows at all.  Tiny sets are contained in almost anything sharing
+    their vocabulary (this corpus's per-doc distinct vocab is p50=25,
+    p99=30, and the unfloored pair count at sf0.1 is 4.6M vs 210k at
+    ℓa ≥ 30 — background noise, not subset duplicates); every real
+    containment pipeline floors the probe length for the same reason.
+
+    Output: (a, b, n_a, n_b, n_common, containment_milli) with a ≠ b,
+    DIRECTIONAL (mutually-contained near-clones appear in both orders);
+    containment_milli = 1000·|Sa∩Sb| // ℓa."""
+    ensure_picklable()
+    t_num, t_den = int(threshold[0]), int(threshold[1])
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"threshold must be a rational in (0, 1]: {threshold}")
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    dt = docs.map_batches(_ppj_doc_tokens, batch_format="pandas")
+
+    def df_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["df"] = (
+            df.groupby("token")["doc_id"].transform("size").astype("int64")
+        )
+        return df
+
+    dt_df = dt.sort(["token"]).map_batches(
+        df_block, batch_format="pandas", batch_size=None
+    )
+
+    def sides_block(df: pd.DataFrame) -> pd.DataFrame:
+        """Per doc: ALL tokens as container rows (side 'f') + the
+        prefix tokens as probe rows (side 'p')."""
+        empty = pd.DataFrame(
+            {"token": pd.Series([], dtype="object"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "l": pd.Series([], dtype="int64"),
+             "side": pd.Series([], dtype="object")}
+        )
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["doc_id", "df", "token"], kind="mergesort")
+        sizes = df.groupby("doc_id")["token"].transform("size")
+        pos = df.groupby("doc_id").cumcount().to_numpy()
+        l = sizes.to_numpy().astype("int64")
+        p = l - (t_num * l + t_den - 1) // t_den + 1
+        keep = (pos < p) & (l >= min_contained)
+        full = pd.DataFrame(
+            {"token": df["token"].to_numpy(),
+             "doc_id": df["doc_id"].to_numpy().astype("int64"),
+             "l": l, "side": "f"}
+        )
+        probe = full[keep].copy()
+        probe["side"] = "p"
+        return pd.concat([full, probe], ignore_index=True)
+
+    sides = dt_df.sort(["doc_id"]).map_batches(
+        sides_block, batch_format="pandas", batch_size=None
+    )
+
+    def bucket_cand(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"),
+             "b": pd.Series([], dtype="int64")}
+        )
+        pr = g[g["side"] == "p"]
+        fl = g[g["side"] == "f"]
+        if len(pr) == 0 or len(fl) < 2:
+            return empty
+        pa = pr["doc_id"].to_numpy()
+        la = pr["l"].to_numpy().astype("int64")
+        fb = fl["doc_id"].to_numpy()
+        lb = fl["l"].to_numpy().astype("int64")
+        a_out, b_out = [], []
+        for i0 in range(0, len(pa), _PPJ_SLAB):
+            i1 = min(i0 + _PPJ_SLAB, len(pa))
+            ok = t_den * lb[None, :] >= t_num * la[i0:i1, None]
+            ok &= pa[i0:i1, None] != fb[None, :]
+            gi, gj = np.nonzero(ok)
+            a_out.append(pa[gi + i0])
+            b_out.append(fb[gj])
+        if not a_out:
+            return empty
+        return pd.DataFrame(
+            {"a": np.concatenate(a_out), "b": np.concatenate(b_out)}
+        )
+
+    cands = grouped_block_map(sides, ["token"], bucket_cand, drop_singletons=True)
+    verified = _wordset_verify(
+        cands, docs, t_num, t_den, broadcast_limit=broadcast_limit,
+        mode="containment",
+    )
+    if as_dataset:
+        return verified
+    out = verified.to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def sql_containment_pairs(
+    *, threshold: tuple[int, int] = (19, 20), min_contained: int = 30,
+) -> str:
+    """Replays the (lossless) asymmetric prefix filter: probe prefixes
+    join the FULL distinct-token table, so the oracle is
+    candidate-bounded like the op."""
+    num, den = int(threshold[0]), int(threshold[1])
+    return (
+        "WITH cj_dt AS (SELECT DISTINCT doc_id, tok FROM documents, "
+        r"UNNEST(regexp_extract_all(text, '\S+')) AS u(tok)), "
+        "cj_sz AS (SELECT doc_id, COUNT(*) AS l FROM cj_dt GROUP BY doc_id), "
+        "cj_df AS (SELECT tok, COUNT(*) AS df FROM cj_dt GROUP BY tok), "
+        "cj_rk AS (SELECT d.doc_id, d.tok, row_number() OVER ("
+        "PARTITION BY d.doc_id ORDER BY f.df, d.tok) AS rn, s.l "
+        "FROM cj_dt d JOIN cj_df f ON f.tok = d.tok "
+        "JOIN cj_sz s ON s.doc_id = d.doc_id), "
+        f"cj_pref AS (SELECT * FROM cj_rk WHERE rn <= l - "
+        f"(({num}*l + {den - 1})//{den}) + 1 AND l >= {min_contained}), "
+        "cj_cand AS (SELECT DISTINCT p.doc_id AS a, d.doc_id AS b, "
+        "p.l AS la, s.l AS lb FROM cj_pref p "
+        "JOIN cj_dt d ON d.tok = p.tok AND d.doc_id != p.doc_id "
+        "JOIN cj_sz s ON s.doc_id = d.doc_id "
+        f"WHERE {den} * s.l >= {num} * p.l), "
+        "cj_int AS (SELECT c.a, c.b, c.la, c.lb, COUNT(*) AS n_common "
+        "FROM cj_cand c JOIN cj_dt da ON da.doc_id = c.a "
+        "JOIN cj_dt db ON db.doc_id = c.b AND db.tok = da.tok "
+        "GROUP BY c.a, c.b, c.la, c.lb) "
+        "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
+        "CAST(la AS BIGINT) AS n_a, CAST(lb AS BIGINT) AS n_b, "
+        "CAST(n_common AS BIGINT) AS n_common, "
+        "CAST(1000 * n_common // la AS BIGINT) AS containment_milli "
+        "FROM cj_int "
+        f"WHERE {den} * n_common >= {num} * la"
     )

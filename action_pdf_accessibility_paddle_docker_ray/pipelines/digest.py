@@ -190,6 +190,10 @@ DIGEST_OPS: dict[str, tuple] = {
         joins.nation_market_share,
         ["supp_nation", "l_year", "revenue_e4", "share_milli"],
     ),
+    "containment_pairs": (
+        dedup_ops.containment_pairs,
+        ["a", "b", "n_a", "n_b", "n_common", "containment_milli"],
+    ),
 }
 
 # The four ops whose candidate generation changed AFTER their green

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "ppjoin_pairs",
     "nation_trade_volume",
     "nation_market_share",
+    "containment_pairs",
 ]
 
 

@@ -345,3 +345,64 @@ def test_nation_market_share_matches_duckdb(ray_session):
     assert ((per_year > 1000 - n_nat) & (per_year <= 1000)).all()
     # revenue consistency with the Q7 op family's exact integer units
     assert (got["revenue_e4"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs (directional set-containment join)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_pairs_matches_duckdb(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+        containment_pairs,
+        sql_containment_pairs,
+    )
+
+    got = _frame(containment_pairs(SF))
+    con = duckdb.connect()
+    _views(con, SF, ["documents"])
+    want = con.execute(sql_containment_pairs()).df()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    _assert_frames_equal(got, want, ["a", "b"])
+
+
+def test_containment_pairs_finds_asymmetric_subset(ray_session, tmp_path):
+    """The case symmetric Jaccard misses: a 10-token doc fully inside a
+    100-token doc (J = 0.1) must be found in exactly ONE direction with
+    containment_milli = 1000; near-clone pairs appear in BOTH orders."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.dedup_ops import (
+        containment_pairs,
+    )
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    big = list(rng.choice(vocab, size=100, replace=False))
+    small = list(rng.permutation(big[:10]))
+    rows.append({"doc_id": 1, "text": " ".join(big), "source": "s"})
+    rows.append({"doc_id": 2, "text": " ".join(small), "source": "s"})
+    # identical twin pair -> both directions
+    twin = [f"t{j}" for j in range(20)]
+    rows.append({"doc_id": 3, "text": " ".join(twin), "source": "s"})
+    rows.append(
+        {"doc_id": 4,
+         "text": " ".join(list(np.random.default_rng(1).permutation(twin))),
+         "source": "s"}
+    )
+    # unrelated noise
+    for i in range(30):
+        toks = list(rng.choice(vocab[200:], size=15, replace=False))
+        rows.append({"doc_id": 10 + i, "text": " ".join(toks), "source": "s"})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+
+    got = _frame(containment_pairs(str(d), threshold=(1, 1), min_contained=10))
+    pairs = set(zip(got["a"], got["b"]))
+    assert (2, 1) in pairs  # small contained in big
+    assert (1, 2) not in pairs  # never the reverse
+    assert (3, 4) in pairs and (4, 3) in pairs  # twins: both orders
+    row = got[(got["a"] == 2) & (got["b"] == 1)].iloc[0]
+    assert (row["n_a"], row["n_b"], row["n_common"],
+            row["containment_milli"]) == (10, 100, 10, 1000)
