@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_volume": joins.nation_trade_volume,
         "nation_market_share": joins.nation_market_share,
         "containment_pairs": dedup_ops.containment_pairs,
+        "events_late_window": relational.events_late_window,
     }
 
 
@@ -645,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_trade_volume": joins.sql_nation_trade_volume(),
         "nation_market_share": joins.sql_nation_market_share(),
         "containment_pairs": dedup_ops.sql_containment_pairs(),
+        "events_late_window": relational.sql_events_late_window(),
     }
     # composite digest: one (op, n_rows, digest) oracle row per round-5
     # extension op, replaying the md5-prefix sum over each member's own

@@ -194,6 +194,10 @@ DIGEST_OPS: dict[str, tuple] = {
         dedup_ops.containment_pairs,
         ["a", "b", "n_a", "n_b", "n_common", "containment_milli"],
     ),
+    "events_late_window": (
+        relational.events_late_window,
+        ["win_us", "n_accepted", "acc_milli", "n_late"],
+    ),
 }
 
 # The four ops whose candidate generation changed AFTER their green

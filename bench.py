@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "nation_trade_volume",
     "nation_market_share",
     "containment_pairs",
+    "events_late_window",
 ]
 
 

@@ -406,3 +406,73 @@ def test_containment_pairs_finds_asymmetric_subset(ray_session, tmp_path):
     row = got[(got["a"] == 2) & (got["b"] == 1)].iloc[0]
     assert (row["n_a"], row["n_b"], row["n_common"],
             row["containment_milli"]) == (10, 100, 10, 1000)
+
+
+# ---------------------------------------------------------------------------
+# events_late_window (watermark / allowed-lateness streaming semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_events_late_window_matches_duckdb(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        events_late_window,
+        sql_events_late_window,
+    )
+
+    got = events_late_window(SF)
+    con = duckdb.connect()
+    _views(con, SF, ["events"])
+    want = con.execute(sql_events_late_window()).df()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    _assert_frames_equal(got, want, ["win_us"])
+    # both branches are live, and accept+late partitions every event
+    assert got["n_late"].sum() > 0 and got["n_accepted"].sum() > 0
+    n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert int((got["n_accepted"] + got["n_late"]).sum()) == n_events
+
+
+def test_events_late_window_matches_sequential_replay(ray_session):
+    """The distributed carry-in prefix-max must equal a plain sequential
+    watermark simulation over the synthesized arrival order."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.relational import (
+        _LW_JITTER_MOD,
+        _LW_LATENESS_US,
+        _LW_WINDOW_US,
+        events_late_window,
+    )
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.sampling import (
+        fmix32_np,
+    )
+
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "value"]
+    )
+    ids = ev["event_id"].to_numpy().astype("int64")
+    jitter = (
+        fmix32_np(ids.astype(np.uint64) % np.uint64(1 << 32)) % _LW_JITTER_MOD
+    ).astype("int64") - (_LW_JITTER_MOD // 2)
+    ev = ev.assign(arr=ids + jitter)
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev["v_milli"] = np.floor(
+        ev["value"].to_numpy(dtype="float64") * 1000.0 + 0.5
+    ).astype("int64")
+    ev = ev.sort_values(["arr", "event_id"], ignore_index=True)
+
+    wm = None
+    rows = {}
+    for ts_us, v in zip(ev["ts_us"], ev["v_milli"]):
+        late = wm is not None and ts_us < wm - _LW_LATENESS_US
+        win = (ts_us // _LW_WINDOW_US) * _LW_WINDOW_US
+        acc, milli, nl = rows.get(win, (0, 0, 0))
+        if late:
+            rows[win] = (acc, milli, nl + 1)
+        else:
+            rows[win] = (acc + 1, milli + int(v), nl)
+        wm = ts_us if wm is None else max(wm, ts_us)
+    want = pd.DataFrame(
+        [(w, a, m, nl) for w, (a, m, nl) in sorted(rows.items())],
+        columns=["win_us", "n_accepted", "acc_milli", "n_late"],
+    ).astype("int64")
+    got = events_late_window(SF)
+    _assert_frames_equal(got, want, ["win_us"])
