@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_market_share": joins.nation_market_share,
         "containment_pairs": dedup_ops.containment_pairs,
         "events_late_window": relational.events_late_window,
+        "embedding_covariance": analytics.embedding_covariance,
     }
 
 
@@ -647,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_market_share": joins.sql_nation_market_share(),
         "containment_pairs": dedup_ops.sql_containment_pairs(),
         "events_late_window": relational.sql_events_late_window(),
+        "embedding_covariance": analytics.sql_embedding_covariance(),
     }
     # composite digest: one (op, n_rows, digest) oracle row per round-5
     # extension op, replaying the md5-prefix sum over each member's own

@@ -1375,3 +1375,133 @@ def sql_frequent_tokens(*, support_ppm: int = _FT_SUPPORT_PPM) -> str:
         "SELECT ft_cnt.tok AS token, ft_cnt.c AS c FROM ft_cnt, ft_tot "
         f"WHERE ft_cnt.c * 1000000 >= ft_tot.n * {support_ppm}"
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_covariance: per-label second moments from mergeable partials
+# ---------------------------------------------------------------------------
+
+_COV_Q = 1000  # milli-unit quantization: q = floor(x*1e3 + 0.5)
+
+
+def embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    """Per-label covariance structure of the embedding space — the
+    second-moment companion to ``label_centroids`` (the input to PCA /
+    whitening / Mahalanobis pruning of a vector corpus).
+
+    Floating-point Gram accumulation is summation-order-dependent, so
+    vectors quantize to integer MILLI units first (floor(x·10³ + 0.5) —
+    the ``label_centroids`` trick one scale down, keeping every partial
+    and product inside int64 at any plausible label size); each batch
+    then folds its label-group into (n, Σq, upper-triangle Gram ΣqᵢqᵼT)
+    with one vectorized ``X.T @ X`` — MERGEABLE fixed-size partials
+    (labels × (d(d+1)/2 + d + 1) rows per block, d=64 → ~21k ints),
+    ONE grouped exchange, and a vectorized driver-side assembly of the
+    label-count-bounded result (the n·Σqᵢqⱼ − ΣqᵢΣqⱼ products in int64,
+    inside range under the milli quantization). No vector data ever
+    re-shuffles.
+
+    Output: (label, dim_i, dim_j, n, cov_num) for dim_i ≤ dim_j, where
+    cov[i,j] = cov_num / n² in milli² units — cov_num is exact, so the
+    DuckDB oracle (a dims self-join over the unnested table) matches
+    bit-for-bit."""
+    ensure_picklable()
+    from .util import grouped_block_sum
+
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for label, g in df.groupby("label", sort=False):
+            x = np.stack(g["embedding"].to_numpy()).astype("float64")
+            q = np.floor(x * _COV_Q + 0.5).astype("int64")
+            d = q.shape[1]
+            gram = q.T @ q  # d×d int64
+            iu, ju = np.triu_indices(d)
+            s = q.sum(axis=0)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "label": np.int64(label),
+                        "i": np.concatenate(
+                            [iu, np.arange(d), np.array([-1])]
+                        ).astype("int64"),
+                        "j": np.concatenate(
+                            [ju, np.full(d, -1), np.array([-1])]
+                        ).astype("int64"),
+                        "v": np.concatenate(
+                            [gram[iu, ju], s, np.array([len(q)])]
+                        ).astype("int64"),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("label", "i", "j", "v")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    folded = (
+        grouped_block_sum(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["label", "i", "j"],
+            {"v": "v"},
+        )
+        .to_pandas()  # labels × (d(d+1)/2 + d + 1) rows — bounded
+    )
+    counts = folded[(folded["i"] == -1) & (folded["j"] == -1)][
+        ["label", "v"]
+    ].rename(columns={"v": "n"})
+    sums = folded[(folded["j"] == -1) & (folded["i"] >= 0)][
+        ["label", "i", "v"]
+    ]
+    gr = (
+        folded[(folded["i"] >= 0) & (folded["j"] >= 0)]
+        .merge(counts, on="label")
+        .merge(
+            sums.rename(columns={"i": "di", "v": "si"}),
+            left_on=["label", "i"], right_on=["label", "di"],
+        )
+        .merge(
+            sums.rename(columns={"i": "dj", "v": "sj"}),
+            left_on=["label", "j"], right_on=["label", "dj"],
+        )
+    )
+    # int64 vector math; |n·s_ij| ≤ n²·d·(q_max)² stays inside int64 for
+    # any per-label count the milli quantization is documented for
+    out = pd.DataFrame(
+        {
+            "label": gr["label"],
+            "dim_i": gr["i"],
+            "dim_j": gr["j"],
+            "n": gr["n"],
+            "cov_num": gr["n"] * gr["v"] - gr["si"] * gr["sj"],
+        }
+    ).astype("int64")
+    return out.sort_values(
+        ["label", "dim_i", "dim_j"], ignore_index=True
+    )
+
+
+def sql_embedding_covariance() -> str:
+    qexpr = f"CAST(FLOOR(CAST(u.x AS DOUBLE) * {_COV_Q} + 0.5) AS BIGINT)"
+    return (
+        "WITH ec AS (SELECT vec_id, label, u.i - 1 AS dim, "
+        f"{qexpr} AS q "
+        "FROM embeddings, LATERAL (SELECT UNNEST(embedding) AS x, "
+        "UNNEST(range(1, len(embedding) + 1)) AS i) u), "
+        "ec_s AS (SELECT label, dim, SUM(q) AS sq, COUNT(*) AS n "
+        "FROM ec GROUP BY 1, 2), "
+        "ec_p AS (SELECT a.label, a.dim AS dim_i, b.dim AS dim_j, "
+        "SUM(a.q * b.q) AS s_ij FROM ec a "
+        "JOIN ec b ON b.vec_id = a.vec_id AND b.label = a.label "
+        "AND b.dim >= a.dim GROUP BY 1, 2, 3) "
+        "SELECT CAST(p.label AS BIGINT) AS label, "
+        "CAST(p.dim_i AS BIGINT) AS dim_i, CAST(p.dim_j AS BIGINT) AS dim_j, "
+        "CAST(si.n AS BIGINT) AS n, "
+        "CAST(si.n * p.s_ij - si.sq * sj.sq AS BIGINT) AS cov_num "
+        "FROM ec_p p "
+        "JOIN ec_s si ON si.label = p.label AND si.dim = p.dim_i "
+        "JOIN ec_s sj ON sj.label = p.label AND sj.dim = p.dim_j"
+    )

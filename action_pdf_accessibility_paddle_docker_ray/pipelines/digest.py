@@ -198,6 +198,10 @@ DIGEST_OPS: dict[str, tuple] = {
         relational.events_late_window,
         ["win_us", "n_accepted", "acc_milli", "n_late"],
     ),
+    "embedding_covariance": (
+        analytics.embedding_covariance,
+        ["label", "dim_i", "dim_j", "n", "cov_num"],
+    ),
 }
 
 # The four ops whose candidate generation changed AFTER their green

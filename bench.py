@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "nation_market_share",
     "containment_pairs",
     "events_late_window",
+    "embedding_covariance",
 ]
 
 

@@ -476,3 +476,53 @@ def test_events_late_window_matches_sequential_replay(ray_session):
     ).astype("int64")
     got = events_late_window(SF)
     _assert_frames_equal(got, want, ["win_us"])
+
+
+# ---------------------------------------------------------------------------
+# embedding_covariance (per-label second moments)
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_covariance_matches_duckdb(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        embedding_covariance,
+        sql_embedding_covariance,
+    )
+
+    got = embedding_covariance(SF)
+    con = duckdb.connect()
+    _views(con, SF, ["embeddings"])
+    want = con.execute(sql_embedding_covariance()).df()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    _assert_frames_equal(got, want, ["label", "dim_i", "dim_j"])
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    """Semantic pin the SQL replay shares with the op: cov_num / n^2 must
+    equal numpy's population covariance of the quantized vectors."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        _COV_Q,
+        embedding_covariance,
+    )
+
+    got = embedding_covariance(SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    lab = int(emb["label"].iloc[0])
+    x = np.stack(emb[emb["label"] == lab]["embedding"].to_numpy()).astype(
+        "float64"
+    )
+    q = np.floor(x * _COV_Q + 0.5)
+    cov = np.cov(q, rowvar=False, bias=True)  # population covariance
+    n = len(q)
+    sub = got[got["label"] == lab]
+    d = int(sub["dim_i"].max()) + 1
+    assert len(sub) == d * (d + 1) // 2 and n == int(sub["n"].iloc[0])
+    for _, r in sub.head(200).iterrows():
+        assert (
+            abs(r["cov_num"] / (n * n) - cov[int(r["dim_i"]), int(r["dim_j"])])
+            < 1e-6
+        )
+    # diagonal entries are non-negative variances
+    diag = sub[sub["dim_i"] == sub["dim_j"]]
+    assert (diag["cov_num"] >= 0).all()
