@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": dedup_ops.containment_pairs,
         "events_late_window": relational.events_late_window,
         "embedding_covariance": analytics.embedding_covariance,
+        "source_frequent_tokens": analytics.source_frequent_tokens,
     }
 
 
@@ -649,6 +650,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": dedup_ops.sql_containment_pairs(),
         "events_late_window": relational.sql_events_late_window(),
         "embedding_covariance": analytics.sql_embedding_covariance(),
+        "source_frequent_tokens": analytics.sql_source_frequent_tokens(),
     }
     # composite digest: one (op, n_rows, digest) oracle row per round-5
     # extension op, replaying the md5-prefix sum over each member's own

@@ -1505,3 +1505,201 @@ def sql_embedding_covariance() -> str:
         "JOIN ec_s si ON si.label = p.label AND si.dim = p.dim_i "
         "JOIN ec_s sj ON sj.label = p.label AND sj.dim = p.dim_j"
     )
+
+
+_SFT_K = 2048          # counters kept per (block, source) partial
+_SFT_SUPPORT_PPM = 1000  # per-source support: c * 1e6 >= N_source * ppm
+
+
+def source_frequent_tokens(
+    sf_dir: str, *, k: int = _SFT_K, support_ppm: int = _SFT_SUPPORT_PPM,
+) -> pd.DataFrame:
+    """GROUPED exact heavy hitters: each source's frequent tokens
+    (count ≥ N_source·ppm/10⁶) — the per-group form of
+    ``frequent_tokens``, the same way ``type_distinct_users`` has an
+    HLL-per-group sketch mode beside the global HLL.  The per-source
+    vocabulary profile is the corpus-mixing diagnostic (which feeds
+    share which loud tokens) at bounded cost.
+
+    Identical two-pass guarantee, per group: each block keeps its
+    top-``k`` counts PER SOURCE plus per-(block, source) scalars
+    (n_{j,s}, θ_{j,s}); summed sketch counts undercount any token by at
+    most D_s = Σⱼθ_{j,s} ≤ N_s/(k+1), so with (k+1)·ppm > 10⁶
+    (defaults: 2049·1000) the screen cut thr_s − D_s is positive for
+    every source and keeps a certified superset; a candidate-bounded
+    verify pass restores exact per-source counts.  Exchanges:
+    k×sources×blocks sketch rows, then |candidates| rows — the
+    per-source vocabularies never move.
+
+    Output: (source, token, c) exact, ordered by (source, −c, token)."""
+    ensure_picklable()
+    if k <= 0 or support_ppm <= 0:
+        raise ValueError(f"k and support_ppm must be positive: {k}, {support_ppm}")
+    import ray
+
+    from .util import grouped_block_sum
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def mg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for source, g in df.groupby("source", sort=False):
+            toks = g["text"].str.lower().str.findall(r"\S+").explode().dropna()
+            c = toks.value_counts()
+            n_j = int(c.sum())
+            if len(c) > k:
+                theta = int(c.iloc[k])
+                c = c.iloc[:k]
+            else:
+                theta = 0
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "source": str(source),
+                        "token": np.concatenate(
+                            [c.index.to_numpy(dtype=object),
+                             np.array([" n", " theta"], dtype=object)]
+                        ),
+                        "c": np.concatenate(
+                            [c.to_numpy(), np.array([n_j, theta])]
+                        ).astype("int64"),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype="object"),
+                 "token": pd.Series([], dtype="object"),
+                 "c": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    sketch = grouped_block_sum(
+        docs.map_batches(mg_partial, batch_format="pandas", batch_size=None),
+        ["source", "token"],
+        {"c": "s"},
+    ).materialize()  # ≤ k×sources×blocks rows; consumed twice
+
+    side = (
+        sketch.map_batches(
+            lambda df: df[df["token"].isin([" n", " theta"])],
+            batch_format="pandas",
+        )
+        .to_pandas()  # 2 rows per source
+        .pivot(index="source", columns="token", values="s")
+        .fillna(0)
+    )
+    thr = {
+        s: -(-int(r[" n"]) * support_ppm // 1_000_000)
+        for s, r in side.iterrows()
+    }
+    cut = {s: thr[s] - int(r[" theta"]) for s, r in side.iterrows()}
+    if min(cut.values(), default=1) <= 0:
+        # sketch uncertifiable for some source (impossible at defaults:
+        # (k+1)·ppm > 1e6) — exact full-vocab fallback, answer identical
+        def all_partial(df: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for source, g in df.groupby("source", sort=False):
+                toks = (
+                    g["text"].str.lower().str.findall(r"\S+").explode().dropna()
+                )
+                c = toks.value_counts()
+                outs.append(
+                    pd.DataFrame(
+                        {"source": str(source),
+                         "token": c.index.astype(str),
+                         "c": c.to_numpy().astype("int64")}
+                    )
+                )
+            if not outs:
+                return pd.DataFrame(
+                    {"source": pd.Series([], dtype="object"),
+                     "token": pd.Series([], dtype="object"),
+                     "c": pd.Series([], dtype="int64")}
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        exact = grouped_block_sum(
+            docs.map_batches(
+                all_partial, batch_format="pandas", batch_size=None
+            ),
+            ["source", "token"],
+            {"c": "c"},
+        ).to_pandas()
+    else:
+        cut_ref = ray.put(cut)
+
+        def screen(df: pd.DataFrame) -> pd.DataFrame:
+            cuts = ray.get(cut_ref)
+            keep = ~df["token"].str.startswith(" ")
+            keep &= df["s"] >= df["source"].map(cuts).astype("int64")
+            return df[keep][["source", "token"]]
+
+        cands = (
+            sketch.map_batches(screen, batch_format="pandas").to_pandas()
+        )  # ≤ Σ_s N_s/cut_s rows by the counting bound
+        if len(cands) == 0:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype="object"),
+                 "token": pd.Series([], dtype="object"),
+                 "c": pd.Series([], dtype="int64")}
+            )
+        cand_ref = ray.put(
+            {s: frozenset(g["token"]) for s, g in cands.groupby("source")}
+        )
+
+        def exact_partial(df: pd.DataFrame) -> pd.DataFrame:
+            wanted = ray.get(cand_ref)
+            outs = []
+            for source, g in df.groupby("source", sort=False):
+                w = wanted.get(str(source))
+                if not w:
+                    continue
+                toks = (
+                    g["text"].str.lower().str.findall(r"\S+").explode().dropna()
+                )
+                c = toks.value_counts()
+                c = c[c.index.isin(w)]
+                outs.append(
+                    pd.DataFrame(
+                        {"source": str(source),
+                         "token": c.index.astype(str),
+                         "c": c.to_numpy().astype("int64")}
+                    )
+                )
+            if not outs:
+                return pd.DataFrame(
+                    {"source": pd.Series([], dtype="object"),
+                     "token": pd.Series([], dtype="object"),
+                     "c": pd.Series([], dtype="int64")}
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        exact = grouped_block_sum(
+            docs.map_batches(
+                exact_partial, batch_format="pandas", batch_size=None
+            ),
+            ["source", "token"],
+            {"c": "c"},
+        ).to_pandas()  # candidate-bounded
+
+    thr_col = exact["source"].map(thr).astype("int64")
+    out = exact[exact["c"] >= thr_col].copy()
+    out["c"] = out["c"].astype("int64")
+    out["negc"] = -out["c"]
+    out = out.sort_values(["source", "negc", "token"], ignore_index=True)
+    return out[["source", "token", "c"]]
+
+
+def sql_source_frequent_tokens(*, support_ppm: int = _SFT_SUPPORT_PPM) -> str:
+    return (
+        "WITH sft AS (SELECT source, unnest(regexp_extract_all(lower(text), "
+        r"'\S+')) AS tok FROM documents), "
+        "sft_tot AS (SELECT source, COUNT(*)::BIGINT AS n FROM sft "
+        "GROUP BY source), "
+        "sft_cnt AS (SELECT source, tok, COUNT(*)::BIGINT AS c FROM sft "
+        "GROUP BY source, tok) "
+        "SELECT c.source, c.tok AS token, c.c FROM sft_cnt c "
+        "JOIN sft_tot t ON t.source = c.source "
+        f"WHERE c.c * 1000000 >= t.n * {support_ppm}"
+    )

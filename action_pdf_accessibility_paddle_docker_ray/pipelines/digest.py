@@ -202,6 +202,10 @@ DIGEST_OPS: dict[str, tuple] = {
         analytics.embedding_covariance,
         ["label", "dim_i", "dim_j", "n", "cov_num"],
     ),
+    "source_frequent_tokens": (
+        analytics.source_frequent_tokens,
+        ["source", "token", "c"],
+    ),
 }
 
 # The four ops whose candidate generation changed AFTER their green

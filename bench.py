@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "containment_pairs",
     "events_late_window",
     "embedding_covariance",
+    "source_frequent_tokens",
 ]
 
 

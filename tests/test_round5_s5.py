@@ -526,3 +526,67 @@ def test_embedding_covariance_matches_numpy(ray_session):
     # diagonal entries are non-negative variances
     diag = sub[sub["dim_i"] == sub["dim_j"]]
     assert (diag["cov_num"] >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# source_frequent_tokens (grouped heavy hitters)
+# ---------------------------------------------------------------------------
+
+
+def test_source_frequent_tokens_matches_duckdb(ray_session):
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        source_frequent_tokens,
+        sql_source_frequent_tokens,
+    )
+
+    got = source_frequent_tokens(SF)
+    con = duckdb.connect()
+    _views(con, SF, ["documents"])
+    want = con.execute(sql_source_frequent_tokens()).df()
+    want["c"] = want["c"].astype("int64")
+    _assert_frames_equal(got, want, ["source", "token"])
+    assert got["source"].nunique() > 1  # the grouping is live
+    # within each source, ordered by (-c, token)
+    for _, g in got.groupby("source"):
+        pairs = list(zip(-g["c"], g["token"]))
+        assert pairs == sorted(pairs)
+
+
+def test_source_frequent_tokens_per_source_truncation(ray_session, tmp_path):
+    """Per-group adversarial case: a token frequent in source A but
+    absent from source B must be reported ONLY for A, exactly — under a
+    k that forces every (block, source) partial to truncate."""
+    from action_pdf_accessibility_paddle_docker_ray.pipelines.analytics import (
+        source_frequent_tokens,
+    )
+
+    blocks = []
+    for b in range(4):
+        texts = []
+        for s in range(3):
+            body = []
+            for j in range(30):  # 30 distinct loud tokens per (block, src)
+                body += [f"s{s}_loud{b}_{j}"] * 6
+            body += [f"hot{s}"] * 12  # per-source global heavy hitter
+            texts.append((f"src{s}", " ".join(body)))
+        blocks.append(texts)
+    d = tmp_path / "sf"
+    d.mkdir()
+    dd = d / "documents.parquet"
+    dd.mkdir()
+    doc_id = 0
+    for i, texts in enumerate(blocks):
+        rows = []
+        for src, t in texts:
+            rows.append({"doc_id": doc_id, "text": t, "source": src})
+            doc_id += 1
+        pd.DataFrame(rows).to_parquet(dd / f"part-{i}.parquet")
+
+    n_src = 30 * 6 + 12  # tokens per (block, source)
+    ppm = 40 * 1_000_000 // (4 * n_src)  # thr ~= 40: only hot* qualify
+    got = source_frequent_tokens(str(d), k=25, support_ppm=ppm)
+    assert len(got) == 3
+    for s in range(3):
+        row = got[got["source"] == f"src{s}"]
+        assert list(row["token"]) == [f"hot{s}"]
+        assert int(row["c"].iloc[0]) == 48
